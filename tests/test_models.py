@@ -1,0 +1,100 @@
+"""Model-zoo shape + parameter-count parity tests.
+
+Golden param counts computed from the torch reference models
+(wespeaker/models/{ecapa_tdnn,resnet,tdnn}.py, counting
+`sum(p.numel() for p in m.parameters())` — BN running stats excluded on
+both sides)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wespeaker_hubert_tpu.models import (
+    embedding_from_outputs,
+    get_speaker_model,
+)
+
+# (model, kwargs, embed_dim, expected_params)
+CASES = [
+    ("ECAPA_TDNN_c512", {}, 192, 5_797_504),
+    ("ECAPA_TDNN_GLOB_c512", {}, 192, 6_190_720),
+    ("ECAPA_TDNN_GLOB_c1024", {}, 192, 14_657_088),
+    ("ResNet18", {}, 256, 4_105_440),
+    ("ResNet34", {}, 256, 6_634_336),
+    ("ResNet50", {}, 256, 11_131_360),
+    ("XVEC", {}, 512, 4_610_524),
+]
+
+
+def _param_count(tree):
+    return sum(np.prod(x.shape) for x in jax.tree.leaves(tree))
+
+
+def _init_and_run(name, embed_dim, batch=2, frames=200, feat=80, **kwargs):
+    model = get_speaker_model(name)(feat_dim=feat, embed_dim=embed_dim, **kwargs)
+    x = jnp.zeros((batch, frames, feat))
+    variables = model.init(jax.random.key(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    return model, variables, embedding_from_outputs(out)
+
+
+@pytest.mark.parametrize("name,kwargs,embed_dim,expected", CASES)
+def test_param_count_and_shape(name, kwargs, embed_dim, expected):
+    _, variables, emb = _init_and_run(name, embed_dim, **kwargs)
+    assert emb.shape == (2, embed_dim)
+    got = _param_count(variables["params"])
+    assert got == expected, f"{name}: {got} params, reference has {expected}"
+
+
+def test_mask_consistency_ecapa():
+    """Masked padded batch ~= unpadded forward (ECAPA: conv edge effects
+    only near the pad boundary; pooled embedding should be close)."""
+    model = get_speaker_model("ECAPA_TDNN_c512")(feat_dim=80, embed_dim=192)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 150, 80)), dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+    e_full = model.apply(variables, x, train=False)
+
+    xp = jnp.pad(x, ((0, 0), (0, 50), (0, 0)))
+    mask = jnp.arange(200)[None, :] < 150
+    e_pad = model.apply(variables, xp, mask=mask, train=False)
+
+    cos = jnp.sum(e_full * e_pad) / (
+        jnp.linalg.norm(e_full) * jnp.linalg.norm(e_pad)
+    )
+    assert cos > 0.99, f"cosine {cos}"
+
+
+def test_mask_consistency_resnet():
+    model = get_speaker_model("ResNet34")(feat_dim=80, embed_dim=256)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 160, 80)), dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    e_full = embedding_from_outputs(out)
+
+    xp = jnp.pad(x, ((0, 0), (0, 40, ), (0, 0)))
+    mask = jnp.arange(200)[None, :] < 160
+    e_pad = embedding_from_outputs(
+        model.apply(variables, xp, mask=mask, train=False)
+    )
+    cos = jnp.sum(e_full * e_pad) / (
+        jnp.linalg.norm(e_full) * jnp.linalg.norm(e_pad)
+    )
+    assert cos > 0.98, f"cosine {cos}"
+
+
+def test_train_mode_updates_batch_stats():
+    model = get_speaker_model("ECAPA_TDNN_c512")(feat_dim=80, embed_dim=192)
+    x = jnp.ones((2, 100, 80))
+    variables = model.init(jax.random.key(0), x, train=True)
+    _, updates = model.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    assert "batch_stats" in updates
+
+
+def test_unknown_model_raises():
+    with pytest.raises(ValueError):
+        get_speaker_model("NopeNet")

@@ -1,0 +1,60 @@
+"""Model registry: name -> factory returning an nn.Module backbone.
+
+Mirrors the reference's prefix dispatch (reference:
+wespeaker/models/speaker_model.py:30-57) but as an explicit table.  All
+factories share the signature (feat_dim, embed_dim, pooling_func, **kwargs)
+and the returned module is called as module.apply(vars, x, mask=..., train=...)
+with x = (B, T, feat_dim) features.
+
+`embedding_from_outputs` captures the reference convention that backbones
+may return a single embedding or a tuple whose LAST element is the
+embedding (reference utils/executor.py:61, bin/extract.py:115 take
+outputs[-1]).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from . import ecapa_tdnn, resnet, tdnn
+
+__all__ = ["get_speaker_model", "embedding_from_outputs", "MODEL_REGISTRY"]
+
+MODEL_REGISTRY: Dict[str, Callable] = {
+    # x-vector
+    "XVEC": tdnn.XVEC_factory,
+    # ECAPA family
+    "ECAPA_TDNN_c512": ecapa_tdnn.ECAPA_TDNN_c512,
+    "ECAPA_TDNN_GLOB_c512": ecapa_tdnn.ECAPA_TDNN_GLOB_c512,
+    "ECAPA_TDNN_c1024": ecapa_tdnn.ECAPA_TDNN_c1024,
+    "ECAPA_TDNN_GLOB_c1024": ecapa_tdnn.ECAPA_TDNN_GLOB_c1024,
+    # ResNet r-vector family
+    "ResNet18": resnet.ResNet18,
+    "ResNet34": resnet.ResNet34,
+    "ResNet50": resnet.ResNet50,
+    "ResNet101": resnet.ResNet101,
+    "ResNet152": resnet.ResNet152,
+    "ResNet221": resnet.ResNet221,
+    "ResNet293": resnet.ResNet293,
+}
+
+
+def register_model(name: str, factory: Callable) -> None:
+    MODEL_REGISTRY[name] = factory
+
+
+def get_speaker_model(model_name: str) -> Callable:
+    try:
+        return MODEL_REGISTRY[model_name]
+    except KeyError:
+        raise ValueError(
+            f"unknown model {model_name!r}; available: "
+            + ", ".join(sorted(MODEL_REGISTRY))
+        ) from None
+
+
+def embedding_from_outputs(outputs):
+    """Backbones return either `embed` or `(..., embed)`; take the last."""
+    if isinstance(outputs, (tuple, list)):
+        return outputs[-1]
+    return outputs

@@ -1,0 +1,89 @@
+"""Device mesh construction and sharding rules.
+
+The TPU-native replacement for the reference's torch.distributed stack
+(reference: NCCL DDP at wespeaker/bin/train.py:54,170-171, torchrun
+rendezvous at examples/voxceleb/v2/run.sh:66-68): a single SPMD program
+over a 2-D ('data', 'model') mesh.
+
+  * 'data'  — batch axis: utterances are sharded across it; gradient
+    averaging happens automatically through pjit's partitioning of the
+    loss reduction (the GSPMD analogue of DDP allreduce).
+  * 'model' — tensor-parallel axis for the margin-softmax classifier
+    head: its (emb_dim, num_class*K) weight is column-sharded so each
+    chip scores a class shard; softmax normalizers reduce over 'model'
+    (the reference has no TP at all — SURVEY §2.10).
+
+Multi-host: `jax.distributed.initialize()` + the same code; the mesh is
+built from the global device list so DP spans hosts over DCN while the
+head shard stays intra-host on ICI by making 'model' the minor axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "head_weight_spec",
+    "param_shardings",
+    "shard_batch",
+]
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    model_parallel: int = 1, devices: Optional[list] = None
+) -> Mesh:
+    """Build a ('data', 'model') mesh.  'model' is the MINOR (fastest-
+    varying) axis so head-shard collectives ride the tightest interconnect
+    ring; 'data' spans the rest."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    dev_array = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def head_weight_spec() -> P:
+    """Classifier weight (emb_dim, num_class*K): classes column-sharded."""
+    return P(None, MODEL_AXIS)
+
+
+def param_shardings(params, mesh: Mesh, head_path: str = "projection"):
+    """PartitionSpec tree for the model params: everything replicated
+    except the classifier head weight, which is class-sharded over
+    'model'.  `head_path` is the top-level key of the projection params."""
+
+    def spec_for(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+        if head_path in keys and keys[-1] == "weight" and leaf.ndim == 2:
+            return NamedSharding(mesh, head_weight_spec())
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host-resident batch pytree onto the mesh, sharded on the
+    leading (batch) axis over 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
