@@ -1,0 +1,77 @@
+"""Benchmark: embedding-extraction throughput in audio-seconds/s per chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "audio_s_per_s", "vs_baseline": N}
+
+Baseline: the reference C++ onnxruntime ECAPA-TDNN c512 CPU RTF 0.018351
+(1 thread, Xeon 8160 — reference runtime/onnxruntime/README.md:79), i.e.
+~54.5 audio-seconds/s.  The pipeline measured here is the full deployment
+path on ONE chip: raw waveform batch -> in-graph fbank+CMVN -> ECAPA-TDNN
+c512 -> embedding (reference equivalent: runtime SpeakerEngine
+ExtractEmbedding, runtime/core/speaker/speaker_engine.cc:140).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_AUDIO_S_PER_S = 1.0 / 0.018351  # ~54.5, reference CPU 1-thread
+
+BATCH = 64
+SECONDS = 10.0
+SR = 16000
+
+
+def main():
+    from wespeaker_hubert_tpu.models import get_speaker_model
+    from wespeaker_hubert_tpu.ops.fbank import FbankConfig
+    from wespeaker_hubert_tpu.ops.pipeline import (
+        FeaturePipelineConfig,
+        wav_to_features,
+    )
+
+    model = get_speaker_model("ECAPA_TDNN_c512")(feat_dim=80, embed_dim=192)
+    nsamp = int(SECONDS * SR)
+    feats_example = jnp.zeros((BATCH, 998, 80), jnp.float32)
+    variables = model.init(jax.random.key(0), feats_example, train=False)
+    cfg = FeaturePipelineConfig(fbank=FbankConfig(dither=0.0), spec_aug=False)
+
+    @jax.jit
+    def extract(wav):
+        feats, _ = wav_to_features(wav, cfg, train=False)
+        return model.apply(variables, feats, train=False)
+
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(
+        rng.standard_normal((BATCH, nsamp)) * 0.1, dtype=jnp.float32
+    )
+
+    # compile + warmup
+    extract(wav).block_until_ready()
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = extract(wav)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    audio_seconds = BATCH * SECONDS * iters
+    throughput = audio_seconds / dt
+    print(
+        json.dumps(
+            {
+                "metric": "ecapa_c512_extract_audio_seconds_per_s_per_chip",
+                "value": round(throughput, 1),
+                "unit": "audio_s/s",
+                "vs_baseline": round(throughput / BASELINE_AUDIO_S_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

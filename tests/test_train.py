@@ -1,0 +1,214 @@
+"""Train-step tests: loss decreases, schedules evolve in-graph, and the
+sharded (data x model) step produces the same numbers as single-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wespeaker_hubert_tpu.models import get_projection, get_speaker_model
+from wespeaker_hubert_tpu.models.speaker_net import SpeakerNet
+from wespeaker_hubert_tpu.ops.pipeline import FeaturePipelineConfig
+from wespeaker_hubert_tpu.ops.fbank import FbankConfig
+from wespeaker_hubert_tpu.parallel import make_mesh, shard_batch
+from wespeaker_hubert_tpu.train import (
+    ExponentialDecrease,
+    MarginSchedule,
+    create_train_state,
+    make_eval_embed,
+    make_optimizer,
+    make_train_step,
+    shard_train_state,
+)
+
+NUM_CLASS = 32
+B, T, F = 16, 100, 40
+
+
+def _build(project_type="arc_margin", feat_dim=F, num_class=NUM_CLASS):
+    backbone = get_speaker_model("ECAPA_TDNN_c512")(
+        feat_dim=feat_dim, embed_dim=64
+    )
+    projection = get_projection(
+        {
+            "project_type": project_type,
+            "embed_dim": 64,
+            "num_class": num_class,
+            "scale": 32.0,
+            "easy_margin": False,
+        }
+    )
+    return SpeakerNet(backbone=backbone, projection=projection)
+
+
+def _schedules(epoch_iter=10):
+    lr = ExponentialDecrease(
+        num_epochs=10,
+        epoch_iter=epoch_iter,
+        initial_lr=0.1,
+        final_lr=0.01,
+        warm_up_epoch=2,
+        scale_ratio=1.0,
+    )
+    margin = MarginSchedule(
+        epoch_iter=epoch_iter,
+        increase_start_epoch=2,
+        fix_start_epoch=4,
+        initial_margin=0.0,
+        final_margin=0.2,
+    )
+    return lr, margin
+
+
+def _batch(rng, b=B, t=T, f=F, num_class=NUM_CLASS):
+    return {
+        "feat": jnp.asarray(
+            rng.standard_normal((b, t, f)), dtype=jnp.float32
+        ),
+        "label": jnp.asarray(rng.integers(0, num_class, b)),
+    }
+
+
+class TestTrainStep:
+    def test_loss_decreases_on_fixed_batch(self):
+        model = _build()
+        lr, margin = _schedules()
+        tx = make_optimizer(lr, "SGD", weight_decay=1e-4)
+        rng = np.random.default_rng(0)
+        batch = _batch(rng)
+        state = create_train_state(
+            model, tx, jax.random.key(0), batch["feat"], batch["label"]
+        )
+        step = make_train_step(model, tx, lr, margin)
+        losses = []
+        for i in range(8):
+            state, metrics = step(state, batch, jax.random.key(1))
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0], losses
+        assert int(state.step) == 8
+
+    def test_schedules_advance(self):
+        model = _build()
+        lr, margin = _schedules(epoch_iter=2)
+        tx = make_optimizer(lr)
+        rng = np.random.default_rng(1)
+        batch = _batch(rng)
+        state = create_train_state(
+            model, tx, jax.random.key(0), batch["feat"], batch["label"]
+        )
+        step = make_train_step(model, tx, lr, margin)
+        margins, lrs = [], []
+        for i in range(10):
+            state, metrics = step(state, batch, jax.random.key(1))
+            margins.append(float(metrics["margin"]))
+            lrs.append(float(metrics["lr"]))
+        assert margins[0] == 0.0
+        assert margins[-1] == pytest.approx(0.2, abs=1e-6)
+        assert lrs[-1] < lrs[3]  # decaying after warmup
+
+    def test_wav_input_path(self):
+        model = _build(feat_dim=80)
+        lr, margin = _schedules()
+        tx = make_optimizer(lr)
+        rng = np.random.default_rng(2)
+        wav = jnp.asarray(
+            rng.standard_normal((4, 16000)) * 0.1, dtype=jnp.float32
+        )
+        label = jnp.asarray(rng.integers(0, NUM_CLASS, 4))
+        fcfg = FeaturePipelineConfig(fbank=FbankConfig(dither=1.0))
+        feats_example = jnp.zeros((4, 98, 80))
+        state = create_train_state(
+            model, tx, jax.random.key(0), feats_example, label
+        )
+        step = make_train_step(model, tx, lr, margin, feature_cfg=fcfg)
+        state, metrics = step(state, {"wav": wav, "label": label}, jax.random.key(3))
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_sphereface2_uses_aux_loss(self):
+        model = _build(project_type="sphereface2")
+        lr, margin = _schedules()
+        tx = make_optimizer(lr)
+        rng = np.random.default_rng(3)
+        batch = _batch(rng)
+        state = create_train_state(
+            model, tx, jax.random.key(0), batch["feat"], batch["label"]
+        )
+        step = make_train_step(model, tx, lr, margin)
+        l0 = None
+        for i in range(5):
+            state, metrics = step(state, batch, jax.random.key(1))
+            if l0 is None:
+                l0 = float(metrics["loss"])
+        assert float(metrics["loss"]) < l0
+
+
+class TestShardedTrain:
+    def test_sharded_matches_single_device(self):
+        assert len(jax.devices()) >= 8
+        mesh = make_mesh(model_parallel=2)
+        model = _build()
+        lr, margin = _schedules()
+        tx = make_optimizer(lr, weight_decay=0.0)
+        rng = np.random.default_rng(4)
+        batch = _batch(rng)
+        state0 = create_train_state(
+            model, tx, jax.random.key(0), batch["feat"], batch["label"]
+        )
+
+        # single-device run
+        step_single = make_train_step(model, tx, lr, margin)
+        s1, m1 = step_single(state0, batch, jax.random.key(9))
+        s1, m1b = step_single(s1, batch, jax.random.key(9))
+
+        # sharded run from the same init
+        state_sh = create_train_state(
+            model, tx, jax.random.key(0), batch["feat"], batch["label"]
+        )
+        state_sh = shard_train_state(state_sh, mesh)
+        step_sharded = make_train_step(model, tx, lr, margin, mesh=mesh)
+        sbatch = shard_batch(batch, mesh)
+        s2, m2 = step_sharded(state_sh, sbatch, jax.random.key(9))
+        s2, m2b = step_sharded(s2, shard_batch(batch, mesh), jax.random.key(9))
+
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+        # after one optimizer update, cross-shard reduction order introduces
+        # small f32 drift
+        assert float(m1b["loss"]) == pytest.approx(float(m2b["loss"]), rel=2e-3)
+
+        # head weight is actually sharded over 'model'
+        w = s2.params["projection"]["weight"]
+        assert len(w.sharding.device_set) == 8
+
+    def test_eval_embed_sharded(self):
+        mesh = make_mesh(model_parallel=1)
+        model = _build()
+        rng = np.random.default_rng(5)
+        batch = _batch(rng)
+        variables_model = _build()
+        state_vars = model.init(
+            jax.random.key(0), batch["feat"], batch["label"], 0.0, train=False
+        )
+        embed_fn = make_eval_embed(model, mesh=mesh)
+        # strip projection for inference parity with extract
+        emb = embed_fn(
+            {
+                "params": state_vars["params"],
+                "batch_stats": state_vars.get("batch_stats", {}),
+            },
+            shard_batch({"feat": batch["feat"]}, mesh),
+        )
+        assert emb.shape == (B, 64)
+        single = make_eval_embed(model)(
+            {
+                "params": state_vars["params"],
+                "batch_stats": state_vars.get("batch_stats", {}),
+            },
+            {"feat": batch["feat"]},
+        )
+        np.testing.assert_allclose(
+            np.asarray(emb), np.asarray(single), rtol=2e-4, atol=2e-4
+        )
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])

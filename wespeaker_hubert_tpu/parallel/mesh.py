@@ -68,18 +68,32 @@ def head_weight_spec() -> P:
     return P(None, MODEL_AXIS)
 
 
-def param_shardings(params, mesh: Mesh, head_path: str = "projection"):
-    """PartitionSpec tree for the model params: everything replicated
-    except the classifier head weight, which is class-sharded over
-    'model'.  `head_path` is the top-level key of the projection params."""
+def param_shardings(tree, mesh: Mesh, head_path: str = "projection"):
+    """NamedSharding tree for ANY state pytree (params, optimizer moments,
+    batch stats): everything replicated except 2-D leaves living under a
+    `head_path` node and named 'weight' — the classifier head and its
+    moments — which are class-sharded over 'model'.  Optimizer states
+    (optax namedtuples) embed params-structured subtrees, so the same path
+    predicate covers them."""
 
     def spec_for(path, leaf):
         keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
-        if head_path in keys and keys[-1] == "weight" and leaf.ndim == 2:
+        if (
+            head_path in keys
+            and keys
+            and keys[-1] == "weight"
+            and getattr(leaf, "ndim", 0) == 2
+        ):
             return NamedSharding(mesh, head_weight_spec())
         return NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map_with_path(spec_for, params)
+    return jax.tree_util.tree_map_with_path(spec_for, tree)
+
+
+def shard_tree(tree, mesh: Mesh, head_path: str = "projection"):
+    """device_put a state pytree onto the mesh per `param_shardings`."""
+    sh = param_shardings(tree, mesh, head_path)
+    return jax.tree.map(jax.device_put, tree, sh)
 
 
 def shard_batch(batch, mesh: Mesh):

@@ -1,0 +1,167 @@
+"""The jitted train/eval step — the hot loop.
+
+Replaces the reference's per-iteration Python loop
+(reference: wespeaker/utils/executor.py:23-89 — scheduler.step, GPU
+cmvn/spec_aug, forward, AMP backward, DDP allreduce) with ONE compiled XLA
+program per step:
+
+    wav -> fbank -> cmvn -> specaug -> backbone -> margin head -> CE
+        -> grads -> optimizer update
+
+Scheduling (LR + margin) is computed in-graph from `state.step`, so the
+same compiled step serves the whole run.  Data parallelism and the
+class-sharded head come from jit shardings over the ('data', 'model')
+mesh: batch is split over 'data' (grad averaging = GSPMD reduction), the
+projection weight over 'model' (per-shard logits; softmax normalizer
+reduces across shards).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.pipeline import FeaturePipelineConfig, wav_to_features
+from ..parallel.mesh import DATA_AXIS
+from .state import TrainState
+
+__all__ = [
+    "make_train_step",
+    "make_eval_embed",
+    "shard_train_state",
+    "cross_entropy",
+]
+
+
+def cross_entropy(logits, labels):
+    return jnp.mean(
+        optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    )
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    lr_schedule: Callable,
+    margin_schedule: Callable,
+    feature_cfg: Optional[FeaturePipelineConfig] = None,
+    mesh=None,
+) -> Callable:
+    """Build the jitted train step.
+
+    The returned fn: (state, batch, rng) -> (state, metrics) where batch is
+    {'wav': (B, W)} or {'feat': (B, T, F)}, plus 'label': (B,) and optional
+    'length'.  `feature_cfg` enables the in-graph wav->features frontend.
+    """
+
+    def step_fn(state: TrainState, batch, rng):
+        margin = margin_schedule(state.step)
+        lr = lr_schedule(state.step)
+        rng = jax.random.fold_in(rng, state.step)
+
+        if "feat" in batch:
+            feats, mask = batch["feat"], None
+        else:
+            feats, mask = wav_to_features(
+                batch["wav"],
+                feature_cfg or FeaturePipelineConfig(),
+                rng=rng,
+                lengths=batch.get("length"),
+                train=True,
+            )
+        labels = batch["label"]
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            (emb, logits, aux), updates = model.apply(
+                variables,
+                feats,
+                labels,
+                margin,
+                mask=mask,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss = aux if aux is not None else cross_entropy(logits, labels)
+            acc = jnp.mean(jnp.argmax(logits, axis=-1) == labels)
+            return loss, (updates.get("batch_stats", {}), acc)
+
+        (loss, (new_stats, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = {"loss": loss, "acc": acc, "lr": lr, "margin": margin}
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+    # Shardings for state are resolved lazily at first call from the state's
+    # own placement; constrain only inputs/outputs we know statically.
+    return jax.jit(
+        step_fn,
+        donate_argnums=(0,),
+        in_shardings=(None, batch_sh, repl),
+    )
+
+
+def shard_train_state(state: TrainState, mesh) -> TrainState:
+    """Place the whole train state on the mesh: replicated except the
+    classifier head weight and its optimizer moments (class-sharded over
+    'model' — the path predicate in parallel.mesh.param_shardings covers
+    the params-structured subtrees inside optax states too)."""
+    from ..parallel.mesh import shard_tree
+
+    return shard_tree(state, mesh)
+
+
+def make_eval_embed(
+    model,
+    feature_cfg: Optional[FeaturePipelineConfig] = None,
+    mesh=None,
+) -> Callable:
+    """Jitted embedding extraction: batch -> (B, emb_dim) float32.
+
+    Batch: {'wav': (B, W), 'length': (B,)} or {'feat': ..., 'feat_length'}.
+    Equivalent of reference bin/extract.py:90-120 but batched + masked.
+    """
+
+    def embed_fn(variables, batch):
+        if "feat" in batch:
+            feats = batch["feat"]
+            mask = None
+            if "feat_length" in batch:
+                t = feats.shape[1]
+                mask = jnp.arange(t)[None, :] < batch["feat_length"][:, None]
+        else:
+            feats, mask = wav_to_features(
+                batch["wav"],
+                feature_cfg or FeaturePipelineConfig(),
+                rng=None,
+                lengths=batch.get("length"),
+                train=False,
+            )
+        return model.apply(
+            variables, feats, mask=mask, train=False, method=model.embed
+        )
+
+    if mesh is None:
+        return jax.jit(embed_fn)
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(embed_fn, in_shardings=(None, batch_sh))
