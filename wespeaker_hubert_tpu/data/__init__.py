@@ -1,0 +1,28 @@
+from .aug_store import AugStore, snr_range_for_key
+from .dataset import (
+    EvalPipeline,
+    TrainPipeline,
+    TrainPipelineConfig,
+    buffer_shuffle,
+    chunk_samples_for_frames,
+    iter_raw_list,
+    iter_tar_shards,
+    shard_list_for_rank,
+)
+from .wav_io import read_wav, read_wav_bytes, write_wav
+
+__all__ = [
+    "AugStore",
+    "snr_range_for_key",
+    "EvalPipeline",
+    "TrainPipeline",
+    "TrainPipelineConfig",
+    "buffer_shuffle",
+    "chunk_samples_for_frames",
+    "iter_raw_list",
+    "iter_tar_shards",
+    "shard_list_for_rank",
+    "read_wav",
+    "read_wav_bytes",
+    "write_wav",
+]

@@ -1,0 +1,384 @@
+"""Sharded host-side input pipeline.
+
+Rebuild of the reference's UIO chain (reference: wespeaker/dataset/
+dataset.py:136-229 chains DataList -> url_opener -> tar_file_and_group /
+parse_raw -> filter -> shuffle -> spk_to_id -> resample -> speed_perturb ->
+random_chunk -> add_reverb_noise -> compute_fbank) with the TPU split of
+responsibilities: the host DECODES + SELECTS (shard striping, shuffle,
+chunk choice, aug parameter sampling) and ships fixed-shape numpy batches;
+all DSP (resample/reverb/noise/fbank) runs on-device (ops/augment.py,
+ops/pipeline.py).
+
+Data formats:
+  * raw list — JSONL lines {"key", "wav", "spk"} (reference parse_raw
+    processor.py:119); optional "vad" crop list.
+  * shard — tar archives whose members are KEY.wav / KEY.spk pairs
+    (reference tar_file_and_group processor.py:68, tools/make_shard_list.py).
+
+Striping matches DistributedSampler.sample (reference dataset.py:85-100):
+`shards[rank::world_size][worker::num_workers]` with an epoch-seeded
+shuffle of the shard list.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import random
+import tarfile
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops.augment import speed_input_len
+from .aug_store import AugStore, snr_range_for_key
+from .wav_io import read_wav, read_wav_bytes
+
+__all__ = [
+    "TrainPipelineConfig",
+    "shard_list_for_rank",
+    "iter_raw_list",
+    "iter_tar_shards",
+    "buffer_shuffle",
+    "TrainPipeline",
+    "EvalPipeline",
+    "chunk_samples_for_frames",
+]
+
+
+def chunk_samples_for_frames(
+    num_frms: int, frame_shift_ms: float = 10.0, frame_length_ms: float = 25.0,
+    sample_rate: int = 16000,
+) -> int:
+    """Samples required for exactly num_frms fbank frames (reference
+    dataset.py:209-217)."""
+    return int(
+        ((num_frms - 1) * frame_shift_ms + frame_length_ms) * sample_rate / 1000
+    )
+
+
+def shard_list_for_rank(
+    entries: Sequence[str],
+    epoch: int,
+    rank: int = 0,
+    world_size: int = 1,
+    worker: int = 0,
+    num_workers: int = 1,
+    shuffle: bool = True,
+    seed: int = 42,
+) -> List[str]:
+    data = list(entries)
+    if shuffle:
+        rng = random.Random(seed + epoch)
+        rng.shuffle(data)
+    return data[rank::world_size][worker::num_workers]
+
+
+def iter_raw_list(paths: Iterable[str]) -> Iterator[dict]:
+    """JSONL raw lists -> {key, wav(float32), sample_rate, spk}."""
+    for path in paths:
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    obj = json.loads(line)
+                    wav, sr = read_wav(obj["wav"])
+                    if "vad" in obj:
+                        parts = [
+                            wav[int(float(s) * sr) : int(float(e) * sr)]
+                            for s, e in obj["vad"]
+                        ]
+                        wav = np.concatenate(parts) if parts else wav[:0]
+                    yield {
+                        "key": obj["key"],
+                        "spk": obj["spk"],
+                        "wav": wav,
+                        "sample_rate": sr,
+                    }
+                except Exception as e:  # corrupt sample: warn + skip
+                    import logging
+
+                    logging.warning("failed to read sample: %s", e)
+
+
+def iter_tar_shards(paths: Iterable[str]) -> Iterator[dict]:
+    """Webdataset-style tar shards: KEY.wav + KEY.spk grouped by prefix
+    (reference tar_file_and_group processor.py:68-116)."""
+    import logging
+
+    for path in paths:
+        try:
+            with tarfile.open(path, "r|*") as tf:
+                cur_key: Optional[str] = None
+                cur: dict = {}
+                for member in tf:
+                    if not member.isfile():
+                        continue
+                    name = member.name
+                    base, _, ext = name.rpartition(".")
+                    if base != cur_key:
+                        if cur_key is not None and "wav" in cur and "spk" in cur:
+                            yield cur | {"key": cur_key}
+                        cur_key, cur = base, {}
+                    data = tf.extractfile(member).read()
+                    if ext == "wav":
+                        wav, sr = read_wav_bytes(data)
+                        cur["wav"] = wav
+                        cur["sample_rate"] = sr
+                    elif ext in ("spk", "txt"):
+                        cur["spk"] = data.decode("utf-8").strip()
+                if cur_key is not None and "wav" in cur and "spk" in cur:
+                    yield cur | {"key": cur_key}
+        except Exception as e:
+            logging.warning("failed to read shard %s: %s", path, e)
+
+
+def buffer_shuffle(it: Iterator, buffer_size: int, rng: random.Random) -> Iterator:
+    """Streaming shuffle with a bounded buffer (reference processor.py:198)."""
+    buf = []
+    for x in it:
+        buf.append(x)
+        if len(buf) >= buffer_size:
+            idx = rng.randrange(len(buf))
+            buf[idx], buf[-1] = buf[-1], buf[idx]
+            yield buf.pop()
+    rng.shuffle(buf)
+    yield from buf
+
+
+def _random_chunk(x: np.ndarray, chunk_len: int, rng: random.Random) -> np.ndarray:
+    """Random crop, or tile-pad when short (reference processor.py:291-323)."""
+    n = len(x)
+    if n >= chunk_len:
+        start = rng.randint(0, n - chunk_len)
+        return x[start : start + chunk_len]
+    reps = chunk_len // max(n, 1) + 1
+    return np.tile(x, reps)[:chunk_len]
+
+
+@dataclasses.dataclass
+class TrainPipelineConfig:
+    data_type: str = "raw"  # 'raw' | 'shard'
+    num_frms: int = 200
+    frame_shift_ms: float = 10.0
+    frame_length_ms: float = 25.0
+    sample_rate: int = 16000
+    shuffle: bool = True
+    shuffle_size: int = 2500
+    filter_min_frames: int = 100
+    filter_max_frames: int = 800
+    speed_perturb: bool = True
+    aug_prob: float = 0.6
+    rir_max_samples: int = 8000
+    batch_size: int = 64
+    drop_last: bool = True
+    seed: int = 42
+
+
+class TrainPipeline:
+    """End-to-end host pipeline: shard list -> device-ready numpy batches.
+
+    Batch dict fields:
+      wav:       (B, L_in) float32  — raw chunks (over-long if speed_perturb
+                 so the device resampler always has input; L_in =
+                 speed_input_len(chunk_samples))
+      speed_idx: (B,) int32         — 0/1/2 for speeds 1.0/0.9/1.1
+      label:     (B,) int32         — spk id, already x3-expanded for speed
+                 (reference processor.py:286 label += num_spks * idx)
+      aug_type:  (B,) int32         — 0 none / 1 reverb / 2 noise
+      rir:       (B, R) float32
+      noise:     (B, chunk_samples) float32
+      snr:       (B,) float32
+    """
+
+    def __init__(
+        self,
+        data_list: Sequence[str],
+        spk2id: Dict[str, int],
+        cfg: TrainPipelineConfig = TrainPipelineConfig(),
+        reverb_store: Optional[AugStore] = None,
+        noise_store: Optional[AugStore] = None,
+        rank: int = 0,
+        world_size: int = 1,
+    ):
+        self.data_list = list(data_list)
+        self.spk2id = spk2id
+        self.cfg = cfg
+        self.reverb_store = reverb_store
+        self.noise_store = noise_store
+        self.rank = rank
+        self.world_size = world_size
+        self.epoch = 0
+        self.chunk_samples = chunk_samples_for_frames(
+            cfg.num_frms, cfg.frame_shift_ms, cfg.frame_length_ms, cfg.sample_rate
+        )
+        self.input_samples = (
+            speed_input_len(self.chunk_samples)
+            if cfg.speed_perturb
+            else self.chunk_samples
+        )
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _samples(self) -> Iterator[dict]:
+        cfg = self.cfg
+        shards = shard_list_for_rank(
+            self.data_list,
+            self.epoch,
+            self.rank,
+            self.world_size,
+            shuffle=cfg.shuffle,
+            seed=cfg.seed,
+        )
+        it = (
+            iter_tar_shards(shards)
+            if cfg.data_type == "shard"
+            else iter_raw_list(shards)
+        )
+        rng = random.Random(cfg.seed + 77 * self.epoch + self.rank)
+        if cfg.shuffle:
+            it = buffer_shuffle(it, cfg.shuffle_size, rng)
+
+        min_samp = int(cfg.filter_min_frames * cfg.frame_shift_ms / 1000 * cfg.sample_rate)
+        max_samp = int(cfg.filter_max_frames * cfg.frame_shift_ms / 1000 * cfg.sample_rate)
+        nprng = np.random.default_rng(cfg.seed + 1000 * self.epoch + self.rank)
+
+        for s in it:
+            wav = s["wav"]
+            if not (min_samp <= len(wav)):
+                continue
+            # over-long utterances are fine: we chunk anyway (the reference
+            # filter drops > max_num_frames to bound CPU fbank cost; here
+            # we keep them and just crop)
+            spk = s["spk"]
+            if spk not in self.spk2id:
+                continue
+            label = self.spk2id[spk]
+
+            speed_idx = 0
+            if cfg.speed_perturb:
+                speed_idx = rng.randint(0, 2)
+                # x3 label space (reference processor.py:286)
+                label = label + len(self.spk2id) * (speed_idx if speed_idx else 0)
+            chunk = _random_chunk(wav, self.input_samples, rng)
+
+            aug_type, snr = 0, 0.0
+            rir = np.zeros((cfg.rir_max_samples,), np.float32)
+            noise = np.zeros((self.chunk_samples,), np.float32)
+            if (
+                cfg.aug_prob > rng.random()
+                and (self.reverb_store or self.noise_store)
+            ):
+                aug_type = rng.randint(1, 2)
+                if aug_type == 1 and self.reverb_store is not None:
+                    _, r = self.reverb_store.random_one(nprng)
+                    r = np.asarray(r, np.float32)[: cfg.rir_max_samples]
+                    rir[: len(r)] = r
+                elif self.noise_store is not None:
+                    aug_type = 2
+                    key, nz = self.noise_store.random_one(nprng)
+                    noise = _random_chunk(
+                        np.asarray(nz, np.float32), self.chunk_samples, rng
+                    )
+                    lo, hi = snr_range_for_key(key)
+                    snr = rng.uniform(lo, hi)
+                else:
+                    aug_type = 0
+
+            yield {
+                "wav": chunk.astype(np.float32),
+                "speed_idx": np.int32(speed_idx),
+                "label": np.int32(label),
+                "aug_type": np.int32(aug_type),
+                "rir": rir,
+                "noise": noise.astype(np.float32),
+                "snr": np.float32(snr),
+            }
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        cfg = self.cfg
+        buf: List[dict] = []
+        for s in self._samples():
+            buf.append(s)
+            if len(buf) == cfg.batch_size:
+                yield self._collate(buf)
+                buf = []
+        if buf and not cfg.drop_last:
+            yield self._collate(buf)
+
+    @staticmethod
+    def _collate(samples: List[dict]) -> Dict[str, np.ndarray]:
+        return {
+            k: np.stack([s[k] for s in samples]) for k in samples[0]
+        }
+
+
+class EvalPipeline:
+    """Whole-utterance extraction batches with length bucketing.
+
+    The reference extracts with batch=1 to avoid padding
+    (local/extract_vox.sh:31-33); here utterances are bucketed to a small
+    set of padded lengths (powers-of-two frames) so XLA compiles a handful
+    of shapes and pooling masks keep results exact.
+    """
+
+    def __init__(
+        self,
+        data_list: Sequence[str],
+        data_type: str = "raw",
+        batch_size: int = 32,
+        bucket_frames: Sequence[int] = (200, 400, 800, 1600, 3200),
+        frame_shift_ms: float = 10.0,
+        frame_length_ms: float = 25.0,
+        sample_rate: int = 16000,
+    ):
+        self.data_list = list(data_list)
+        self.data_type = data_type
+        self.batch_size = batch_size
+        self.bucket_samples = [
+            chunk_samples_for_frames(b, frame_shift_ms, frame_length_ms, sample_rate)
+            for b in bucket_frames
+        ]
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.bucket_samples:
+            if n <= b:
+                return b
+        return self.bucket_samples[-1]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        it = (
+            iter_tar_shards(self.data_list)
+            if self.data_type == "shard"
+            else iter_raw_list(self.data_list)
+        )
+        buckets: Dict[int, List[dict]] = {}
+        for s in it:
+            wav = s["wav"]
+            b = self._bucket_for(len(wav))
+            wav = wav[:b]  # crop ultra-long tails to the largest bucket
+            buckets.setdefault(b, []).append(
+                {"key": s["key"], "wav": wav, "length": len(wav)}
+            )
+            if len(buckets[b]) == self.batch_size:
+                yield self._collate(buckets.pop(b), b)
+        for b, samples in buckets.items():
+            if samples:
+                yield self._collate(samples, b)
+
+    @staticmethod
+    def _collate(samples: List[dict], bucket: int) -> Dict[str, np.ndarray]:
+        n = len(samples)
+        wav = np.zeros((n, bucket), np.float32)
+        lengths = np.zeros((n,), np.int32)
+        for i, s in enumerate(samples):
+            wav[i, : s["length"]] = s["wav"]
+            lengths[i] = s["length"]
+        return {
+            "wav": wav,
+            "length": lengths,
+            "keys": [s["key"] for s in samples],
+        }

@@ -1,0 +1,113 @@
+"""Device-side waveform augmentation: RIR reverb, SNR-banded noise mixing,
+and speed perturbation — batched, jittable, static shapes.
+
+TPU-first redesign of the reference's per-sample CPU augmentation
+(reference: wespeaker/dataset/processor.py — speed_perturb:263 via sox,
+add_reverb_noise:397 via scipy.signal.convolve + wavfile): the host only
+CHOOSES augmentation parameters (which noise/RIR, SNR, speed index) and
+ships fixed-size arrays; all arithmetic happens in-graph:
+
+  * reverb = full FFT convolution with the energy-normalized RIR, truncated
+    to the input length (processor.py:421-432);
+  * noise mixing at a target SNR using the reference's dB formulas
+    (processor.py:441-463, 1e-4 floors included);
+  * the augmented waveform is peak-normalized into [-1, 1] like
+    processor.py:466;
+  * speed perturb resamples by 0.9/1.0/1.1 with precomputed linear-interp
+    gather tables (one per speed — shapes static, selected per sample);
+    the x3 label expansion stays in the host pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["add_reverb_noise", "speed_perturb", "SPEEDS", "speed_input_len"]
+
+SPEEDS = (1.0, 0.9, 1.1)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (int(n) - 1).bit_length()
+
+
+@jax.jit
+def add_reverb_noise(
+    wav: jax.Array,
+    rir: jax.Array,
+    noise: jax.Array,
+    aug_type: jax.Array,
+    snr: jax.Array,
+) -> jax.Array:
+    """Apply per-sample augmentation.
+
+    wav:   (B, L) clean waveforms in [-1, 1]
+    rir:   (B, R) room impulse responses (zero-padded; all-zero if unused)
+    noise: (B, L) noise chunks in [-1, 1] (tile-padded by the host)
+    aug_type: (B,) int32 — 0: none, 1: reverb, 2: additive noise
+    snr:   (B,) float32 target SNR dB (used when aug_type == 2)
+    """
+    b, l = wav.shape
+    r = rir.shape[1]
+    nfft = _next_pow2(l + r - 1)
+
+    # --- reverb branch: energy-normalize RIR, full conv, cut to L
+    rir_energy = jnp.sqrt(jnp.sum(rir.astype(jnp.float32) ** 2, axis=1, keepdims=True))
+    rir_n = rir / jnp.maximum(rir_energy, 1e-8)
+    y = jnp.fft.irfft(
+        jnp.fft.rfft(wav, n=nfft, axis=-1) * jnp.fft.rfft(rir_n, n=nfft, axis=-1),
+        n=nfft,
+        axis=-1,
+    )[:, :l]
+
+    # --- noise branch: scale noise to target SNR
+    audio_db = 10.0 * jnp.log10(jnp.mean(wav**2, axis=1) + 1e-4)
+    noise_db = 10.0 * jnp.log10(jnp.mean(noise**2, axis=1) + 1e-4)
+    gain = jnp.sqrt(10.0 ** ((audio_db - noise_db - snr) / 10.0))
+    z = wav + gain[:, None] * noise
+
+    out = jnp.where(
+        (aug_type == 1)[:, None], y, jnp.where((aug_type == 2)[:, None], z, wav)
+    )
+    # peak-normalize only augmented samples (reference processor.py:466)
+    peak = jnp.max(jnp.abs(out), axis=1, keepdims=True) + 1e-4
+    normed = out / peak
+    return jnp.where((aug_type > 0)[:, None], normed, out)
+
+
+def speed_input_len(out_len: int) -> int:
+    """Samples the host must supply per utterance so every speed branch has
+    enough input: ceil(out_len * max(SPEEDS)) + 1."""
+    return int(np.ceil(out_len * max(SPEEDS))) + 2
+
+
+@functools.partial(jax.jit, static_argnames=("out_len",))
+def speed_perturb(
+    wav: jax.Array, speed_idx: jax.Array, out_len: int
+) -> jax.Array:
+    """Resample each row by SPEEDS[speed_idx[i]] (sox 'speed' semantics:
+    output[n] = input(n * speed)) to exactly out_len samples.
+
+    wav: (B, L_in) with L_in >= speed_input_len(out_len).
+    speed_idx: (B,) int32 in {0, 1, 2} for speeds {1.0, 0.9, 1.1}.
+    """
+    l_in = wav.shape[1]
+    n = np.arange(out_len, dtype=np.float64)
+    tables_lo, tables_frac = [], []
+    for s in SPEEDS:
+        pos = np.minimum(n * s, l_in - 2)
+        lo = np.floor(pos).astype(np.int32)
+        tables_lo.append(lo)
+        tables_frac.append((pos - lo).astype(np.float32))
+    lo_t = jnp.asarray(np.stack(tables_lo))        # (3, out_len)
+    frac_t = jnp.asarray(np.stack(tables_frac))    # (3, out_len)
+
+    lo = lo_t[speed_idx]       # (B, out_len)
+    frac = frac_t[speed_idx]   # (B, out_len)
+    x0 = jnp.take_along_axis(wav, lo, axis=1)
+    x1 = jnp.take_along_axis(wav, lo + 1, axis=1)
+    return x0 * (1.0 - frac) + x1 * frac

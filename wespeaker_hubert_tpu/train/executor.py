@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from ..ops.augment import add_reverb_noise, speed_perturb
 from ..ops.pipeline import FeaturePipelineConfig, wav_to_features
 from ..parallel.mesh import DATA_AXIS
 from .state import TrainState
@@ -51,12 +52,17 @@ def make_train_step(
     margin_schedule: Callable,
     feature_cfg: Optional[FeaturePipelineConfig] = None,
     mesh=None,
+    chunk_samples: Optional[int] = None,
 ) -> Callable:
     """Build the jitted train step.
 
     The returned fn: (state, batch, rng) -> (state, metrics) where batch is
     {'wav': (B, W)} or {'feat': (B, T, F)}, plus 'label': (B,) and optional
-    'length'.  `feature_cfg` enables the in-graph wav->features frontend.
+    'length'.  When the batch carries augmentation fields from
+    data.TrainPipeline ('speed_idx', 'aug_type', 'rir', 'noise', 'snr'),
+    speed perturb + reverb/noise mixing run in-graph before fbank.
+    `chunk_samples` is the post-resample chunk length (only needed when
+    speed-perturbing without a noise buffer in the batch).
     """
 
     def step_fn(state: TrainState, batch, rng):
@@ -67,8 +73,25 @@ def make_train_step(
         if "feat" in batch:
             feats, mask = batch["feat"], None
         else:
+            wav = batch["wav"]
+            if "speed_idx" in batch:
+                # device-side speed perturb; labels were x3-expanded on host
+                out_len = (
+                    batch["noise"].shape[1]
+                    if "noise" in batch
+                    else chunk_samples
+                )
+                wav = speed_perturb(wav, batch["speed_idx"], out_len)
+            if "aug_type" in batch:
+                wav = add_reverb_noise(
+                    wav,
+                    batch["rir"],
+                    batch["noise"],
+                    batch["aug_type"],
+                    batch["snr"],
+                )
             feats, mask = wav_to_features(
-                batch["wav"],
+                wav,
                 feature_cfg or FeaturePipelineConfig(),
                 rng=rng,
                 lengths=batch.get("length"),
