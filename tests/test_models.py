@@ -24,6 +24,14 @@ CASES = [
     ("ResNet34", {}, 256, 6_634_336),
     ("ResNet50", {}, 256, 11_131_360),
     ("XVEC", {}, 512, 4_610_524),
+    ("Res2Net34_Base", {}, 256, 4_689_024),
+    ("Res2Net34_Large", {}, 256, 13_481_472),
+    ("CAMPPlus", {}, 512, 7_176_224),
+    ("Gemini_DF_ResNet60", {}, 256, 4_047_840),
+    ("Gemini_DF_ResNet114", {}, 256, 6_531_552),
+    ("SimAM_ResNet34_ASP", {}, 256, 25_213_760),
+    ("XI_VEC_ECAPA_TDNN_c512", {}, 192, 5_896_448),
+    ("XI_VEC_XVEC", {}, 512, 4_615_792),
 ]
 
 

@@ -29,6 +29,7 @@ __all__ = [
     "TSDP",
     "TSTP",
     "ASTP",
+    "ASP",
     "MHASTP",
     "MQMHASTP",
     "XI",
@@ -165,6 +166,35 @@ class _AttentionHead(nn.Module):
         return nn.Dense(self.dims[-1], name=f"att_{len(self.dims) - 1}")(h)
 
 
+class ASP(nn.Module):
+    """Attentive statistics pooling with conv-BN attention (used by the
+    SimAM ResNets; reference pooling_layers.py:151): Dense(128) -> ReLU ->
+    BN -> Dense(in_dim) -> softmax over time -> weighted mean/std."""
+
+    in_dim: int
+    bottleneck_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jax.Array] = None, train: bool = False):
+        x = _flatten_4d(x)
+        h = nn.relu(nn.Dense(self.bottleneck_dim, name="att1")(x))
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, name="att_bn"
+        )(h)
+        scores = nn.Dense(self.in_dim, name="att2")(h)
+        if mask is not None:
+            neg = jnp.finfo(scores.dtype).min
+            scores = jnp.where(mask[:, :, None], scores, neg)
+        w = jax.nn.softmax(scores, axis=1)
+        mu = jnp.sum(x * w, axis=1)
+        sg = jnp.sqrt(jnp.clip(jnp.sum(x**2 * w, axis=1) - mu**2, min=1e-5))
+        return jnp.concatenate([mu, sg], axis=-1)
+
+    @staticmethod
+    def out_dim(in_dim):
+        return 2 * in_dim
+
+
 class MHASTP(nn.Module):
     """Multi-head attentive statistics pooling
     (reference pooling_layers.py:176: split D into heads, per-head attention
@@ -293,6 +323,7 @@ POOLING_LAYERS = {
     "TSDP": TSDP,
     "TSTP": TSTP,
     "ASTP": ASTP,
+    "ASP": ASP,
     "MHASTP": MHASTP,
     "MQMHASTP": MQMHASTP,
     "XI": XI,
@@ -302,7 +333,7 @@ POOLING_LAYERS = {
 def pooling_output_dim(pool_type: str, in_dim: int, **kwargs) -> int:
     if pool_type in ("TAP", "TSDP"):
         return in_dim
-    if pool_type in ("TSTP", "ASTP", "MHASTP"):
+    if pool_type in ("TSTP", "ASTP", "ASP", "MHASTP"):
         return 2 * in_dim
     if pool_type == "MQMHASTP":
         return 2 * in_dim * kwargs.get("query_num", 2)

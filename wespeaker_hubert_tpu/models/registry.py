@@ -16,7 +16,16 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
-from . import ecapa_tdnn, resnet, tdnn
+from . import (
+    campplus,
+    ecapa_tdnn,
+    gemini_dfresnet,
+    res2net,
+    resnet,
+    samresnet,
+    tdnn,
+    xi_vector,
+)
 
 __all__ = ["get_speaker_model", "embedding_from_outputs", "MODEL_REGISTRY"]
 
@@ -36,6 +45,23 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     "ResNet152": resnet.ResNet152,
     "ResNet221": resnet.ResNet221,
     "ResNet293": resnet.ResNet293,
+    # Res2Net
+    "Res2Net34_Base": res2net.Res2Net34_Base,
+    "Res2Net34_Large": res2net.Res2Net34_Large,
+    # CAM++
+    "CAMPPlus": campplus.CAMPPlus,
+    # Gemini DF-ResNet
+    "Gemini_DF_ResNet60": gemini_dfresnet.Gemini_DF_ResNet60,
+    "Gemini_DF_ResNet114": gemini_dfresnet.Gemini_DF_ResNet114,
+    "Gemini_DF_ResNet183": gemini_dfresnet.Gemini_DF_ResNet183,
+    "Gemini_DF_ResNet237": gemini_dfresnet.Gemini_DF_ResNet237,
+    # SimAM ResNet (VoxBlink2)
+    "SimAM_ResNet34_ASP": samresnet.SimAM_ResNet34_ASP,
+    "SimAM_ResNet100_ASP": samresnet.SimAM_ResNet100_ASP,
+    # Xi-vector
+    "XI_VEC_ECAPA_TDNN_c512": xi_vector.XI_VEC_ECAPA_TDNN_c512,
+    "XI_VEC_ECAPA_TDNN_c1024": xi_vector.XI_VEC_ECAPA_TDNN_c1024,
+    "XI_VEC_XVEC": xi_vector.XI_VEC_XVEC,
 }
 
 
