@@ -10,6 +10,7 @@ import pytest
 
 from wespeaker_hubert_tpu.data import (
     AugStore,
+    load_data_list,
     EvalPipeline,
     TrainPipeline,
     TrainPipelineConfig,
@@ -89,7 +90,7 @@ class TestStriping:
 
 class TestIterators:
     def test_raw_list(self, corpus):
-        samples = list(iter_raw_list([corpus["raw_list"]]))
+        samples = list(iter_raw_list(load_data_list(corpus["raw_list"])))
         assert len(samples) == 32
         assert all(s["sample_rate"] == 16000 for s in samples)
         assert all(s["wav"].dtype == np.float32 for s in samples)
@@ -116,7 +117,7 @@ class TestTrainPipeline:
             num_frms=100, batch_size=8, shuffle_size=16, aug_prob=0.9
         )
         pipe = TrainPipeline(
-            [corpus["raw_list"]],
+            load_data_list(corpus["raw_list"]),
             corpus["spk2id"],
             cfg,
             reverb_store=rir_store,
@@ -136,8 +137,9 @@ class TestTrainPipeline:
 
     def test_deterministic_given_epoch(self, corpus):
         cfg = TrainPipelineConfig(num_frms=100, batch_size=4, speed_perturb=False)
-        p1 = TrainPipeline([corpus["raw_list"]], corpus["spk2id"], cfg)
-        p2 = TrainPipeline([corpus["raw_list"]], corpus["spk2id"], cfg)
+        entries = load_data_list(corpus["raw_list"])
+        p1 = TrainPipeline(entries, corpus["spk2id"], cfg)
+        p2 = TrainPipeline(entries, corpus["spk2id"], cfg)
         b1 = next(iter(p1))
         b2 = next(iter(p2))
         np.testing.assert_allclose(b1["wav"], b2["wav"])
@@ -145,7 +147,7 @@ class TestTrainPipeline:
 
 class TestEvalPipeline:
     def test_bucketing(self, corpus):
-        pipe = EvalPipeline([corpus["raw_list"]], batch_size=8)
+        pipe = EvalPipeline(load_data_list(corpus["raw_list"]), batch_size=8)
         keys = []
         for b in pipe:
             assert b["wav"].shape[1] in pipe.bucket_samples

@@ -14,6 +14,7 @@ import pytest
 from wespeaker_hubert_tpu.backend import eer_from_scores, trial_cosine_scores
 from wespeaker_hubert_tpu.data import (
     EvalPipeline,
+    load_data_list,
     TrainPipeline,
     TrainPipelineConfig,
     write_wav,
@@ -91,7 +92,7 @@ def test_train_extract_score_eer(corpus):
     )
     epoch_iter = 5
     lr = ExponentialDecrease(
-        num_epochs=20, epoch_iter=epoch_iter, initial_lr=0.1, final_lr=0.01,
+        num_epochs=30, epoch_iter=epoch_iter, initial_lr=0.1, final_lr=0.01,
         warm_up_epoch=2, scale_ratio=1.0,
     )
     margin = MarginSchedule(
@@ -101,7 +102,7 @@ def test_train_extract_score_eer(corpus):
     tx = make_optimizer(lr, "SGD", weight_decay=1e-4)
 
     pipe = TrainPipeline(
-        [corpus["train_list"]],
+        load_data_list(corpus["train_list"]),
         spk2id,
         TrainPipelineConfig(
             num_frms=100, batch_size=14, shuffle_size=32, aug_prob=0.0,
@@ -112,7 +113,7 @@ def test_train_extract_score_eer(corpus):
     state = None
     step = make_train_step(net, tx, lr, margin, feature_cfg=fcfg)
     losses = []
-    for epoch in range(20):
+    for epoch in range(30):
         pipe.set_epoch(epoch)
         for batch in pipe:
             if state is None:
@@ -132,7 +133,7 @@ def test_train_extract_score_eer(corpus):
     )
     embed_fn = make_eval_embed(net, feature_cfg=eval_fcfg)
     embs, keys = [], []
-    for batch in EvalPipeline([corpus["eval_list"]], batch_size=8):
+    for batch in EvalPipeline(load_data_list(corpus["eval_list"]), batch_size=8):
         e = embed_fn(
             variables, {"wav": jnp.asarray(batch["wav"]),
                         "length": jnp.asarray(batch["length"])}

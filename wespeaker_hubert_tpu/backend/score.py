@@ -106,7 +106,7 @@ def apply_asnorm(
     (reference score_norm.py:96-101)."""
     s = np.asarray(scores, np.float64)
     em = np.asarray(enroll_mean)[enroll_idx]
-    es = np.asarray(enroll_std)[enroll_idx]
+    es = np.maximum(np.asarray(enroll_std)[enroll_idx], 1e-8)
     tm = np.asarray(test_mean)[test_idx]
-    ts = np.asarray(test_std)[test_idx]
+    ts = np.maximum(np.asarray(test_std)[test_idx], 1e-8)
     return 0.5 * ((s - em) / es + (s - tm) / ts)

@@ -1,0 +1,130 @@
+"""Batch embedding extraction (reference bin/extract.py:33 rebuilt).
+
+Differences by design: bucketed whole-utterance BATCHES with pooling
+masks instead of batch=1 (reference extract.py:76 forces bs=1 for
+whole-utterance), and the fbank+CMVN frontend runs in-graph on device.
+Embeddings are written as .npz sets (utils/embeddings.py) instead of
+kaldi ark/scp.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import EvalPipeline
+from ..ops.fbank import FbankConfig
+from ..ops.pipeline import FeaturePipelineConfig
+from ..train import make_eval_embed
+from ..utils.checkpoint import load_checkpoint, load_partial
+from ..utils.config import parse_config_or_kwargs
+from ..utils.embeddings import save_embeddings
+from .train import build_speaker_net
+
+__all__ = ["extract"]
+
+
+def extract(
+    config: str | dict,
+    data_list: str,
+    checkpoint: str,
+    output: str,
+    batch_size: int = 32,
+    **overrides,
+):
+    """Extract embeddings for every utterance in `data_list` (raw JSONL)
+    -> save to `output` (.npz).  Returns (keys, embeddings)."""
+    if isinstance(config, str):
+        config = parse_config_or_kwargs(config, **overrides)
+    logger = logging.getLogger("extract")
+
+    dataset_args = config.get("dataset_args", {})
+    fb = dataset_args.get("fbank_args", {})
+    feature_cfg = FeaturePipelineConfig(
+        fbank=FbankConfig(
+            num_mel_bins=fb.get("num_mel_bins", 80),
+            frame_shift_ms=fb.get("frame_shift", 10),
+            frame_length_ms=fb.get("frame_length", 25),
+            dither=0.0,  # eval: no dither (reference extract.py:64-70)
+        ),
+        spec_aug=False,
+    )
+
+    # num_class doesn't matter for inference; build with 2 to keep the
+    # projection tiny, then partial-load only backbone params.
+    net = build_speaker_net(config, num_class=2)
+    feat_dim = feature_cfg.fbank.num_mel_bins
+    variables = net.init(
+        jax.random.key(0),
+        jnp.zeros((1, 100, feat_dim)),
+        jnp.zeros((1,), jnp.int32),
+        0.0,
+        train=False,
+    )
+    target = {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+    }
+    restored, missing, unexpected = load_partial(checkpoint, target)
+    if missing:
+        logger.info("missing keys in checkpoint: %d", len(missing))
+    variables = {
+        "params": restored["params"],
+        "batch_stats": restored["batch_stats"],
+    }
+
+    embed_fn = make_eval_embed(net, feature_cfg=feature_cfg)
+
+    from ..data import load_data_list
+
+    pipe = EvalPipeline(load_data_list(data_list), batch_size=batch_size)
+
+    keys, embs = [], []
+    audio_seconds = 0.0
+    t0 = time.time()
+    for batch in pipe:
+        e = embed_fn(
+            variables,
+            {
+                "wav": jnp.asarray(batch["wav"]),
+                "length": jnp.asarray(batch["length"]),
+            },
+        )
+        embs.append(np.asarray(e))
+        keys += batch["keys"]
+        audio_seconds += float(batch["length"].sum()) / 16000.0
+    dt = time.time() - t0
+    emb = np.concatenate(embs) if embs else np.zeros((0, 0), np.float32)
+    logger.info(
+        "extracted %d embeddings; %.1f audio-s in %.1fs (%.1f audio-s/s)",
+        len(keys), audio_seconds, dt, audio_seconds / max(dt, 1e-9),
+    )
+    if output:
+        os.makedirs(os.path.dirname(output) or ".", exist_ok=True)
+        save_embeddings(output, keys, emb)
+    return keys, emb
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--data_list", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--batch_size", type=int, default=32)
+    args = p.parse_args()
+    logging.basicConfig(level=logging.INFO)
+    extract(args.config, args.data_list, args.checkpoint, args.output,
+            args.batch_size)
+
+
+if __name__ == "__main__":
+    main()

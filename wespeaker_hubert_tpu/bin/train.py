@@ -1,0 +1,290 @@
+"""Training entry point (the reference's bin/train.py:39 rebuilt as a
+single-process SPMD driver).
+
+Where the reference launches one torch process per GPU via torchrun and
+wraps the model in DDP (reference bin/train.py:49-54,170-171), this driver
+is ONE process per host: a ('data','model') mesh spans every chip,
+gradient sync is GSPMD's partitioning of the loss reduction, and the
+classifier head is class-sharded.  Multi-host runs call
+jax.distributed.initialize() first and use the same code.
+
+Config schema mirrors the reference YAML (examples/voxceleb/v2/conf/
+ecapa_tdnn.yaml): model/model_args, projection_args, dataset_args,
+optimizer/optimizer_args, scheduler/scheduler_args, margin_update.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import AugStore, TrainPipeline, TrainPipelineConfig
+from ..models import get_projection, get_speaker_model
+from ..models.speaker_net import SpeakerNet
+from ..ops.fbank import FbankConfig
+from ..ops.pipeline import FeaturePipelineConfig
+from ..parallel import make_mesh, shard_batch
+from ..train import (
+    MarginSchedule,
+    create_train_state,
+    get_lr_schedule,
+    make_optimizer,
+    make_train_step,
+    shard_train_state,
+)
+from ..utils.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    load_partial,
+    save_checkpoint,
+)
+from ..utils.config import dump_config, parse_config_or_kwargs
+
+__all__ = ["train", "build_speaker_net", "read_spk2id"]
+
+
+def read_spk2id(train_label_path: str) -> Dict[str, int]:
+    """utt spk table -> sorted spk -> id (reference utils/utils.py:76)."""
+    spks = set()
+    with open(train_label_path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                spks.add(parts[1])
+    return {s: i for i, s in enumerate(sorted(spks))}
+
+
+def build_speaker_net(config: dict, num_class: int) -> SpeakerNet:
+    model_args = dict(config.get("model_args", {}))
+    backbone = get_speaker_model(config["model"])(**model_args)
+    proj_conf = dict(config.get("projection_args", {}))
+    proj_conf.setdefault("embed_dim", model_args.get("embed_dim", 192))
+    proj_conf["num_class"] = num_class
+    projection = get_projection(proj_conf)
+    return SpeakerNet(backbone=backbone, projection=projection)
+
+
+def _feature_cfg(dataset_args: dict) -> FeaturePipelineConfig:
+    fb = dataset_args.get("fbank_args", {})
+    sa = dataset_args.get("spec_aug_args", {})
+    return FeaturePipelineConfig(
+        fbank=FbankConfig(
+            num_mel_bins=fb.get("num_mel_bins", 80),
+            frame_shift_ms=fb.get("frame_shift", 10),
+            frame_length_ms=fb.get("frame_length", 25),
+            dither=fb.get("dither", 1.0),
+        ),
+        spec_aug=dataset_args.get("spec_aug", False),
+        spec_aug_num_t_mask=sa.get("num_t_mask", 1),
+        spec_aug_num_f_mask=sa.get("num_f_mask", 1),
+        spec_aug_max_t=sa.get("max_t", 10),
+        spec_aug_max_f=sa.get("max_f", 8),
+        spec_aug_prob=sa.get("prob", 0.6),
+    )
+
+
+def train(config: str | dict, **overrides):
+    """Run supervised training.  `config` is a YAML path or a dict."""
+    if isinstance(config, str):
+        config = parse_config_or_kwargs(config, **overrides)
+    else:
+        config = {**config, **overrides}
+
+    exp_dir = config.get("exp_dir", "exp/default")
+    os.makedirs(exp_dir, exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
+    )
+    logger = logging.getLogger("train")
+
+    seed = config.get("seed", 42)
+    dataset_args = config.get("dataset_args", {})
+    dataloader_args = config.get("dataloader_args", {})
+    batch_size = dataloader_args.get("batch_size", 64)
+
+    # ---- mesh
+    model_parallel = config.get("model_parallel", 1)
+    mesh = make_mesh(model_parallel=model_parallel)
+    n_data = mesh.devices.shape[0]
+    logger.info("mesh: %s", mesh)
+    assert batch_size % n_data == 0, (
+        f"batch_size {batch_size} must be divisible by the data-parallel "
+        f"degree {n_data}"
+    )
+
+    # ---- data
+    spk2id = read_spk2id(config["train_label"])
+    with open(config["train_data"]) as f:
+        data_list = [ln.strip() for ln in f if ln.strip()]
+
+    speed_perturb = dataset_args.get("speed_perturb", True)
+    num_class = len(spk2id) * (3 if speed_perturb else 1)
+
+    reverb_store = noise_store = None
+    if dataset_args.get("reverb_data"):
+        reverb_store = AugStore(root=dataset_args["reverb_data"])
+    if dataset_args.get("noise_data"):
+        noise_store = AugStore(root=dataset_args["noise_data"])
+
+    pipe_cfg = TrainPipelineConfig(
+        data_type=config.get("data_type", "raw"),
+        num_frms=dataset_args.get("num_frms", 200),
+        shuffle=dataset_args.get("shuffle", True),
+        shuffle_size=dataset_args.get("shuffle_args", {}).get("shuffle_size", 2500),
+        filter_min_frames=dataset_args.get("filter_args", {}).get(
+            "min_num_frames", 100
+        ),
+        filter_max_frames=dataset_args.get("filter_args", {}).get(
+            "max_num_frames", 800
+        ),
+        speed_perturb=speed_perturb,
+        aug_prob=dataset_args.get("aug_prob", 0.6),
+        batch_size=batch_size,
+        seed=seed,
+    )
+    pipe = TrainPipeline(
+        data_list, spk2id, pipe_cfg,
+        reverb_store=reverb_store, noise_store=noise_store,
+    )
+
+    # ---- model
+    net = build_speaker_net(config, num_class)
+    feature_cfg = _feature_cfg(dataset_args)
+
+    # ---- schedules (LR batch-scaled like reference train.py:192)
+    num_epochs = config.get("num_epochs", 150)
+    epoch_iter = config.get("epoch_iter", max(1, len(data_list) * 8 // batch_size))
+    sched_args = dict(config.get("scheduler_args", {}))
+    sched_args.setdefault("initial_lr", 0.1)
+    sched_args.setdefault("final_lr", 5e-5)
+    world_batch = batch_size * n_data if config.get("scale_lr_by_world", True) else batch_size
+    scale_ratio = max(1.0, world_batch / 64)
+    lr_schedule = get_lr_schedule(
+        config.get("scheduler", "ExponentialDecrease"),
+        num_epochs=num_epochs,
+        epoch_iter=epoch_iter,
+        scale_ratio=scale_ratio,
+        **sched_args,
+    )
+    m_args = config.get("margin_update", {})
+    margin_schedule = MarginSchedule(
+        epoch_iter=epoch_iter,
+        increase_start_epoch=m_args.get("increase_start_epoch", 20),
+        fix_start_epoch=m_args.get("fix_start_epoch", 40),
+        initial_margin=m_args.get("initial_margin", 0.0),
+        final_margin=m_args.get("final_margin", 0.2),
+        increase_type=m_args.get("increase_type", "exp"),
+        update_margin=m_args.get("update_margin", True),
+    )
+    opt_args = config.get("optimizer_args", {})
+    tx = make_optimizer(
+        lr_schedule,
+        config.get("optimizer", "SGD"),
+        momentum=opt_args.get("momentum", 0.9),
+        nesterov=opt_args.get("nesterov", True),
+        weight_decay=opt_args.get("weight_decay", 1e-4),
+    )
+
+    # ---- state (+resume / partial init)
+    feat_dim = feature_cfg.fbank.num_mel_bins
+    feats_ex = jnp.zeros((batch_size, pipe_cfg.num_frms, feat_dim))
+    label_ex = jnp.zeros((batch_size,), jnp.int32)
+    state = create_train_state(net, tx, jax.random.key(seed), feats_ex, label_ex)
+
+    start_epoch = 0
+    ckpt = config.get("checkpoint") or latest_checkpoint(
+        os.path.join(exp_dir, "models")
+    )
+    if ckpt:
+        meta_path = ckpt + ".json"
+        state_tree = {"params": state.params, "batch_stats": state.batch_stats}
+        restored, missing, unexpected = load_partial(ckpt, state_tree)
+        state = state.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"]
+        )
+        if os.path.exists(meta_path):
+            import json
+
+            with open(meta_path) as f:
+                start_epoch = json.load(f).get("epoch", 0)
+        logger.info(
+            "resumed %s (epoch %d, %d missing, %d unexpected)",
+            ckpt, start_epoch, len(missing), len(unexpected),
+        )
+    elif config.get("model_init"):
+        state_tree = {"params": state.params, "batch_stats": state.batch_stats}
+        restored, missing, unexpected = load_partial(
+            config["model_init"], state_tree
+        )
+        state = state.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"]
+        )
+        logger.info(
+            "model_init from %s (%d missing, %d unexpected)",
+            config["model_init"], len(missing), len(unexpected),
+        )
+
+    state = shard_train_state(state, mesh)
+    step_fn = make_train_step(
+        net, tx, lr_schedule, margin_schedule,
+        feature_cfg=feature_cfg, mesh=mesh,
+        chunk_samples=pipe.chunk_samples,
+    )
+
+    dump_config(config, os.path.join(exp_dir, "config.yaml"))
+
+    # ---- epoch loop
+    log_interval = config.get("log_batch_interval", 100)
+    save_interval = config.get("save_epoch_interval", 5)
+    rng = jax.random.key(seed + 1)
+    for epoch in range(start_epoch, num_epochs):
+        pipe.set_epoch(epoch)
+        t0 = time.time()
+        n_iter = 0
+        for batch in pipe:
+            batch = shard_batch(
+                {k: v for k, v in batch.items() if k != "keys"}, mesh
+            )
+            state, metrics = step_fn(state, batch, rng)
+            n_iter += 1
+            if n_iter % log_interval == 0:
+                logger.info(
+                    "epoch %d iter %d loss %.4f acc %.4f lr %.6f margin %.3f",
+                    epoch, n_iter, float(metrics["loss"]),
+                    float(metrics["acc"]), float(metrics["lr"]),
+                    float(metrics["margin"]),
+                )
+            if n_iter >= epoch_iter:
+                break
+        dt = time.time() - t0
+        logger.info("epoch %d done: %d iters in %.1fs", epoch, n_iter, dt)
+        if (epoch + 1) % save_interval == 0 or epoch + 1 == num_epochs:
+            path = os.path.join(exp_dir, "models", f"model_{epoch + 1}.ckpt")
+            save_checkpoint(
+                path,
+                {"params": state.params, "batch_stats": state.batch_stats},
+                meta={"epoch": epoch + 1, "step": int(state.step)},
+            )
+            logger.info("saved %s", path)
+    return state
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("overrides", nargs="*", help="key=value config overrides")
+    args = p.parse_args()
+    cfg = parse_config_or_kwargs(args.config, overrides=args.overrides)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

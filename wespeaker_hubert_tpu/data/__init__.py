@@ -7,6 +7,7 @@ from .dataset import (
     chunk_samples_for_frames,
     iter_raw_list,
     iter_tar_shards,
+    load_data_list,
     shard_list_for_rank,
 )
 from .wav_io import read_wav, read_wav_bytes, write_wav
@@ -21,6 +22,7 @@ __all__ = [
     "chunk_samples_for_frames",
     "iter_raw_list",
     "iter_tar_shards",
+    "load_data_list",
     "shard_list_for_rank",
     "read_wav",
     "read_wav_bytes",

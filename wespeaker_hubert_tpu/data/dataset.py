@@ -74,33 +74,38 @@ def shard_list_for_rank(
     return data[rank::world_size][worker::num_workers]
 
 
-def iter_raw_list(paths: Iterable[str]) -> Iterator[dict]:
-    """JSONL raw lists -> {key, wav(float32), sample_rate, spk}."""
-    for path in paths:
-        with open(path, "r", encoding="utf-8") as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                try:
-                    obj = json.loads(line)
-                    wav, sr = read_wav(obj["wav"])
-                    if "vad" in obj:
-                        parts = [
-                            wav[int(float(s) * sr) : int(float(e) * sr)]
-                            for s, e in obj["vad"]
-                        ]
-                        wav = np.concatenate(parts) if parts else wav[:0]
-                    yield {
-                        "key": obj["key"],
-                        "spk": obj["spk"],
-                        "wav": wav,
-                        "sample_rate": sr,
-                    }
-                except Exception as e:  # corrupt sample: warn + skip
-                    import logging
+def load_data_list(path: str) -> List[str]:
+    """Read a data-list file into entry strings.  For 'raw' type each line
+    is a JSON object {key, wav, spk} (reference tools/make_raw_list.py);
+    for 'shard' each line is a tar path — striping happens at LINE
+    granularity like the reference DistributedSampler."""
+    with open(path, "r", encoding="utf-8") as f:
+        return [ln.strip() for ln in f if ln.strip()]
 
-                    logging.warning("failed to read sample: %s", e)
+
+def iter_raw_list(entries: Iterable[str]) -> Iterator[dict]:
+    """JSON entry lines -> {key, wav(float32), sample_rate, spk}
+    (reference parse_raw processor.py:119)."""
+    for line in entries:
+        try:
+            obj = json.loads(line)
+            wav, sr = read_wav(obj["wav"])
+            if "vad" in obj:
+                parts = [
+                    wav[int(float(s) * sr) : int(float(e) * sr)]
+                    for s, e in obj["vad"]
+                ]
+                wav = np.concatenate(parts) if parts else wav[:0]
+            yield {
+                "key": obj["key"],
+                "spk": obj["spk"],
+                "wav": wav,
+                "sample_rate": sr,
+            }
+        except Exception as e:  # corrupt sample: warn + skip
+            import logging
+
+            logging.warning("failed to read sample: %s", e)
 
 
 def iter_tar_shards(paths: Iterable[str]) -> Iterator[dict]:
