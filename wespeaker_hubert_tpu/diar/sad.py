@@ -1,0 +1,65 @@
+"""Speech-activity detection inputs for diarization.
+
+Reference: wespeaker/diar/make_oracle_sad.py:31-55 (oracle SAD from RTTM
+with min-duration merge) and make_system_sad.py:44-66 (silero-vad system
+SAD).  The silero model needs a downloaded torchscript checkpoint; as the
+offline fallback this module ships an energy-based VAD with hangover
+smoothing (`energy_vad`) producing the same (utt, begin, end) segments.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+__all__ = ["oracle_sad", "energy_vad"]
+
+
+def oracle_sad(
+    rttm_turns: Dict[str, List[Tuple[float, float, str]]],
+    min_duration: float = 0.255,
+) -> Dict[str, List[Tuple[float, float]]]:
+    """Union of reference speaker turns -> speech segments, dropping
+    segments shorter than min_duration (reference make_oracle_sad.py)."""
+    out: Dict[str, List[Tuple[float, float]]] = {}
+    for utt, turns in rttm_turns.items():
+        iv = sorted((b, e) for b, e, _ in turns)
+        merged: List[List[float]] = []
+        for b, e in iv:
+            if merged and b <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([b, e])
+        out[utt] = [(b, e) for b, e in merged if e - b >= min_duration]
+    return out
+
+
+def energy_vad(
+    wav: np.ndarray,
+    sample_rate: int = 16000,
+    frame_ms: float = 30.0,
+    threshold_db: float = -40.0,
+    min_speech: float = 0.25,
+    min_silence: float = 0.3,
+) -> List[Tuple[float, float]]:
+    """Frame-energy VAD with duration smoothing -> (begin_s, end_s) list."""
+    frame = int(sample_rate * frame_ms / 1000)
+    n = len(wav) // frame
+    if n == 0:
+        return []
+    frames = wav[: n * frame].reshape(n, frame)
+    db = 10 * np.log10(np.mean(frames**2, axis=1) + 1e-10)
+    # adaptive floor: threshold relative to the loudest frames
+    ref = np.percentile(db, 95)
+    active = db > max(ref + threshold_db, -60.0)
+
+    segs: List[List[float]] = []
+    t = frame_ms / 1000.0
+    for i, a in enumerate(active):
+        if a:
+            if segs and i * t - segs[-1][1] < min_silence:
+                segs[-1][1] = (i + 1) * t
+            else:
+                segs.append([i * t, (i + 1) * t])
+    return [(b, e) for b, e in segs if e - b >= min_speech]
