@@ -1,0 +1,26 @@
+"""Frontend registry (reference: wespeaker/frontend/__init__.py:19-22 —
+{'fbank': None, 's3prl': S3prlFrontend, 'whisper_encoder': whisper_encoder}).
+'fbank' maps to None because the fbank path lives in ops/pipeline.py and
+runs in-graph in the train/eval step."""
+
+from .convert import convert_hf_state_dict
+from .ssl_encoder import (
+    SSLEncoder,
+    SSLEncoderConfig,
+    feat_extract_output_lengths,
+)
+from .sslfrontend import SSLFrontend
+
+frontend_class_dict = {
+    "fbank": None,
+    "s3prl": SSLFrontend,
+}
+
+__all__ = [
+    "convert_hf_state_dict",
+    "SSLEncoder",
+    "SSLEncoderConfig",
+    "feat_extract_output_lengths",
+    "SSLFrontend",
+    "frontend_class_dict",
+]

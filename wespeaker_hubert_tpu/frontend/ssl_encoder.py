@@ -1,0 +1,362 @@
+"""HuBERT / WavLM speech encoders in JAX (the SSL frontend backbone).
+
+The reference consumes these through s3prl upstreams
+(reference: wespeaker/frontend/s3prl.py:23-93 wraps WavLM/HuBERT/wav2vec2
+and mixes layer outputs with a learned Featurizer).  Here the encoders are
+implemented natively in flax with weight-for-weight compatibility with the
+HuggingFace torch implementations (transformers modeling_hubert.py /
+modeling_wavlm.py semantics), so public WavLM/HuBERT checkpoints import
+directly (frontend/convert.py) and parity is testable offline against the
+installed torch models.
+
+Architecture (both models):
+  wav (B, W) -> 7-layer strided conv feature extractor (GELU; group-norm
+  first layer for 'group' norm mode, per-layer LayerNorm for 'layer') ->
+  feature projection (LN + Dense) -> conv positional embedding (grouped
+  conv k=128 g=16, same-pad trim, GELU) -> N transformer layers
+  (post-LN for base models, pre-LN 'stable' for large) -> hidden states.
+
+WavLM adds gated relative-position-bias attention: a bucketed relative
+position embedding (first layer only, shared down the stack) scaled by a
+per-head gate computed from the layer input.
+
+TPU notes: everything is channels-last; the conv extractor runs as 7
+NWC convs (XLA fuses GELU); attention uses jnp.einsum (MXU) with f32
+softmax; `remat` can wrap layers for memory (see SpeakerNet usage).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["SSLEncoderConfig", "SSLEncoder", "feat_extract_output_lengths"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SSLEncoderConfig:
+    model_type: str = "hubert"  # 'hubert' | 'wavlm'
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    conv_dim: Tuple[int, ...] = (512,) * 7
+    conv_kernel: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    feat_extract_norm: str = "group"  # 'group' (base) | 'layer' (large)
+    do_stable_layer_norm: bool = False
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    layer_norm_eps: float = 1e-5
+    # wavlm relative position bias
+    num_buckets: int = 320
+    max_distance: int = 800
+
+    @staticmethod
+    def hubert_base():
+        return SSLEncoderConfig()
+
+    @staticmethod
+    def wavlm_base():
+        return SSLEncoderConfig(model_type="wavlm")
+
+    @staticmethod
+    def wavlm_large():
+        return SSLEncoderConfig(
+            model_type="wavlm",
+            hidden_size=1024,
+            num_hidden_layers=24,
+            num_attention_heads=16,
+            intermediate_size=4096,
+            feat_extract_norm="layer",
+            do_stable_layer_norm=True,
+        )
+
+    @staticmethod
+    def hubert_large():
+        return SSLEncoderConfig(
+            hidden_size=1024,
+            num_hidden_layers=24,
+            num_attention_heads=16,
+            intermediate_size=4096,
+            feat_extract_norm="layer",
+            do_stable_layer_norm=True,
+        )
+
+    @staticmethod
+    def tiny(model_type="hubert", do_stable_layer_norm=False):
+        """For tests: 2 layers, 32-dim."""
+        return SSLEncoderConfig(
+            model_type=model_type,
+            hidden_size=32,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            intermediate_size=64,
+            conv_dim=(16, 16, 16),
+            conv_kernel=(10, 3, 3),
+            conv_stride=(5, 2, 2),
+            do_stable_layer_norm=do_stable_layer_norm,
+            num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4,
+            num_buckets=32,
+            max_distance=64,
+        )
+
+
+def feat_extract_output_lengths(cfg: SSLEncoderConfig, lengths):
+    """Conv feature-extractor output lengths (floor((L-k)/s)+1 chain)."""
+    for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
+        lengths = (lengths - k) // s + 1
+    return lengths
+
+
+class ConvFeatureEncoder(nn.Module):
+    cfg: SSLEncoderConfig
+
+    @nn.compact
+    def __call__(self, wav: jax.Array) -> jax.Array:
+        """(B, W) -> (B, T, conv_dim[-1])."""
+        cfg = self.cfg
+        h = wav[:, :, None]  # NWC
+        for i, (dim, k, s) in enumerate(
+            zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
+        ):
+            h = nn.Conv(
+                dim, (k,), strides=(s,), padding="VALID", use_bias=False,
+                name=f"conv_{i}",
+            )(h)
+            if cfg.feat_extract_norm == "group" and i == 0:
+                h = nn.GroupNorm(
+                    num_groups=dim, epsilon=cfg.layer_norm_eps,
+                    name=f"norm_{i}",
+                )(h)
+            elif cfg.feat_extract_norm == "layer":
+                h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=f"norm_{i}")(h)
+            h = nn.gelu(h, approximate=False)
+        return h
+
+
+class PositionalConvEmbedding(nn.Module):
+    cfg: SSLEncoderConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        k = cfg.num_conv_pos_embeddings
+        h = nn.Conv(
+            cfg.hidden_size,
+            (k,),
+            padding=[(k // 2, k // 2)],
+            feature_group_count=cfg.num_conv_pos_embedding_groups,
+            name="conv",
+        )(x)
+        if k % 2 == 0:  # SamePadLayer trims one trailing frame
+            h = h[:, :-1]
+        return nn.gelu(h, approximate=False)
+
+
+def _relative_positions_bucket(
+    relative_positions: np.ndarray, num_buckets: int, max_distance: int
+) -> np.ndarray:
+    """WavLM (T5-style bidirectional) bucketing — static numpy, folded into
+    the compiled program as a constant gather table."""
+    num_buckets = num_buckets // 2
+    relative_buckets = (relative_positions > 0).astype(np.int64) * num_buckets
+    rel = np.abs(relative_positions)
+    max_exact = num_buckets // 2
+    is_small = rel < max_exact
+    rel_large = (
+        np.log(np.maximum(rel, 1).astype(np.float64) / max_exact)
+        / math.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    )
+    rel_large = np.minimum(
+        (max_exact + rel_large).astype(np.int64), num_buckets - 1
+    )
+    relative_buckets += np.where(is_small, rel, rel_large)
+    return relative_buckets
+
+
+class WavLMAttention(nn.Module):
+    """Self-attention with gated relative position bias (WavLM)."""
+
+    cfg: SSLEncoderConfig
+    has_relative_position_bias: bool
+
+    @nn.compact
+    def __call__(self, x, attn_bias, position_bias):
+        cfg = self.cfg
+        b, t, d = x.shape
+        h = cfg.num_attention_heads
+        hd = d // h
+
+        if position_bias is None:
+            assert self.has_relative_position_bias
+            rel_embed = self.param(
+                "rel_attn_embed",
+                nn.initializers.normal(0.02),
+                (cfg.num_buckets, h),
+            )
+            pos = np.arange(t)
+            buckets = _relative_positions_bucket(
+                pos[None, :] - pos[:, None], cfg.num_buckets, cfg.max_distance
+            )  # (T, T)
+            position_bias = jnp.transpose(
+                rel_embed[jnp.asarray(buckets)], (2, 0, 1)
+            )  # (h, T, T)
+
+        # gate from the layer input (HF WavLMAttention.forward steps 1-4)
+        gru_const = self.param(
+            "gru_rel_pos_const", nn.initializers.ones, (1, h, 1, 1)
+        )
+        gated_hidden = x.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+        proj = nn.Dense(8, name="gru_rel_pos_linear")(gated_hidden)
+        proj = proj.reshape(b, h, t, 2, 4).sum(-1)
+        gate = jax.nn.sigmoid(proj)
+        gate_a, gate_b = gate[..., 0:1], gate[..., 1:2]
+        gate_output = gate_a * (gate_b * gru_const - 1.0) + 2.0  # (B,h,T,1)
+        gated_position_bias = gate_output * position_bias[None]  # (B,h,T,T)
+
+        q = nn.Dense(d, name="q_proj")(x).reshape(b, t, h, hd)
+        k = nn.Dense(d, name="k_proj")(x).reshape(b, t, h, hd)
+        v = nn.Dense(d, name="v_proj")(x).reshape(b, t, h, hd)
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / math.sqrt(hd)
+        scores = scores + gated_position_bias
+        if attn_bias is not None:
+            scores = scores + attn_bias
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+        ).reshape(b, t, d)
+        out = nn.Dense(d, name="out_proj")(out)
+        return out, position_bias
+
+
+class PlainAttention(nn.Module):
+    """Standard MHA (HuBERT/wav2vec2)."""
+
+    cfg: SSLEncoderConfig
+
+    @nn.compact
+    def __call__(self, x, attn_bias, position_bias=None):
+        cfg = self.cfg
+        b, t, d = x.shape
+        h = cfg.num_attention_heads
+        hd = d // h
+        q = nn.Dense(d, name="q_proj")(x).reshape(b, t, h, hd)
+        k = nn.Dense(d, name="k_proj")(x).reshape(b, t, h, hd)
+        v = nn.Dense(d, name="v_proj")(x).reshape(b, t, h, hd)
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / math.sqrt(hd)
+        if attn_bias is not None:
+            scores = scores + attn_bias
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+        ).reshape(b, t, d)
+        return nn.Dense(d, name="out_proj")(out), None
+
+
+class FeedForward(nn.Module):
+    cfg: SSLEncoderConfig
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.cfg.intermediate_size, name="intermediate_dense")(x)
+        h = nn.gelu(h, approximate=False)
+        return nn.Dense(self.cfg.hidden_size, name="output_dense")(h)
+
+
+class EncoderLayer(nn.Module):
+    cfg: SSLEncoderConfig
+    layer_idx: int
+
+    @nn.compact
+    def __call__(self, x, attn_bias, position_bias):
+        cfg = self.cfg
+        if cfg.model_type == "wavlm":
+            attention = WavLMAttention(
+                cfg,
+                has_relative_position_bias=(self.layer_idx == 0),
+                name="attention",
+            )
+        else:
+            attention = PlainAttention(cfg, name="attention")
+
+        if cfg.do_stable_layer_norm:  # pre-LN (large models)
+            a, position_bias = attention(
+                nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(x),
+                attn_bias,
+                position_bias,
+            )
+            x = x + a
+            x = x + FeedForward(cfg, name="feed_forward")(
+                nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_layer_norm")(x)
+            )
+        else:  # post-LN (base models)
+            a, position_bias = attention(x, attn_bias, position_bias)
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(
+                x + a
+            )
+            x = x + FeedForward(cfg, name="feed_forward")(x)
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_layer_norm")(x)
+        return x, position_bias
+
+
+class SSLEncoder(nn.Module):
+    """Full encoder: wav -> list of hidden states (1 + num_layers)."""
+
+    cfg: SSLEncoderConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        wav: jax.Array,
+        lengths: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> Tuple[List[jax.Array], Optional[jax.Array]]:
+        cfg = self.cfg
+        feats = ConvFeatureEncoder(cfg, name="feature_extractor")(wav)
+
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="feat_proj_layer_norm")(
+            feats
+        )
+        h = nn.Dense(cfg.hidden_size, name="feat_projection")(h)
+
+        feat_lengths = None
+        attn_bias = None
+        if lengths is not None:
+            feat_lengths = feat_extract_output_lengths(cfg, lengths)
+            t = h.shape[1]
+            mask = jnp.arange(t)[None, :] < feat_lengths[:, None]
+            h = h * mask[:, :, None]
+            attn_bias = jnp.where(mask, 0.0, -1e9)[:, None, None, :]
+
+        pos = PositionalConvEmbedding(cfg, name="pos_conv_embed")(h)
+        h = h + pos
+        if not cfg.do_stable_layer_norm:
+            h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="encoder_layer_norm")(h)
+
+        hidden_states = [h]
+        position_bias = None
+        for i in range(cfg.num_hidden_layers):
+            h, position_bias = EncoderLayer(cfg, i, name=f"layer_{i}")(
+                h, attn_bias, position_bias
+            )
+            hidden_states.append(h)
+        if cfg.do_stable_layer_norm:
+            # final LN applies to the LAST state (large models); keep raw
+            # per-layer states for the featurizer like s3prl.
+            hidden_states[-1] = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, name="encoder_layer_norm"
+            )(hidden_states[-1])
+        return hidden_states, feat_lengths

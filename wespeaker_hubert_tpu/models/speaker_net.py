@@ -29,6 +29,14 @@ __all__ = ["SpeakerNet"]
 class SpeakerNet(nn.Module):
     backbone: nn.Module
     projection: nn.Module
+    frontend: Optional[nn.Module] = None
+
+    def features(self, wav, lengths=None, train: bool = False):
+        """Optional SSL frontend: raw wav -> (feats, feat_lengths)
+        (reference bin/train.py:111-119 attaches the frontend;
+        executor.py:42-48 runs it before CMVN/SpecAug)."""
+        assert self.frontend is not None
+        return self.frontend(wav, lengths=lengths, train=train)
 
     def __call__(
         self,

@@ -27,6 +27,8 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.augment import add_reverb_noise, speed_perturb
+from ..ops.feature_utils import apply_cmvn
+from ..ops.feature_utils import spec_aug as spec_aug_op
 from ..ops.pipeline import FeaturePipelineConfig, wav_to_features
 from ..parallel.mesh import DATA_AXIS
 from .state import TrainState
@@ -65,44 +67,82 @@ def make_train_step(
     speed-perturbing without a noise buffer in the batch).
     """
 
+    use_frontend = getattr(model, "frontend", None) is not None
+
+    def prepare_wav(batch):
+        """Device-side waveform augmentation (speed + reverb/noise)."""
+        wav = batch["wav"]
+        if "speed_idx" in batch:
+            out_len = (
+                batch["noise"].shape[1] if "noise" in batch else chunk_samples
+            )
+            wav = speed_perturb(wav, batch["speed_idx"], out_len)
+        if "aug_type" in batch:
+            wav = add_reverb_noise(
+                wav, batch["rir"], batch["noise"], batch["aug_type"],
+                batch["snr"],
+            )
+        return wav
+
     def step_fn(state: TrainState, batch, rng):
         margin = margin_schedule(state.step)
         lr = lr_schedule(state.step)
         rng = jax.random.fold_in(rng, state.step)
+        fcfg = feature_cfg or FeaturePipelineConfig()
 
+        labels = batch["label"]
         if "feat" in batch:
-            feats, mask = batch["feat"], None
-        else:
-            wav = batch["wav"]
-            if "speed_idx" in batch:
-                # device-side speed perturb; labels were x3-expanded on host
-                out_len = (
-                    batch["noise"].shape[1]
-                    if "noise" in batch
-                    else chunk_samples
-                )
-                wav = speed_perturb(wav, batch["speed_idx"], out_len)
-            if "aug_type" in batch:
-                wav = add_reverb_noise(
-                    wav,
-                    batch["rir"],
-                    batch["noise"],
-                    batch["aug_type"],
-                    batch["snr"],
-                )
-            feats, mask = wav_to_features(
-                wav,
-                feature_cfg or FeaturePipelineConfig(),
+            feats0, mask0 = batch["feat"], None
+        elif not use_frontend:
+            feats0, mask0 = wav_to_features(
+                prepare_wav(batch),
+                fcfg,
                 rng=rng,
                 lengths=batch.get("length"),
                 train=True,
             )
-        labels = batch["label"]
+        else:
+            feats0 = mask0 = None  # computed inside loss_fn (frontend params)
 
         def loss_fn(params):
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
+            if feats0 is not None:
+                feats, mask = feats0, mask0
+            else:
+                # SSL frontend path (reference executor.py:42-58): wav ->
+                # frontend -> CMVN -> SpecAug -> backbone, all in-graph.
+                wav = prepare_wav(batch)
+                feats, feat_lengths = model.apply(
+                    variables,
+                    wav,
+                    lengths=batch.get("length"),
+                    train=True,
+                    method=model.features,
+                )
+                feats = apply_cmvn(
+                    feats,
+                    norm_mean=fcfg.cmvn_norm_mean,
+                    norm_var=fcfg.cmvn_norm_var,
+                    lengths=feat_lengths,
+                )
+                if fcfg.spec_aug:
+                    feats = spec_aug_op(
+                        feats,
+                        rng,
+                        num_t_mask=fcfg.spec_aug_num_t_mask,
+                        num_f_mask=fcfg.spec_aug_num_f_mask,
+                        max_t=fcfg.spec_aug_max_t,
+                        max_f=fcfg.spec_aug_max_f,
+                        prob=fcfg.spec_aug_prob,
+                    )
+                mask = None
+                if feat_lengths is not None:
+                    mask = (
+                        jnp.arange(feats.shape[1])[None, :]
+                        < feat_lengths[:, None]
+                    )
             (emb, logits, aux), updates = model.apply(
                 variables,
                 feats,
@@ -165,17 +205,39 @@ def make_eval_embed(
     Equivalent of reference bin/extract.py:90-120 but batched + masked.
     """
 
+    use_frontend = getattr(model, "frontend", None) is not None
+
     def embed_fn(variables, batch):
+        fcfg = feature_cfg or FeaturePipelineConfig()
         if "feat" in batch:
             feats = batch["feat"]
             mask = None
             if "feat_length" in batch:
                 t = feats.shape[1]
                 mask = jnp.arange(t)[None, :] < batch["feat_length"][:, None]
+        elif use_frontend:
+            feats, feat_lengths = model.apply(
+                variables,
+                batch["wav"],
+                lengths=batch.get("length"),
+                train=False,
+                method=model.features,
+            )
+            feats = apply_cmvn(
+                feats,
+                norm_mean=fcfg.cmvn_norm_mean,
+                norm_var=fcfg.cmvn_norm_var,
+                lengths=feat_lengths,
+            )
+            mask = None
+            if feat_lengths is not None:
+                mask = (
+                    jnp.arange(feats.shape[1])[None, :] < feat_lengths[:, None]
+                )
         else:
             feats, mask = wav_to_features(
                 batch["wav"],
-                feature_cfg or FeaturePipelineConfig(),
+                fcfg,
                 rng=None,
                 lengths=batch.get("length"),
                 train=False,

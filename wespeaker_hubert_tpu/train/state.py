@@ -33,7 +33,13 @@ def make_optimizer(
     momentum: float = 0.9,
     nesterov: bool = True,
     weight_decay: float = 1e-4,
+    freeze_paths: tuple = (),
 ) -> optax.GradientTransformation:
+    """torch-semantics optimizer chain.  `freeze_paths`: tuple of path-key
+    tuples (e.g. (("frontend", "upstream"),)); params whose tree path
+    contains such a subsequence get ZERO updates — the functional analogue
+    of the reference's requires_grad_(False) freeze (frontend/s3prl.py:70),
+    which also keeps coupled weight decay off frozen params."""
     parts = []
     if weight_decay:
         parts.append(optax.add_decayed_weights(weight_decay))
@@ -50,7 +56,25 @@ def make_optimizer(
     parts.append(
         optax.scale_by_schedule(lambda s: -lr_schedule(s))
     )
-    return optax.chain(*parts)
+    tx = optax.chain(*parts)
+    if not freeze_paths:
+        return tx
+
+    def label_fn(params):
+        def label(path, _):
+            keys = tuple(
+                getattr(p, "key", getattr(p, "name", None)) for p in path
+            )
+            for frozen in freeze_paths:
+                if all(k in keys for k in frozen):
+                    return "freeze"
+            return "train"
+
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, label_fn
+    )
 
 
 def create_train_state(
@@ -59,10 +83,24 @@ def create_train_state(
     rng: jax.Array,
     example_feats: jax.Array,
     example_label: jax.Array,
+    example_wav: Optional[jax.Array] = None,
 ) -> TrainState:
-    variables = model.init(rng, example_feats, example_label, 0.0, train=True)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
+    """Initialize params/optimizer.  `example_wav` must be provided when the
+    model has an SSL frontend (its params are created by tracing the
+    `features` method and merged into the tree)."""
+    rng_main, rng_front = jax.random.split(rng)
+    variables = model.init(
+        rng_main, example_feats, example_label, 0.0, train=True
+    )
+    params = dict(variables["params"])
+    batch_stats = dict(variables.get("batch_stats", {}))
+    if getattr(model, "frontend", None) is not None:
+        assert example_wav is not None, "frontend model needs example_wav"
+        fvars = model.init(
+            rng_front, example_wav, train=True, method=model.features
+        )
+        params.update(fvars["params"])
+        batch_stats.update(fvars.get("batch_stats", {}))
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
