@@ -20,6 +20,7 @@ from . import (
     campplus,
     ecapa_tdnn,
     gemini_dfresnet,
+    repvgg,
     res2net,
     resnet,
     samresnet,
@@ -63,6 +64,9 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     "XI_VEC_ECAPA_TDNN_c1024": xi_vector.XI_VEC_ECAPA_TDNN_c1024,
     "XI_VEC_XVEC": xi_vector.XI_VEC_XVEC,
 }
+
+# 19 RepVGG variants (REPVGG_TINY_A0 ... REPVGG_D2SE)
+MODEL_REGISTRY.update(repvgg.REPVGG_FACTORIES)
 
 
 def register_model(name: str, factory: Callable) -> None:
