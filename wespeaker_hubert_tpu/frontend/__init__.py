@@ -10,14 +10,23 @@ from .ssl_encoder import (
     feat_extract_output_lengths,
 )
 from .sslfrontend import SSLFrontend
+from .whisper import (
+    WhisperEncoder,
+    WhisperEncoderConfig,
+    convert_whisper_state_dict,
+)
 
 frontend_class_dict = {
     "fbank": None,
     "s3prl": SSLFrontend,
+    "whisper_encoder": WhisperEncoder,
 }
 
 __all__ = [
     "convert_hf_state_dict",
+    "WhisperEncoder",
+    "WhisperEncoderConfig",
+    "convert_whisper_state_dict",
     "SSLEncoder",
     "SSLEncoderConfig",
     "feat_extract_output_lengths",

@@ -18,6 +18,7 @@ from typing import Callable, Dict
 
 from . import (
     campplus,
+    whisper_pmfa,
     ecapa_tdnn,
     gemini_dfresnet,
     repvgg,
@@ -64,6 +65,8 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     "XI_VEC_ECAPA_TDNN_c1024": xi_vector.XI_VEC_ECAPA_TDNN_c1024,
     "XI_VEC_XVEC": xi_vector.XI_VEC_XVEC,
 }
+
+MODEL_REGISTRY["whisper_PMFA_large_v2"] = whisper_pmfa.whisper_PMFA_large_v2
 
 # 19 RepVGG variants (REPVGG_TINY_A0 ... REPVGG_D2SE)
 MODEL_REGISTRY.update(repvgg.REPVGG_FACTORIES)
