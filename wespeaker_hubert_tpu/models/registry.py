@@ -18,6 +18,8 @@ from typing import Callable, Dict
 
 from . import (
     campplus,
+    eres2net,
+    redimnet,
     whisper_pmfa,
     ecapa_tdnn,
     gemini_dfresnet,
@@ -50,6 +52,10 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     # Res2Net
     "Res2Net34_Base": res2net.Res2Net34_Base,
     "Res2Net34_Large": res2net.Res2Net34_Large,
+    # ERes2Net
+    "ERes2Net34_Base": eres2net.ERes2Net34_Base,
+    "ERes2Net34_Large": eres2net.ERes2Net34_Large,
+    "ERes2Net34_aug": eres2net.ERes2Net34_aug,
     # CAM++
     "CAMPPlus": campplus.CAMPPlus,
     # Gemini DF-ResNet
@@ -67,6 +73,8 @@ MODEL_REGISTRY: Dict[str, Callable] = {
 }
 
 MODEL_REGISTRY["whisper_PMFA_large_v2"] = whisper_pmfa.whisper_PMFA_large_v2
+for _i in range(7):
+    MODEL_REGISTRY[f"ReDimNetB{_i}"] = getattr(redimnet, f"ReDimNetB{_i}")
 
 # 19 RepVGG variants (REPVGG_TINY_A0 ... REPVGG_D2SE)
 MODEL_REGISTRY.update(repvgg.REPVGG_FACTORIES)
