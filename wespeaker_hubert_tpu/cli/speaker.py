@@ -1,0 +1,320 @@
+"""User-facing Speaker API + CLI.
+
+Reference: wespeaker/cli/speaker.py — Speaker:38 (extract_embedding:123
+with optional VAD, compute_similarity:181 with [-1,1]->[0,1] normalized
+cosine :189-192, register/recognize:194-212 in-memory enrollment,
+diarize:214 full VAD->subseg->embed->cluster->merge pipeline,
+extract_embedding_list:170), load_model:300 / load_model_pt:306, CLI
+main:325 with tasks embedding / embedding_kaldi / similarity /
+diarization / diarization_list (cli/utils.py:19).
+
+Model loading is from a local model directory (config.yaml +
+avg_model.ckpt as produced by bin/train + bin/average_model); the
+reference's modelscope Hub download (cli/hub.py) has no offline
+equivalent — `load_model(<alias>)` raises with instructions unless the
+alias is a directory path.  VAD uses the offline energy VAD (diar/sad.py)
+instead of silero.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import read_wav
+from ..diar import (
+    density_cluster,
+    energy_vad,
+    merge_segments,
+    spectral_cluster,
+    subsegment_fbank,
+    write_rttm,
+)
+from ..ops.fbank import FbankConfig, fbank
+from ..ops.feature_utils import apply_cmvn
+from ..train import make_eval_embed
+from ..utils.checkpoint import load_partial
+from ..utils.config import load_config
+from .. import bin as _bin  # noqa: F401  (keeps package import graph tight)
+from ..bin.train import build_speaker_net
+from ..ops.pipeline import FeaturePipelineConfig
+
+__all__ = ["Speaker", "load_model"]
+
+
+class Speaker:
+    def __init__(self, model_dir: str):
+        config = load_config(os.path.join(model_dir, "config.yaml"))
+        ckpt = None
+        for cand in ("avg_model.ckpt", "final_model.ckpt"):
+            p = os.path.join(model_dir, cand)
+            if os.path.exists(p):
+                ckpt = p
+                break
+        if ckpt is None:
+            # newest epoch checkpoint
+            from ..utils.checkpoint import latest_checkpoint
+
+            ckpt = latest_checkpoint(os.path.join(model_dir, "models"))
+        assert ckpt, f"no checkpoint found under {model_dir}"
+
+        self.config = config
+        fb = config.get("dataset_args", {}).get("fbank_args", {})
+        self.fbank_cfg = FbankConfig(
+            num_mel_bins=fb.get("num_mel_bins", 80),
+            frame_shift_ms=fb.get("frame_shift", 10),
+            frame_length_ms=fb.get("frame_length", 25),
+            dither=0.0,
+        )
+        self.resample_rate = config.get("dataset_args", {}).get(
+            "resample_rate", 16000
+        )
+        self.apply_vad = False
+        self.net = build_speaker_net(config, num_class=2)
+        feat_dim = self.fbank_cfg.num_mel_bins
+        variables = self.net.init(
+            jax.random.key(0),
+            jnp.zeros((1, 100, feat_dim)),
+            jnp.zeros((1,), jnp.int32),
+            0.0,
+            train=False,
+        )
+        target = {
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+        }
+        restored, _, _ = load_partial(ckpt, target)
+        self.variables = {
+            "params": restored["params"],
+            "batch_stats": restored["batch_stats"],
+        }
+        self._embed_fn = make_eval_embed(
+            self.net,
+            feature_cfg=FeaturePipelineConfig(
+                fbank=self.fbank_cfg, spec_aug=False
+            ),
+        )
+        self.table: Dict[str, np.ndarray] = {}
+        # diarization params (reference cli defaults)
+        self.diar_window_secs = 1.5
+        self.diar_period_secs = 0.75
+
+    # ------------------------------------------------------------ basics
+    def set_vad(self, enable: bool):
+        self.apply_vad = enable
+
+    def _load_audio(self, audio_path: str) -> np.ndarray:
+        wav, sr = read_wav(audio_path)
+        assert sr == self.resample_rate, (
+            f"{audio_path}: sample rate {sr} != {self.resample_rate}; "
+            "resample offline"
+        )
+        return wav
+
+    def extract_embedding_from_pcm(self, wav: np.ndarray) -> np.ndarray:
+        if self.apply_vad:
+            segs = energy_vad(wav, self.resample_rate)
+            if segs:
+                wav = np.concatenate(
+                    [
+                        wav[int(b * self.resample_rate) : int(e * self.resample_rate)]
+                        for b, e in segs
+                    ]
+                )
+        emb = self._embed_fn(
+            self.variables,
+            {
+                "wav": jnp.asarray(wav[None]),
+                "length": jnp.asarray([len(wav)]),
+            },
+        )
+        return np.asarray(emb[0])
+
+    def extract_embedding(self, audio_path: str) -> np.ndarray:
+        return self.extract_embedding_from_pcm(self._load_audio(audio_path))
+
+    def extract_embedding_list(self, scp_path: str):
+        """wav.scp (utt path per line) -> (names, embeddings)
+        (reference :170-180)."""
+        names, embs = [], []
+        with open(scp_path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 2:
+                    continue
+                names.append(parts[0])
+                embs.append(self.extract_embedding(parts[1]))
+        return names, embs
+
+    # ------------------------------------------------------- verification
+    def compute_similarity(self, audio_path1: str, audio_path2: str) -> float:
+        e1 = self.extract_embedding(audio_path1)
+        e2 = self.extract_embedding(audio_path2)
+        return self.cosine_similarity(e1, e2)
+
+    @staticmethod
+    def cosine_similarity(e1: np.ndarray, e2: np.ndarray) -> float:
+        """Cosine mapped from [-1,1] to [0,1] (reference :189-192)."""
+        s = float(
+            np.dot(e1, e2) / (np.linalg.norm(e1) * np.linalg.norm(e2))
+        )
+        return (s + 1.0) / 2.0
+
+    def register(self, name: str, audio_path: str):
+        assert name not in self.table, f"speaker {name} already registered"
+        self.table[name] = self.extract_embedding(audio_path)
+
+    def recognize(self, audio_path: str):
+        q = self.extract_embedding(audio_path)
+        best_name, best_score = "", 0.0
+        for name, e in self.table.items():
+            score = self.cosine_similarity(q, e)
+            if score > best_score:
+                best_name, best_score = name, score
+        return {"name": best_name, "confidence": best_score}
+
+    # ------------------------------------------------------- diarization
+    def diarize(
+        self,
+        audio_path: str,
+        utt: str = "unk",
+        clusterer: str = "density",
+    ) -> List[Tuple[str, float, float, int]]:
+        """(utt, begin, end, speaker) list (reference :214-281):
+        VAD -> per-segment fbank -> 1.5s/0.75s subsegments -> batched
+        embedding -> clustering -> merged segments."""
+        wav = self._load_audio(audio_path)
+        vad_segments = energy_vad(wav, self.resample_rate)
+        if not vad_segments:
+            return []
+
+        subsegs, fbanks = [], []
+        for begin, end in vad_segments:
+            b_idx = int(begin * self.resample_rate)
+            e_idx = int(end * self.resample_rate)
+            seg = wav[b_idx:e_idx]
+            feats, _ = fbank(jnp.asarray(seg[None]), self.fbank_cfg)
+            feats = np.asarray(feats[0])
+            seg_id = f"{utt}-{int(begin * 1000):08d}-{int(end * 1000):08d}"
+            s, m = subsegment_fbank(
+                feats, seg_id,
+                window_fs=int(self.diar_window_secs * 100),
+                period_fs=int(self.diar_period_secs * 100),
+            )
+            subsegs += s
+            fbanks += m
+
+        embeddings = self._extract_embedding_feats(np.stack(fbanks))
+
+        if clusterer == "spectral":
+            labels = spectral_cluster(embeddings)
+        else:
+            labels = density_cluster(embeddings)
+
+        utt_to_subseg_labels = {}
+        from ..diar.subsegment import parse_subseg_id
+
+        items = []
+        for sub, lab in zip(subsegs, labels):
+            u, b, e = parse_subseg_id(sub)
+            items.append((b, e, str(lab)))
+        items.sort()
+        merged = merge_segments({utt: items})
+        return [(u, b, e, int(lab)) for (u, b, e, lab) in merged]
+
+    def _extract_embedding_feats(
+        self, fbanks: np.ndarray, batch_size: int = 32
+    ) -> np.ndarray:
+        """Batched forward over fixed-size fbank windows with per-window
+        CMN (reference :106-121)."""
+        out = []
+        for s in range(0, len(fbanks), batch_size):
+            chunk = jnp.asarray(fbanks[s : s + batch_size])
+            chunk = apply_cmvn(chunk)
+            emb = self.net.apply(
+                self.variables, chunk, train=False, method=self.net.embed
+            )
+            out.append(np.asarray(emb))
+        return np.concatenate(out)
+
+    def make_rttm(self, merged_segments, outfile: str):
+        write_rttm(
+            outfile,
+            [(u, b, e, f"spk{lab}") for (u, b, e, lab) in merged_segments],
+        )
+
+
+def load_model(model_dir_or_alias: str) -> Speaker:
+    """Load from a local model directory (reference load_model:300
+    additionally resolves modelscope aliases — unavailable offline)."""
+    if os.path.isdir(model_dir_or_alias):
+        return Speaker(model_dir_or_alias)
+    raise ValueError(
+        f"{model_dir_or_alias!r} is not a local model directory. "
+        "Pretrained-model download (reference cli/hub.py) requires network "
+        "access; pass a directory containing config.yaml + a checkpoint."
+    )
+
+
+def main():
+    import argparse
+
+    parser = argparse.ArgumentParser("wespeaker-tpu")
+    parser.add_argument(
+        "-t", "--task",
+        choices=["embedding", "embedding_kaldi", "similarity",
+                 "diarization", "diarization_list"],
+        default="embedding",
+    )
+    parser.add_argument("-p", "--pretrain", required=True,
+                        help="model directory")
+    parser.add_argument("--audio_file", default=None)
+    parser.add_argument("--audio_file2", default=None)
+    parser.add_argument("--wav_scp", default=None)
+    parser.add_argument("--output_file", default=None)
+    parser.add_argument("--vad", action="store_true")
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    model = load_model(args.pretrain)
+    model.set_vad(args.vad)
+
+    if args.task == "embedding":
+        emb = model.extract_embedding(args.audio_file)
+        out = args.output_file or "embedding.txt"
+        np.savetxt(out, emb)
+        print(f"embedding -> {out}")
+    elif args.task == "embedding_kaldi":
+        names, embs = model.extract_embedding_list(args.wav_scp)
+        from ..utils.embeddings import save_embeddings
+
+        save_embeddings(args.output_file, names, np.stack(embs))
+        print(f"{len(names)} embeddings -> {args.output_file}")
+    elif args.task == "similarity":
+        print(model.compute_similarity(args.audio_file, args.audio_file2))
+    elif args.task == "diarization":
+        segs = model.diarize(args.audio_file)
+        if args.output_file:
+            model.make_rttm(segs, args.output_file)
+        else:
+            for u, b, e, lab in segs:
+                print(f"{u} {b:.3f} {e:.3f} spk{lab}")
+    elif args.task == "diarization_list":
+        with open(args.wav_scp) as f, open(args.output_file, "w") as out:
+            for line in f:
+                utt, path = line.split()[:2]
+                segs = model.diarize(path, utt=utt)
+                for u, b, e, lab in segs:
+                    out.write(
+                        f"SPEAKER {u} 1 {b:.3f} {e - b:.3f} "
+                        f"<NA> <NA> spk{lab} <NA> <NA>\n"
+                    )
+
+
+if __name__ == "__main__":
+    main()
