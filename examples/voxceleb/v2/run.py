@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""VoxCeleb2 supervised recipe driver — the Python replacement for the
+reference's staged bash pipeline (reference examples/voxceleb/v2/run.sh:
+stage 1 data prep -> 2 shard lists -> 3 torchrun train -> 4 avg+extract ->
+5 cosine score + metrics -> 6 AS-Norm -> 7 QMF -> 8 export).
+
+Every stage is a Python function over the framework's bin modules; file
+formats: JSONL/tar-shard data lists, npz embedding sets, text score files.
+
+Usage:
+  python run.py --stage 3 --stop_stage 6 --config conf/ecapa_tdnn.yaml \
+      --data_root data/ --trials data/vox1/trials/vox1_O_cleaned.kaldi
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "../../.."))
+
+from wespeaker_hubert_tpu.bin.average_model import average_model
+from wespeaker_hubert_tpu.bin.extract import extract
+from wespeaker_hubert_tpu.bin.score import (
+    compute_metrics,
+    score_norm,
+    score_trials,
+)
+from wespeaker_hubert_tpu.bin.tools import (
+    build_aug_store,
+    make_raw_list,
+    make_shard_list,
+    vector_mean,
+    wav2dur,
+)
+from wespeaker_hubert_tpu.bin.train import train
+from wespeaker_hubert_tpu.backend.calibration import (
+    apply_calibration,
+    gather_factors,
+    train_calibration,
+)
+from wespeaker_hubert_tpu.utils.config import load_config
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--stage", type=int, default=3)
+    p.add_argument("--stop_stage", type=int, default=6)
+    p.add_argument("--config", default="conf/ecapa_tdnn.yaml")
+    p.add_argument("--data_root", default="data")
+    p.add_argument("--trials", nargs="+", default=[])
+    p.add_argument("--asnorm_top_n", type=int, default=300)
+    args = p.parse_args()
+
+    config = load_config(args.config)
+    exp_dir = config["exp_dir"]
+    models_dir = os.path.join(exp_dir, "models")
+    avg_ckpt = os.path.join(exp_dir, "avg_model.ckpt")
+    emb_dir = os.path.join(exp_dir, "embeddings")
+    score_dir = os.path.join(exp_dir, "scores")
+
+    def in_range(s):
+        return args.stage <= s <= args.stop_stage
+
+    if in_range(1):
+        print("stage 1: build aug stores (MUSAN + RIRs)")
+        build_aug_store(
+            os.path.join(args.data_root, "musan/wav.scp"),
+            os.path.join(args.data_root, "musan_aug_store"),
+        )
+        build_aug_store(
+            os.path.join(args.data_root, "rirs/wav.scp"),
+            os.path.join(args.data_root, "rirs_aug_store"),
+        )
+
+    if in_range(2):
+        print("stage 2: data lists")
+        for dset in ("vox2_dev", "vox1"):
+            d = os.path.join(args.data_root, dset)
+            if config.get("data_type", "shard") == "shard" and dset == "vox2_dev":
+                make_shard_list(
+                    os.path.join(d, "wav.scp"),
+                    os.path.join(d, "utt2spk"),
+                    os.path.join(d, "shards"),
+                    os.path.join(d, "shard.list"),
+                )
+            make_raw_list(
+                os.path.join(d, "wav.scp"),
+                os.path.join(d, "utt2spk"),
+                os.path.join(d, "raw.list"),
+            )
+
+    if in_range(3):
+        print("stage 3: train")
+        train(config)
+
+    if in_range(4):
+        print("stage 4: average + extract")
+        average_model(models_dir, avg_ckpt, num=config.get("num_avg", 10))
+        for name in ("vox1", "vox2_dev"):
+            extract(
+                config,
+                os.path.join(args.data_root, name, "raw.list"),
+                avg_ckpt,
+                os.path.join(emb_dir, f"{name}.npz"),
+            )
+
+    if in_range(5):
+        print("stage 5: cosine score + metrics")
+        # train-set mean vector for score normalization
+        import numpy as np
+
+        from wespeaker_hubert_tpu.utils.embeddings import load_embeddings
+
+        _, cohort_emb = load_embeddings(os.path.join(emb_dir, "vox2_dev.npz"))
+        mean_vec_path = os.path.join(emb_dir, "vox2_dev_mean.npy")
+        np.save(mean_vec_path, cohort_emb.mean(0))
+        files = score_trials(
+            os.path.join(emb_dir, "vox1.npz"), args.trials, score_dir,
+            mean_vec_path,
+        )
+        for f in files:
+            eer, mindcf = compute_metrics(f)
+            print(f"{os.path.basename(f)}: EER {eer:.3f}% minDCF {mindcf:.4f}")
+
+    if in_range(6):
+        print("stage 6: AS-Norm")
+        cohort_path = os.path.join(emb_dir, "vox2_dev_spk_mean.npz")
+        vector_mean(
+            os.path.join(emb_dir, "vox2_dev.npz"),
+            os.path.join(args.data_root, "vox2_dev", "utt2spk"),
+            cohort_path,
+        )
+        for trial in args.trials:
+            base = os.path.join(score_dir, os.path.basename(trial) + ".score")
+            normed = score_norm(
+                base, base + ".asnorm",
+                os.path.join(emb_dir, "vox1.npz"), cohort_path,
+                method="asnorm", top_n=args.asnorm_top_n,
+                mean_vec_path=os.path.join(emb_dir, "vox2_dev_mean.npy"),
+            )
+            eer, mindcf = compute_metrics(normed)
+            print(f"{os.path.basename(normed)}: EER {eer:.3f}% minDCF {mindcf:.4f}")
+
+    if in_range(7):
+        print("stage 7: QMF calibration")
+        import numpy as np
+
+        dur_path = os.path.join(args.data_root, "vox1", "utt2dur")
+        if not os.path.exists(dur_path):
+            wav2dur(os.path.join(args.data_root, "vox1", "wav.scp"), dur_path)
+        durations = {
+            u: float(d)
+            for u, d in (ln.split() for ln in open(dur_path))
+        }
+        for trial in args.trials:
+            normed = os.path.join(
+                score_dir, os.path.basename(trial) + ".score.asnorm"
+            )
+            lines = [ln for ln in open(normed)]
+            factors, meta = gather_factors(lines, durations)
+            labels = np.asarray(
+                [1 if m[2] == "target" else 0 for m in meta]
+            )
+            params, loss = train_calibration(factors, labels)
+            calibrated = apply_calibration(params, factors)
+            out = normed + ".qmf"
+            with open(out, "w") as f:
+                for (e, t, lab), s in zip(meta, calibrated):
+                    f.write(f"{e} {t} {s:.5f} {lab}\n")
+            eer, mindcf = compute_metrics(out)
+            print(f"{os.path.basename(out)}: EER {eer:.3f}% minDCF {mindcf:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,199 @@
+"""Data-preparation tools.
+
+Equivalents of the reference's tools/ (reference: tools/make_raw_list.py,
+tools/make_shard_list.py (tar shards, multiprocess), tools/vector_mean.py
+(speaker-level means for the AS-Norm cohort), tools/wav2dur.py (durations
+for QMF)) plus an AugStore builder replacing tools/make_lmdb.py.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import tarfile
+import wave
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "make_raw_list",
+    "make_shard_list",
+    "vector_mean",
+    "wav2dur",
+    "build_aug_store",
+]
+
+
+def _read_table(path: str) -> List[List[str]]:
+    with open(path) as f:
+        return [line.split() for line in f if line.strip()]
+
+
+def make_raw_list(
+    wav_scp: str, utt2spk: str, out_list: str,
+    vad_file: Optional[str] = None,
+) -> int:
+    """wav.scp + utt2spk (+ optional vad segments) -> JSONL raw list
+    (reference tools/make_raw_list.py)."""
+    utt2wav = {u: w for u, w in ( r[:2] for r in _read_table(wav_scp))}
+    utt2spk_map = {u: s for u, s in (r[:2] for r in _read_table(utt2spk))}
+    vad: Dict[str, list] = {}
+    if vad_file:
+        for row in _read_table(vad_file):
+            # seg_id utt begin end
+            vad.setdefault(row[1], []).append((row[2], row[3]))
+    n = 0
+    with open(out_list, "w") as f:
+        for utt, wav in utt2wav.items():
+            if utt not in utt2spk_map:
+                continue
+            obj = {"key": utt, "wav": wav, "spk": utt2spk_map[utt]}
+            if utt in vad:
+                obj["vad"] = vad[utt]
+            f.write(json.dumps(obj) + "\n")
+            n += 1
+    return n
+
+
+def _write_shard(args) -> str:
+    shard_path, items = args
+    with tarfile.open(shard_path, "w") as tf:
+        for utt, wav_path, spk in items:
+            tf.add(wav_path, arcname=f"{utt}.wav")
+            spk_bytes = spk.encode()
+            info = tarfile.TarInfo(f"{utt}.spk")
+            info.size = len(spk_bytes)
+            import io
+
+            tf.addfile(info, io.BytesIO(spk_bytes))
+    return shard_path
+
+
+def make_shard_list(
+    wav_scp: str,
+    utt2spk: str,
+    shards_dir: str,
+    out_list: str,
+    num_utts_per_shard: int = 1000,
+    num_workers: int = 4,
+    shuffle: bool = True,
+    seed: int = 42,
+) -> List[str]:
+    """Pack utterances into webdataset-style tar shards
+    (reference tools/make_shard_list.py)."""
+    os.makedirs(shards_dir, exist_ok=True)
+    utt2wav = {u: w for u, w in (r[:2] for r in _read_table(wav_scp))}
+    utt2spk_map = {u: s for u, s in (r[:2] for r in _read_table(utt2spk))}
+    items = [
+        (u, utt2wav[u], utt2spk_map[u])
+        for u in utt2wav
+        if u in utt2spk_map
+    ]
+    if shuffle:
+        rng = np.random.default_rng(seed)
+        rng.shuffle(items)
+    chunks = [
+        items[i : i + num_utts_per_shard]
+        for i in range(0, len(items), num_utts_per_shard)
+    ]
+    tasks = [
+        (os.path.join(shards_dir, f"shard_{i:06d}.tar"), chunk)
+        for i, chunk in enumerate(chunks)
+    ]
+    if num_workers > 1 and len(tasks) > 1:
+        with mp.Pool(num_workers) as pool:
+            paths = pool.map(_write_shard, tasks)
+    else:
+        paths = [_write_shard(t) for t in tasks]
+    with open(out_list, "w") as f:
+        for p in paths:
+            f.write(p + "\n")
+    return paths
+
+
+def vector_mean(emb_path: str, utt2spk: str, out_path: str) -> int:
+    """Per-speaker mean embeddings -> npz set (reference
+    tools/vector_mean.py; feeds the AS-Norm cohort)."""
+    from ..utils.embeddings import load_embeddings, save_embeddings, speaker_means
+
+    keys, emb = load_embeddings(emb_path)
+    utt2spk_map = {u: s for u, s in (r[:2] for r in _read_table(utt2spk))}
+    spks, means = speaker_means(keys, emb, utt2spk_map)
+    save_embeddings(out_path, spks, means)
+    return len(spks)
+
+
+def wav2dur(wav_scp: str, out_path: str) -> Dict[str, float]:
+    """utt -> duration seconds (reference tools/wav2dur.py; QMF factor)."""
+    out = {}
+    with open(out_path, "w") as f:
+        for utt, path in (r[:2] for r in _read_table(wav_scp)):
+            with wave.open(path, "rb") as w:
+                dur = w.getnframes() / w.getframerate()
+            out[utt] = dur
+            f.write(f"{utt} {dur:.3f}\n")
+    return out
+
+
+def build_aug_store(wav_scp: str, out_dir: str):
+    """MUSAN/RIR wav.scp -> AugStore directory (replaces tools/make_lmdb.py;
+    keys keep their noise/speech/music prefixes for SNR banding)."""
+    from ..data.aug_store import AugStore
+
+    items = [(u, p) for u, p in (r[:2] for r in _read_table(wav_scp))]
+    return AugStore.build_from_wavs(out_dir, items)
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("make_raw_list")
+    s.add_argument("wav_scp")
+    s.add_argument("utt2spk")
+    s.add_argument("out_list")
+    s.add_argument("--vad", default=None)
+
+    s = sub.add_parser("make_shard_list")
+    s.add_argument("wav_scp")
+    s.add_argument("utt2spk")
+    s.add_argument("shards_dir")
+    s.add_argument("out_list")
+    s.add_argument("--num_utts_per_shard", type=int, default=1000)
+    s.add_argument("--num_workers", type=int, default=4)
+
+    s = sub.add_parser("vector_mean")
+    s.add_argument("emb_path")
+    s.add_argument("utt2spk")
+    s.add_argument("out_path")
+
+    s = sub.add_parser("wav2dur")
+    s.add_argument("wav_scp")
+    s.add_argument("out_path")
+
+    s = sub.add_parser("build_aug_store")
+    s.add_argument("wav_scp")
+    s.add_argument("out_dir")
+
+    args = p.parse_args()
+    if args.cmd == "make_raw_list":
+        print(make_raw_list(args.wav_scp, args.utt2spk, args.out_list, args.vad))
+    elif args.cmd == "make_shard_list":
+        print(len(make_shard_list(args.wav_scp, args.utt2spk, args.shards_dir,
+                                  args.out_list, args.num_utts_per_shard,
+                                  args.num_workers)))
+    elif args.cmd == "vector_mean":
+        print(vector_mean(args.emb_path, args.utt2spk, args.out_path))
+    elif args.cmd == "wav2dur":
+        print(len(wav2dur(args.wav_scp, args.out_path)))
+    elif args.cmd == "build_aug_store":
+        store = build_aug_store(args.wav_scp, args.out_dir)
+        print(len(store))
+
+
+if __name__ == "__main__":
+    main()

@@ -61,13 +61,38 @@ def read_spk2id(train_label_path: str) -> Dict[str, int]:
 
 
 def build_speaker_net(config: dict, num_class: int) -> SpeakerNet:
+    """Assemble frontend (optional) -> backbone -> projection (reference
+    bin/train.py:109-145)."""
     model_args = dict(config.get("model_args", {}))
+    dataset_args = config.get("dataset_args", {})
+    frontend = None
+    if dataset_args.get("frontend", "fbank") == "s3prl":
+        from ..frontend import SSLEncoderConfig, SSLFrontend
+
+        s3prl_args = dataset_args.get("s3prl_args", {})
+        upstream = s3prl_args.get("upstream", "wavlm_large")
+        enc_cfg = getattr(SSLEncoderConfig, upstream)()
+        frontend = SSLFrontend(
+            enc_cfg, frozen=s3prl_args.get("frozen", True)
+        )
+        model_args["feat_dim"] = enc_cfg.hidden_size
+    elif dataset_args.get("frontend") == "whisper_encoder":
+        from ..frontend import WhisperEncoder, WhisperEncoderConfig
+
+        wargs = dataset_args.get("whisper_encoder_args", {})
+        wcfg = getattr(
+            WhisperEncoderConfig, wargs.get("variant", "large_v2")
+        )()
+        frontend = WhisperEncoder(wcfg)
+        model_args["feat_dim"] = wcfg.output_size
     backbone = get_speaker_model(config["model"])(**model_args)
     proj_conf = dict(config.get("projection_args", {}))
     proj_conf.setdefault("embed_dim", model_args.get("embed_dim", 192))
     proj_conf["num_class"] = num_class
     projection = get_projection(proj_conf)
-    return SpeakerNet(backbone=backbone, projection=projection)
+    return SpeakerNet(
+        backbone=backbone, projection=projection, frontend=frontend
+    )
 
 
 def _feature_cfg(dataset_args: dict) -> FeaturePipelineConfig:
@@ -183,19 +208,54 @@ def train(config: str | dict, **overrides):
         update_margin=m_args.get("update_margin", True),
     )
     opt_args = config.get("optimizer_args", {})
+    freeze_paths = ()
+    if net.frontend is not None and getattr(net.frontend, "frozen", False):
+        freeze_paths = (("frontend", "upstream"),)
     tx = make_optimizer(
         lr_schedule,
         config.get("optimizer", "SGD"),
         momentum=opt_args.get("momentum", 0.9),
         nesterov=opt_args.get("nesterov", True),
         weight_decay=opt_args.get("weight_decay", 1e-4),
+        freeze_paths=freeze_paths,
     )
 
     # ---- state (+resume / partial init)
-    feat_dim = feature_cfg.fbank.num_mel_bins
-    feats_ex = jnp.zeros((batch_size, pipe_cfg.num_frms, feat_dim))
+    example_wav = None
+    if net.frontend is not None:
+        from ..frontend import feat_extract_output_lengths
+
+        chunk = pipe.chunk_samples
+        example_wav = jnp.zeros((batch_size, chunk))
+        t_ex = int(feat_extract_output_lengths(net.frontend.cfg, chunk)) if hasattr(net.frontend, "cfg") and hasattr(net.frontend.cfg, "conv_kernel") else pipe_cfg.num_frms
+        feat_dim = net.backbone.feat_dim
+        feats_ex = jnp.zeros((batch_size, t_ex, feat_dim))
+    else:
+        feat_dim = feature_cfg.fbank.num_mel_bins
+        feats_ex = jnp.zeros((batch_size, pipe_cfg.num_frms, feat_dim))
     label_ex = jnp.zeros((batch_size,), jnp.int32)
-    state = create_train_state(net, tx, jax.random.key(seed), feats_ex, label_ex)
+    state = create_train_state(
+        net, tx, jax.random.key(seed), feats_ex, label_ex,
+        example_wav=example_wav,
+    )
+
+    # HF checkpoint import for the SSL frontend (weight-for-weight)
+    s3prl_args = dataset_args.get("s3prl_args", {})
+    if net.frontend is not None and s3prl_args.get("hf_checkpoint"):
+        from ..frontend import convert_hf_state_dict
+
+        import numpy as _np
+
+        sd = _np.load(s3prl_args["hf_checkpoint"], allow_pickle=True)
+        sd = dict(sd.item()) if hasattr(sd, "item") else dict(sd)
+        upstream_params = convert_hf_state_dict(sd, net.frontend.cfg)
+        params = dict(state.params)
+        frontend_params = dict(params["frontend"])
+        frontend_params["upstream"] = upstream_params
+        params["frontend"] = frontend_params
+        state = state.replace(params=params)
+        logger.info("imported SSL frontend weights from %s",
+                    s3prl_args["hf_checkpoint"])
 
     start_epoch = 0
     ckpt = config.get("checkpoint") or latest_checkpoint(
