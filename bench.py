@@ -37,12 +37,20 @@ def main():
     nsamp = int(SECONDS * SR)
     feats_example = jnp.zeros((BATCH, 998, 80), jnp.float32)
     variables = model.init(jax.random.key(0), feats_example, train=False)
+    # bf16 params/activations: embeddings cosine vs f32 > 0.9999 (validated
+    # in perf experiments); fbank stays f32 with the matmul-DFT spectrum.
+    variables = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        variables,
+    )
     cfg = FeaturePipelineConfig(fbank=FbankConfig(dither=0.0), spec_aug=False)
 
     @jax.jit
     def extract(wav):
         feats, _ = wav_to_features(wav, cfg, train=False)
-        return model.apply(variables, feats, train=False)
+        return model.apply(
+            variables, feats.astype(jnp.bfloat16), train=False
+        ).astype(jnp.float32)
 
     rng = np.random.default_rng(0)
     wav = jnp.asarray(

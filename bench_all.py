@@ -1,0 +1,188 @@
+"""Extended benchmark suite: extraction throughput across models + dtypes
++ a training-step throughput measurement.  Each result prints as a JSON
+line; bench.py remains the driver's single-line entry point.
+
+Run: python bench_all.py [--models ECAPA_TDNN_c512,ResNet34] [--train]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# reference CPU RTFs (runtime/onnxruntime/README.md:70-90, Xeon 8160 1 thread)
+CPU_RTF = {
+    "ECAPA_TDNN_c512": 0.018351,
+    "ECAPA_TDNN_c1024": 0.041724,
+    "ResNet34": 0.060735,
+    "ResNet152": 0.19366 if True else None,
+    "ResNet221": 0.267511,
+    "ResNet293": 0.364011,
+    "CAMPPlus": 0.022978,
+}
+
+SR = 16000
+
+
+def bench_extract(model_name, batch, seconds, dtype, iters=10):
+    from wespeaker_hubert_tpu.models import (
+        embedding_from_outputs,
+        get_speaker_model,
+    )
+    from wespeaker_hubert_tpu.ops.fbank import FbankConfig
+    from wespeaker_hubert_tpu.ops.pipeline import (
+        FeaturePipelineConfig,
+        wav_to_features,
+    )
+
+    model = get_speaker_model(model_name)(feat_dim=80, embed_dim=192)
+    n = int(seconds * SR)
+    frames = 1 + (n - 400) // 160
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((batch, frames, 80)), train=False
+    )
+    if dtype == "bf16":
+        variables = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32
+            else x,
+            variables,
+        )
+    cfg = FeaturePipelineConfig(fbank=FbankConfig(dither=0.0), spec_aug=False)
+
+    @jax.jit
+    def run(wav):
+        feats, _ = wav_to_features(wav, cfg, train=False)
+        if dtype == "bf16":
+            feats = feats.astype(jnp.bfloat16)
+        out = model.apply(variables, feats, train=False)
+        return embedding_from_outputs(out).astype(jnp.float32)
+
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((batch, n)) * 0.1, jnp.float32)
+    run(wav).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(wav)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return batch * seconds * iters / dt
+
+
+def bench_train_step(model_name, batch, num_frms=200, num_class=17982,
+                     iters=10):
+    """Supervised train-step throughput (audio-seconds/s) with the full
+    in-graph pipeline: speed perturb + reverb/noise + fbank + backbone +
+    class-sharded-capable ArcMargin head + SGD."""
+    from wespeaker_hubert_tpu.data.dataset import chunk_samples_for_frames
+    from wespeaker_hubert_tpu.models import get_projection, get_speaker_model
+    from wespeaker_hubert_tpu.models.speaker_net import SpeakerNet
+    from wespeaker_hubert_tpu.ops.augment import speed_input_len
+    from wespeaker_hubert_tpu.ops.fbank import FbankConfig
+    from wespeaker_hubert_tpu.ops.pipeline import FeaturePipelineConfig
+    from wespeaker_hubert_tpu.train import (
+        ExponentialDecrease,
+        MarginSchedule,
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    backbone = get_speaker_model(model_name)(feat_dim=80, embed_dim=192)
+    projection = get_projection(
+        {"project_type": "arc_margin", "embed_dim": 192,
+         "num_class": num_class, "scale": 32.0}
+    )
+    net = SpeakerNet(backbone=backbone, projection=projection)
+    lr = ExponentialDecrease(
+        num_epochs=150, epoch_iter=1000, initial_lr=0.1, final_lr=5e-5,
+        warm_up_epoch=6,
+    )
+    margin = MarginSchedule(
+        epoch_iter=1000, increase_start_epoch=20, fix_start_epoch=40,
+        initial_margin=0.0, final_margin=0.2,
+    )
+    tx = make_optimizer(lr, "SGD", weight_decay=1e-4)
+    chunk = chunk_samples_for_frames(num_frms)
+    in_len = speed_input_len(chunk)
+    state = create_train_state(
+        net, tx, jax.random.key(0),
+        jnp.zeros((batch, num_frms, 80)), jnp.zeros((batch,), jnp.int32),
+    )
+    fcfg = FeaturePipelineConfig(
+        fbank=FbankConfig(dither=1.0), spec_aug=True
+    )
+    step = make_train_step(net, tx, lr, margin, feature_cfg=fcfg,
+                           chunk_samples=chunk)
+
+    rng = np.random.default_rng(0)
+    b = {
+        "wav": jnp.asarray(
+            rng.standard_normal((batch, in_len)) * 0.1, jnp.float32
+        ),
+        "speed_idx": jnp.asarray(rng.integers(0, 3, batch), jnp.int32),
+        "label": jnp.asarray(rng.integers(0, num_class, batch)),
+        "aug_type": jnp.asarray(rng.integers(0, 3, batch), jnp.int32),
+        "rir": jnp.asarray(rng.standard_normal((batch, 8000)), jnp.float32),
+        "noise": jnp.asarray(
+            rng.standard_normal((batch, chunk)) * 0.05, jnp.float32
+        ),
+        "snr": jnp.full((batch,), 10.0, jnp.float32),
+    }
+    key = jax.random.key(1)
+    state, _ = step(state, b, key)  # compile
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, b, key)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    audio_s = batch * (num_frms * 0.01) * iters
+    return audio_s / dt, batch * iters / dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--models", default="ECAPA_TDNN_c512,ResNet34")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--seconds", type=float, default=10.0)
+    p.add_argument("--train", action="store_true")
+    p.add_argument("--train_model", default="ECAPA_TDNN_GLOB_c1024")
+    p.add_argument("--train_batch", type=int, default=128)
+    args = p.parse_args()
+
+    results = []
+    for name in args.models.split(","):
+        for dtype in ("f32", "bf16"):
+            tp = bench_extract(name, args.batch, args.seconds, dtype)
+            baseline = 1.0 / CPU_RTF[name] if name in CPU_RTF else None
+            row = {
+                "metric": f"{name}_extract_{dtype}",
+                "value": round(tp, 1),
+                "unit": "audio_s/s/chip",
+                "vs_baseline": round(tp * CPU_RTF[name], 2)
+                if name in CPU_RTF
+                else None,
+            }
+            results.append(row)
+            print(json.dumps(row), flush=True)
+
+    if args.train:
+        tp, utts = bench_train_step(args.train_model, args.train_batch)
+        row = {
+            "metric": f"{args.train_model}_train_step",
+            "value": round(tp, 1),
+            "unit": "audio_s/s/chip",
+            "utts_per_s": round(utts, 1),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    main()

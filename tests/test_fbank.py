@@ -55,6 +55,15 @@ class TestFbank:
         assert not np.allclose(np.asarray(a), np.asarray(b))
         np.testing.assert_allclose(np.asarray(c), np.asarray(d))
 
+    def test_matmul_and_fft_spectra_agree(self):
+        rng = np.random.default_rng(5)
+        wav = _rand_wav(rng, 16000)
+        a, _ = fbank(wav[None], FbankConfig(spectrum_impl="matmul"))
+        b, _ = fbank(wav[None], FbankConfig(spectrum_impl="fft"))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-3
+        )
+
     def test_povey_window(self):
         rng = np.random.default_rng(3)
         wav = _rand_wav(rng, 8000)

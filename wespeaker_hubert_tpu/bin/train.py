@@ -299,6 +299,12 @@ def train(config: str | dict, **overrides):
 
     dump_config(config, os.path.join(exp_dir, "config.yaml"))
 
+    from ..utils.observability import MetricsLogger, ThroughputMeter
+
+    mlog = MetricsLogger(os.path.join(exp_dir, "metrics.jsonl"))
+    meter = ThroughputMeter()
+    audio_s_per_batch = batch_size * pipe_cfg.num_frms * 0.01
+
     # ---- epoch loop
     log_interval = config.get("log_batch_interval", 100)
     save_interval = config.get("save_epoch_interval", 5)
@@ -314,11 +320,20 @@ def train(config: str | dict, **overrides):
             state, metrics = step_fn(state, batch, rng)
             n_iter += 1
             if n_iter % log_interval == 0:
+                jax.block_until_ready(metrics["loss"])
+                meter.update(audio_s_per_batch * log_interval, log_interval)
                 logger.info(
-                    "epoch %d iter %d loss %.4f acc %.4f lr %.6f margin %.3f",
+                    "epoch %d iter %d loss %.4f acc %.4f lr %.6f margin %.3f"
+                    " (%.0f audio-s/s)",
                     epoch, n_iter, float(metrics["loss"]),
                     float(metrics["acc"]), float(metrics["lr"]),
-                    float(metrics["margin"]),
+                    float(metrics["margin"]), meter.audio_seconds_per_s,
+                )
+                mlog.log(
+                    int(state.step), epoch=epoch,
+                    loss=metrics["loss"], acc=metrics["acc"],
+                    lr=metrics["lr"], margin=metrics["margin"],
+                    audio_s_per_s=meter.audio_seconds_per_s,
                 )
             if n_iter >= epoch_iter:
                 break

@@ -59,6 +59,11 @@ class FbankConfig:
     use_log: bool = True
     scale_to_int16: bool = True
     compute_dtype: jnp.dtype = jnp.float32
+    # 'fft': XLA rFFT; 'matmul': DFT as two (frame_len, n_bins) matmuls —
+    # the MXU-native form (a 400x257 DFT matrix is tiny; the systolic
+    # array eats it, and it fuses with the windowing elementwise ops,
+    # avoiding TPU's comparatively slow FFT op).
+    spectrum_impl: str = "matmul"
 
     @property
     def frame_length(self) -> int:
@@ -127,8 +132,30 @@ def _fbank_impl(
     )
     frames = frames * window
 
-    spec = jnp.fft.rfft(frames, n=fft_size, axis=-1)  # (B, T, fft/2+1)
-    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    if cfg.spectrum_impl == "matmul":
+        # Real DFT as two matmuls: power[k] = (f @ cos_k)^2 + (f @ sin_k)^2.
+        # The (frame_len, 2*(fft/2+1)) coefficient matrix is a compile-time
+        # constant; XLA maps this straight onto the MXU and fuses the
+        # square/add, which profiles faster than the TPU FFT op for these
+        # tiny transforms.
+        n_bins = fft_size // 2 + 1
+        k = np.arange(n_bins)[None, :]  # only first frame_len rows matter
+        n = np.arange(frame_len)[:, None]
+        ang = 2.0 * np.pi * n * k / fft_size
+        coeffs = np.concatenate(
+            [np.cos(ang), -np.sin(ang)], axis=1
+        ).astype(np.float32)  # (frame_len, 2*n_bins)
+        proj = jnp.einsum(
+            "btl,lk->btk",
+            frames.astype(cfg.compute_dtype),
+            jnp.asarray(coeffs),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        power = proj[..., :n_bins] ** 2 + proj[..., n_bins:] ** 2
+    else:
+        spec = jnp.fft.rfft(frames, n=fft_size, axis=-1)  # (B, T, fft/2+1)
+        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
 
     mel_w = jnp.asarray(
         mel_banks(
