@@ -1,0 +1,278 @@
+// Native host data-loader: multi-threaded WAV decode + chunk assembly.
+//
+// The TPU-native counterpart of the reference's C++ IO layer
+// (reference: runtime/core/frontend/wav.h RIFF parser,
+// runtime/core/utils/blocking_queue.h producer/consumer,
+// runtime/core/utils/thread_pool.h): a worker pool decodes PCM16/PCM32/
+// float32 RIFF files, applies the training chunk policy (random crop or
+// tile-pad, reference processor.py:291-323), and feeds fixed-shape
+// float32 batches through a bounded queue so the host never stalls the
+// chip.  Exposed as a C ABI consumed via ctypes (no pybind11 in the
+// image); the Python wrapper is data/native_loader.py.
+//
+// Build: g++ -O3 -shared -fPIC -std=c++17 -pthread loader.cc -o libloader.so
+
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <queue>
+#include <random>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Sample {
+  std::vector<float> wav;
+  int32_t label;
+  bool ok;
+};
+
+// ---------------------------------------------------------------- wav io
+bool ReadWavMono(const std::string& path, std::vector<float>* out) {
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  if (size < 44) { fclose(f); return false; }
+  std::vector<uint8_t> buf(size);
+  if (fread(buf.data(), 1, size, f) != static_cast<size_t>(size)) {
+    fclose(f);
+    return false;
+  }
+  fclose(f);
+
+  if (memcmp(buf.data(), "RIFF", 4) || memcmp(buf.data() + 8, "WAVE", 4))
+    return false;
+
+  size_t pos = 12;
+  uint16_t audio_fmt = 0, nchan = 0, bits = 0;
+  while (pos + 8 <= buf.size()) {
+    const char* cid = reinterpret_cast<const char*>(buf.data() + pos);
+    uint32_t csize;
+    memcpy(&csize, buf.data() + pos + 4, 4);
+    const uint8_t* body = buf.data() + pos + 8;
+    if (pos + 8 + csize > buf.size()) csize = buf.size() - pos - 8;
+    if (!memcmp(cid, "fmt ", 4) && csize >= 16) {
+      memcpy(&audio_fmt, body, 2);
+      memcpy(&nchan, body + 2, 2);
+      memcpy(&bits, body + 14, 2);
+    } else if (!memcmp(cid, "data", 4) && audio_fmt) {
+      size_t n = 0;
+      std::vector<float> mono;
+      if (audio_fmt == 1 && bits == 16) {
+        n = csize / 2;
+        const int16_t* d = reinterpret_cast<const int16_t*>(body);
+        mono.resize(n);
+        for (size_t i = 0; i < n; ++i) mono[i] = d[i] / 32768.0f;
+      } else if (audio_fmt == 1 && bits == 32) {
+        n = csize / 4;
+        const int32_t* d = reinterpret_cast<const int32_t*>(body);
+        mono.resize(n);
+        for (size_t i = 0; i < n; ++i) mono[i] = d[i] / 2147483648.0f;
+      } else if (audio_fmt == 3 && bits == 32) {
+        n = csize / 4;
+        const float* d = reinterpret_cast<const float*>(body);
+        mono.assign(d, d + n);
+      } else {
+        return false;
+      }
+      if (nchan > 1) {
+        size_t frames = mono.size() / nchan;
+        out->resize(frames);
+        for (size_t i = 0; i < frames; ++i) {
+          float acc = 0;
+          for (int c = 0; c < nchan; ++c) acc += mono[i * nchan + c];
+          (*out)[i] = acc / nchan;
+        }
+      } else {
+        *out = std::move(mono);
+      }
+      return true;
+    }
+    pos += 8 + csize + (csize & 1);
+  }
+  return false;
+}
+
+// ------------------------------------------------------------ chunk policy
+void RandomChunk(const std::vector<float>& wav, int chunk, std::mt19937* rng,
+                 float* out) {
+  const size_t n = wav.size();
+  if (n == 0) {
+    memset(out, 0, sizeof(float) * chunk);
+    return;
+  }
+  if (n >= static_cast<size_t>(chunk)) {
+    std::uniform_int_distribution<size_t> dist(0, n - chunk);
+    size_t start = dist(*rng);
+    memcpy(out, wav.data() + start, sizeof(float) * chunk);
+  } else {
+    // tile-pad (reference processor.py:316-322)
+    size_t off = 0;
+    while (off < static_cast<size_t>(chunk)) {
+      size_t take = std::min(n, chunk - off);
+      memcpy(out + off, wav.data(), sizeof(float) * take);
+      off += take;
+    }
+  }
+}
+
+// ------------------------------------------------------------------ loader
+struct Loader {
+  std::vector<std::string> paths;
+  std::vector<int32_t> labels;
+  int chunk_samples;
+  int batch_size;
+  int min_samples;
+  unsigned seed;
+  int num_threads;
+
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable cv_push, cv_pop;
+  std::queue<Sample> queue;
+  size_t queue_cap;
+  std::atomic<size_t> next_index{0};
+  std::atomic<int> epoch{0};
+  std::atomic<bool> stop{false};
+  std::atomic<int> active_workers{0};
+  std::vector<size_t> order;
+
+  void Shuffle() {
+    order.resize(paths.size());
+    for (size_t i = 0; i < order.size(); ++i) order[i] = i;
+    std::mt19937 rng(seed + 1000003u * epoch.load());
+    std::shuffle(order.begin(), order.end(), rng);
+    next_index = 0;
+  }
+
+  void Worker(int wid) {
+    while (!stop.load()) {
+      size_t idx = next_index.fetch_add(1);
+      if (idx >= order.size()) break;
+      Sample s;
+      s.label = labels[order[idx]];
+      std::vector<float> wav;
+      s.ok = ReadWavMono(paths[order[idx]], &wav) &&
+             wav.size() >= static_cast<size_t>(min_samples);
+      if (s.ok) {
+        // per-(epoch, sample) RNG: the chunk choice is deterministic no
+        // matter which worker picked the sample (batch COMPOSITION is
+        // still thread-order dependent, like any multi-worker loader)
+        std::mt19937 rng(seed + 104729u * epoch.load() +
+                         2654435761u * static_cast<unsigned>(order[idx]));
+        s.wav.resize(chunk_samples);
+        RandomChunk(wav, chunk_samples, &rng, s.wav.data());
+      }
+      {
+        std::unique_lock<std::mutex> lock(mu);
+        cv_push.wait(lock, [this] {
+          return queue.size() < queue_cap || stop.load();
+        });
+        if (stop.load()) break;
+        queue.push(std::move(s));
+      }
+      cv_pop.notify_one();
+    }
+    if (--active_workers == 0) cv_pop.notify_all();
+  }
+
+  void StartEpoch(int e) {
+    JoinWorkers();
+    epoch = e;
+    Shuffle();
+    {
+      std::lock_guard<std::mutex> lock(mu);
+      std::queue<Sample>().swap(queue);
+    }
+    stop = false;
+    active_workers = num_threads;
+    workers.clear();
+    for (int i = 0; i < num_threads; ++i)
+      workers.emplace_back(&Loader::Worker, this, i);
+  }
+
+  void JoinWorkers() {
+    stop = true;
+    cv_push.notify_all();
+    cv_pop.notify_all();
+    for (auto& t : workers)
+      if (t.joinable()) t.join();
+    workers.clear();
+    stop = false;
+  }
+
+  int NextBatch(float* wav_out, int32_t* label_out) {
+    int filled = 0;
+    while (filled < batch_size) {
+      Sample s;
+      {
+        std::unique_lock<std::mutex> lock(mu);
+        cv_pop.wait(lock, [this] {
+          return !queue.empty() || active_workers.load() == 0;
+        });
+        if (queue.empty()) break;  // epoch drained
+        s = std::move(queue.front());
+        queue.pop();
+      }
+      cv_push.notify_one();
+      if (!s.ok) continue;
+      memcpy(wav_out + static_cast<size_t>(filled) * chunk_samples,
+             s.wav.data(), sizeof(float) * chunk_samples);
+      label_out[filled] = s.label;
+      ++filled;
+    }
+    return filled;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* loader_create(const char** paths, const int32_t* labels, int n,
+                    int chunk_samples, int batch_size, int min_samples,
+                    unsigned seed, int num_threads, int queue_cap) {
+  auto* l = new Loader();
+  l->paths.assign(paths, paths + n);
+  l->labels.assign(labels, labels + n);
+  l->chunk_samples = chunk_samples;
+  l->batch_size = batch_size;
+  l->min_samples = min_samples;
+  l->seed = seed;
+  l->num_threads = num_threads > 0 ? num_threads : 4;
+  l->queue_cap = queue_cap > 0 ? queue_cap : 4 * batch_size;
+  return l;
+}
+
+void loader_start_epoch(void* h, int epoch) {
+  static_cast<Loader*>(h)->StartEpoch(epoch);
+}
+
+int loader_next(void* h, float* wav_out, int32_t* label_out) {
+  return static_cast<Loader*>(h)->NextBatch(wav_out, label_out);
+}
+
+void loader_destroy(void* h) {
+  auto* l = static_cast<Loader*>(h);
+  l->JoinWorkers();
+  delete l;
+}
+
+// standalone wav decode for tests / tools
+int decode_wav(const char* path, float* out, int max_samples) {
+  std::vector<float> wav;
+  if (!ReadWavMono(path, &wav)) return -1;
+  int n = std::min<int>(wav.size(), max_samples);
+  memcpy(out, wav.data(), sizeof(float) * n);
+  return static_cast<int>(wav.size());
+}
+
+}  // extern "C"

@@ -1,0 +1,140 @@
+"""ctypes wrapper for the native C++ host data-loader.
+
+Compiles data/native/loader.cc on first use (g++, cached next to the
+source), then drives it through the C ABI.  Falls back cleanly when no
+compiler is available — the pure-Python TrainPipeline covers the same
+contract.  The native path exists for the host-side hot loop the
+reference solves with 16 torch dataloader workers per GPU (SURVEY §7
+"input pipeline throughput"): wav decode + chunking runs in C++ threads,
+Python only hands fixed-shape numpy arrays to the device.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["NativeLoader", "native_available", "decode_wav_native"]
+
+_LIB = None
+_SRC = os.path.join(os.path.dirname(__file__), "native", "loader.cc")
+_SO = os.path.join(os.path.dirname(__file__), "native", "libloader.so")
+
+
+def _build() -> Optional[str]:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+             _SRC, "-o", _SO],
+            check=True, capture_output=True,
+        )
+        return _SO
+    except (OSError, subprocess.CalledProcessError):
+        return None
+
+
+def _lib():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    so = _build()
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.loader_create.restype = ctypes.c_void_p
+    lib.loader_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.loader_start_epoch.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.loader_next.restype = ctypes.c_int
+    lib.loader_next.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.loader_destroy.argtypes = [ctypes.c_void_p]
+    lib.decode_wav.restype = ctypes.c_int
+    lib.decode_wav.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int
+    ]
+    _LIB = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _lib() is not None
+
+
+def decode_wav_native(path: str, max_samples: int = 16000 * 600) -> np.ndarray:
+    lib = _lib()
+    assert lib is not None, "native loader unavailable"
+    buf = np.zeros(max_samples, np.float32)
+    n = lib.decode_wav(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_samples,
+    )
+    if n < 0:
+        raise IOError(f"failed to decode {path}")
+    return buf[: min(n, max_samples)].copy()
+
+
+class NativeLoader:
+    """Fixed-chunk supervised batches from (path, label) lists."""
+
+    def __init__(
+        self,
+        paths: List[str],
+        labels: List[int],
+        chunk_samples: int,
+        batch_size: int,
+        min_samples: int = 16000,
+        seed: int = 42,
+        num_threads: int = 8,
+    ):
+        lib = _lib()
+        assert lib is not None, "native loader unavailable (no g++?)"
+        self._lib = lib
+        self.batch_size = batch_size
+        self.chunk_samples = chunk_samples
+        arr = (ctypes.c_char_p * len(paths))(
+            *[p.encode() for p in paths]
+        )
+        lab = np.asarray(labels, np.int32)
+        self._h = lib.loader_create(
+            arr, lab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(paths), chunk_samples, batch_size, min_samples,
+            seed, num_threads, 4 * batch_size,
+        )
+
+    def epoch(self, epoch: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        self._lib.loader_start_epoch(self._h, epoch)
+        while True:
+            wav = np.zeros((self.batch_size, self.chunk_samples), np.float32)
+            label = np.zeros((self.batch_size,), np.int32)
+            n = self._lib.loader_next(
+                self._h,
+                wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                label.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+            if n < self.batch_size:
+                break  # drop last partial batch (training semantics)
+            yield wav, label
+
+    def close(self):
+        if self._h:
+            self._lib.loader_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
