@@ -1,0 +1,126 @@
+"""bin/tools + export tests: raw/shard list builders, vector_mean,
+wav2dur, aug store builder, model-dir export."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from wespeaker_hubert_tpu.bin.tools import (
+    build_aug_store,
+    make_raw_list,
+    make_shard_list,
+    vector_mean,
+    wav2dur,
+)
+from wespeaker_hubert_tpu.data import (
+    iter_raw_list,
+    iter_tar_shards,
+    load_data_list,
+    write_wav,
+)
+from wespeaker_hubert_tpu.utils.embeddings import (
+    load_embeddings,
+    save_embeddings,
+)
+
+
+@pytest.fixture
+def kaldi_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    wav_scp = tmp_path / "wav.scp"
+    utt2spk = tmp_path / "utt2spk"
+    with open(wav_scp, "w") as ws, open(utt2spk, "w") as us:
+        for i in range(10):
+            p = str(tmp_path / f"u{i}.wav")
+            write_wav(p, rng.standard_normal(16000).astype(np.float32) * 0.1)
+            ws.write(f"utt{i} {p}\n")
+            us.write(f"utt{i} spk{i % 3}\n")
+    return tmp_path
+
+
+def test_make_raw_list(kaldi_dir):
+    out = str(kaldi_dir / "raw.list")
+    n = make_raw_list(
+        str(kaldi_dir / "wav.scp"), str(kaldi_dir / "utt2spk"), out
+    )
+    assert n == 10
+    samples = list(iter_raw_list(load_data_list(out)))
+    assert len(samples) == 10
+    assert samples[0]["spk"].startswith("spk")
+
+
+def test_make_shard_list(kaldi_dir):
+    out = str(kaldi_dir / "shard.list")
+    paths = make_shard_list(
+        str(kaldi_dir / "wav.scp"), str(kaldi_dir / "utt2spk"),
+        str(kaldi_dir / "shards"), out,
+        num_utts_per_shard=4, num_workers=2,
+    )
+    assert len(paths) == 3  # 10 utts / 4
+    samples = list(iter_tar_shards(load_data_list(out)))
+    assert len(samples) == 10
+    assert all("wav" in s and "spk" in s for s in samples)
+
+
+def test_vector_mean(kaldi_dir):
+    rng = np.random.default_rng(1)
+    keys = [f"utt{i}" for i in range(10)]
+    emb = rng.standard_normal((10, 8)).astype(np.float32)
+    emb_path = str(kaldi_dir / "emb.npz")
+    save_embeddings(emb_path, keys, emb)
+    out = str(kaldi_dir / "spk_mean.npz")
+    n = vector_mean(emb_path, str(kaldi_dir / "utt2spk"), out)
+    assert n == 3
+    spks, means = load_embeddings(out)
+    assert spks == ["spk0", "spk1", "spk2"]
+    want = emb[[0, 3, 6, 9]].mean(0)  # spk0 utts 0,3,6,9
+    np.testing.assert_allclose(means[0], want, atol=1e-6)
+
+
+def test_wav2dur(kaldi_dir):
+    out = str(kaldi_dir / "utt2dur")
+    durs = wav2dur(str(kaldi_dir / "wav.scp"), out)
+    assert len(durs) == 10
+    assert all(abs(d - 1.0) < 0.01 for d in durs.values())
+
+
+def test_build_aug_store(kaldi_dir, tmp_path):
+    # prefix keys drive SNR bands
+    scp = tmp_path / "noise.scp"
+    with open(scp, "w") as f:
+        f.write(f"noise-1 {kaldi_dir}/u0.wav\n")
+        f.write(f"music-2 {kaldi_dir}/u1.wav\n")
+    store = build_aug_store(str(scp), str(tmp_path / "store"))
+    assert len(store) == 2
+    rng = np.random.default_rng(0)
+    key, arr = store.random_one(rng)
+    assert key in ("noise-1", "music-2")
+    assert len(arr) == 16000
+
+
+def test_export_model(tmp_path):
+    from wespeaker_hubert_tpu.bin.export_model import export_model
+    from wespeaker_hubert_tpu.utils.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from wespeaker_hubert_tpu.utils.config import dump_config, load_config
+
+    exp = tmp_path / "exp"
+    exp.mkdir()
+    dump_config({"model": "ECAPA_TDNN_c512"}, str(exp / "config.yaml"))
+    save_checkpoint(
+        str(exp / "avg_model.ckpt"), {"params": {"w": np.ones(3)}}
+    )
+    mv = tmp_path / "mean.npy"
+    np.save(mv, np.zeros(3))
+    out = export_model(str(exp), str(tmp_path / "deploy"), mean_vec=str(mv))
+    assert load_config(os.path.join(out, "config.yaml"))["model"]
+    assert load_checkpoint(os.path.join(out, "avg_model.ckpt"))
+    assert os.path.exists(os.path.join(out, "mean_vec.npy"))
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
