@@ -7,6 +7,7 @@ from .mesh import (
     param_shardings,
     replicated,
     shard_batch,
+    shard_tree,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "param_shardings",
     "replicated",
     "shard_batch",
+    "shard_tree",
 ]
