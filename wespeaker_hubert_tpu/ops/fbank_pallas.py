@@ -1,22 +1,21 @@
 """Fused Pallas TPU kernel for the fbank frontend.
 
-One kernel instance processes one utterance row: the waveform is loaded
-to VMEM once and frames never materialize in HBM — framing, DC removal,
-pre-emphasis, windowing, the real-DFT matmuls (MXU), power, mel matmul
-(MXU) and log all happen in VMEM, writing only the (T, M) log-mel back.
-This removes the (B, T, 400) frame tensor and the (B, T, 514) projection
-tensor the XLA path streams through HBM (~6x the input bytes).
+The waveform stays in HBM; each grid step (one batch row x 8 frames)
+DMAs its ~1.5k-sample window into VMEM scratch and computes framing, DC
+removal, pre-emphasis, windowing, the real-DFT matmuls (MXU), power, mel
+matmul (MXU) and log entirely on-chip, writing only the (8, M) log-mel
+tile back.  The (B, T, 400) frame tensor and (B, T, 514) DFT projection
+the XLA path streams through HBM never exist.
 
 Eval-path semantics (dither-free) identical to ops.fbank with
 spectrum_impl='matmul'; the train path keeps the XLA implementation
-(dither needs the threefry PRNG).  Grid: (B, T // 8); each step computes
-8 frames = one (8, frame_pad) @ (frame_pad, 2*n_bins) MXU tile pair.
+(dither needs the threefry PRNG).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +35,6 @@ def _tables(cfg: FbankConfig):
     frame_len = cfg.frame_length
     fft_size = cfg.fft_size
     n_bins = fft_size // 2 + 1
-    # pad the frame axis to a lane multiple for clean MXU tiling
     frame_pad = ((frame_len + 127) // 128) * 128
 
     k = np.arange(n_bins)[None, :]
@@ -52,12 +50,12 @@ def _tables(cfg: FbankConfig):
     mel_w = mel_banks(
         cfg.num_mel_bins, fft_size, float(cfg.sample_rate),
         cfg.low_freq, cfg.high_freq,
-    )  # (n_bins, M)
+    )
     return coeffs, window, mel_w.astype(np.float32), frame_pad, n_bins
 
 
 def _kernel(
-    wav_ref,      # (1, W) VMEM
+    wav_hbm,      # (B, W) in ANY/HBM
     coeffs_ref,   # (frame_pad, 2*n_bins) VMEM
     window_ref,   # (1, frame_pad) VMEM
     mel_ref,      # (n_bins, M) VMEM
@@ -67,39 +65,51 @@ def _kernel(
     frame_pad: int,
     shift: int,
     n_bins: int,
+    span: int,
     preemph: float,
     remove_dc: bool,
     scale: float,
     log_eps: float,
 ):
-    t0 = pl.program_id(1) * FRAMES_PER_STEP
+    b = pl.program_id(0)
+    t0 = pl.program_id(1)
 
-    rows = []
-    for i in range(FRAMES_PER_STEP):
-        start = (t0 + i) * shift
-        # frame + one look-back sample for pre-emphasis
-        f = wav_ref[0, pl.ds(start, frame_len)] * scale
-        if remove_dc:
-            f = f - jnp.mean(f)
-        if preemph != 0.0:
-            prev = jnp.concatenate([f[:1], f[:-1]])
-            f = f - preemph * prev
-        rows.append(
-            jnp.pad(f, (0, frame_pad - frame_len))
+    def body(scratch, sem):
+        # DMA this step's sample window: 8 frames starting at t0*8*shift
+        start = t0 * FRAMES_PER_STEP * shift
+        pltpu.make_async_copy(
+            wav_hbm.at[b, pl.ds(start, span)], scratch.at[0], sem
+        ).start()
+        pltpu.make_async_copy(
+            wav_hbm.at[b, pl.ds(start, span)], scratch.at[0], sem
+        ).wait()
+
+        rows = []
+        for i in range(FRAMES_PER_STEP):
+            f = scratch[0, pl.ds(i * shift, frame_len)] * scale
+            if remove_dc:
+                f = f - jnp.mean(f)
+            if preemph != 0.0:
+                prev = jnp.concatenate([f[:1], f[:-1]])
+                f = f - preemph * prev
+            rows.append(jnp.pad(f, (0, frame_pad - frame_len)))
+        frames = jnp.stack(rows) * window_ref[0][None, :]
+
+        proj = jnp.dot(
+            frames, coeffs_ref[:], preferred_element_type=jnp.float32
         )
-    frames = jnp.stack(rows) * window_ref[0][None, :]  # (8, frame_pad)
+        power = proj[:, :n_bins] ** 2 + proj[:, n_bins:] ** 2
+        mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
+        out_ref[0] = jnp.log(jnp.maximum(mel, log_eps))
 
-    proj = jnp.dot(
-        frames, coeffs_ref[:], preferred_element_type=jnp.float32
-    )  # (8, 2*n_bins)
-    power = proj[:, :n_bins] ** 2 + proj[:, n_bins:] ** 2
-    mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
-    out_ref[0] = jnp.log(jnp.maximum(mel, log_eps))
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((1, span), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA(()),
+    )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def fbank_pallas(
     wav: jax.Array,
     cfg: FbankConfig = FbankConfig(dither=0.0),
@@ -116,8 +126,9 @@ def fbank_pallas(
     t_pad = ((t + FRAMES_PER_STEP - 1) // FRAMES_PER_STEP) * FRAMES_PER_STEP
 
     coeffs, window, mel_w, frame_pad, n_bins = _tables(cfg)
-    # pad wav so the last (padded) frame's slice stays in bounds
-    need = (t_pad - 1) * shift + frame_len
+    # per-step sample span, lane-aligned
+    span = ((FRAMES_PER_STEP - 1) * shift + frame_len + 127) // 128 * 128
+    need = (t_pad - FRAMES_PER_STEP) * shift + span
     if need > w:
         wav = jnp.pad(wav, ((0, 0), (0, need - w)))
 
@@ -127,6 +138,7 @@ def fbank_pallas(
         frame_pad=frame_pad,
         shift=shift,
         n_bins=n_bins,
+        span=span,
         preemph=cfg.preemph_coeff,
         remove_dc=cfg.remove_dc_offset,
         scale=32768.0 if cfg.scale_to_int16 else 1.0,
@@ -136,10 +148,7 @@ def fbank_pallas(
         kern,
         grid=(b, t_pad // FRAMES_PER_STEP),
         in_specs=[
-            pl.BlockSpec(
-                (1, wav.shape[1]), lambda i, j: (i, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # wav stays in HBM
             pl.BlockSpec(
                 coeffs.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
             ),
