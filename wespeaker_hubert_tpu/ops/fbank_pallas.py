@@ -1,11 +1,14 @@
 """Fused Pallas TPU kernel for the fbank frontend.
 
-The waveform stays in HBM; each grid step (one batch row x 8 frames)
-DMAs its ~1.5k-sample window into VMEM scratch and computes framing, DC
-removal, pre-emphasis, windowing, the real-DFT matmuls (MXU), power, mel
-matmul (MXU) and log entirely on-chip, writing only the (8, M) log-mel
-tile back.  The (B, T, 400) frame tensor and (B, T, 514) DFT projection
-the XLA path streams through HBM never exist.
+Each grid step (one batch row x 8 frames) DMAs its ~1.5k-sample window
+from HBM into VMEM scratch and computes everything on-chip: frame
+gather, DC removal (row mean), pre-emphasis (pltpu.roll + column-0 fix —
+concat-free so Mosaic tiles it), then ONE (8, 400) @ (400, 2*n_bins) MXU
+matmul against the DFT matrix with the window and int16 scale pre-folded
+into it (diagonal factors only — folding the DC/pre-emph cancellations
+would cost f32 precision), square-add power, (8, n_bins) @ (n_bins, M)
+mel matmul, log.  Frames and DFT projections never exist in HBM (the XLA
+path streams ~6x the input bytes through HBM for them).
 
 Eval-path semantics (dither-free) identical to ops.fbank with
 spectrum_impl='matmul'; the train path keeps the XLA implementation
@@ -15,7 +18,6 @@ spectrum_impl='matmul'; the train path keeps the XLA implementation
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,72 +34,77 @@ FRAMES_PER_STEP = 8
 
 
 def _tables(cfg: FbankConfig):
+    """Fold window * int16-scale (pure diagonals — no cancellation) into
+    the DFT matrix; DC removal and pre-emphasis stay in-kernel (their
+    large-term cancellations would lose f32 precision if folded)."""
     frame_len = cfg.frame_length
     fft_size = cfg.fft_size
     n_bins = fft_size // 2 + 1
-    frame_pad = ((frame_len + 127) // 128) * 128
 
     k = np.arange(n_bins)[None, :]
     n = np.arange(frame_len)[:, None]
     ang = 2.0 * np.pi * n * k / fft_size
-    coeffs = np.zeros((frame_pad, 2 * n_bins), np.float32)
-    coeffs[:frame_len, :n_bins] = np.cos(ang)
-    coeffs[:frame_len, n_bins:] = -np.sin(ang)
+    dft = np.concatenate([np.cos(ang), -np.sin(ang)], axis=1)  # (L, 2K)
 
-    window = np.zeros((1, frame_pad), np.float32)
-    window[0, :frame_len] = window_function(cfg.window_type, frame_len)
+    diag = window_function(cfg.window_type, frame_len)
+    if cfg.scale_to_int16:
+        diag = diag * 32768.0
+    effective = (diag[:, None] * dft).astype(np.float32)
 
     mel_w = mel_banks(
         cfg.num_mel_bins, fft_size, float(cfg.sample_rate),
         cfg.low_freq, cfg.high_freq,
-    )
-    return coeffs, window, mel_w.astype(np.float32), frame_pad, n_bins
+    ).astype(np.float32)
+    return effective, mel_w, n_bins
 
 
 def _kernel(
-    wav_hbm,      # (B, W) in ANY/HBM
-    coeffs_ref,   # (frame_pad, 2*n_bins) VMEM
-    window_ref,   # (1, frame_pad) VMEM
+    wav_hbm,      # (B, W) ANY/HBM
+    coeffs_ref,   # (frame_len, 2*n_bins) VMEM
     mel_ref,      # (n_bins, M) VMEM
     out_ref,      # (1, FRAMES_PER_STEP, M) VMEM
     *,
     frame_len: int,
-    frame_pad: int,
     shift: int,
     n_bins: int,
     span: int,
     preemph: float,
     remove_dc: bool,
-    scale: float,
     log_eps: float,
 ):
     b = pl.program_id(0)
     t0 = pl.program_id(1)
 
     def body(scratch, sem):
-        # DMA this step's sample window: 8 frames starting at t0*8*shift
         start = t0 * FRAMES_PER_STEP * shift
-        pltpu.make_async_copy(
+        dma = pltpu.make_async_copy(
             wav_hbm.at[b, pl.ds(start, span)], scratch.at[0], sem
-        ).start()
-        pltpu.make_async_copy(
-            wav_hbm.at[b, pl.ds(start, span)], scratch.at[0], sem
-        ).wait()
+        )
+        dma.start()
+        dma.wait()
 
-        rows = []
-        for i in range(FRAMES_PER_STEP):
-            f = scratch[0, pl.ds(i * shift, frame_len)] * scale
-            if remove_dc:
-                f = f - jnp.mean(f)
-            if preemph != 0.0:
-                prev = jnp.concatenate([f[:1], f[:-1]])
-                f = f - preemph * prev
-            rows.append(jnp.pad(f, (0, frame_pad - frame_len)))
-        frames = jnp.stack(rows) * window_ref[0][None, :]
-
+        frames = jnp.stack(
+            [
+                scratch[0, pl.ds(i * shift, frame_len)]
+                for i in range(FRAMES_PER_STEP)
+            ]
+        )  # (8, frame_len)
+        if remove_dc:
+            frames = frames - jnp.mean(frames, axis=1, keepdims=True)
+        if preemph != 0.0:
+            prev = pltpu.roll(frames, shift=1, axis=1)
+            col0 = (
+                jax.lax.broadcasted_iota(
+                    jnp.int32, frames.shape, dimension=1
+                )
+                == 0
+            )
+            frames = jnp.where(
+                col0, frames * (1.0 - preemph), frames - preemph * prev
+            )
         proj = jnp.dot(
             frames, coeffs_ref[:], preferred_element_type=jnp.float32
-        )
+        )  # (8, 2K)
         power = proj[:, :n_bins] ** 2 + proj[:, n_bins:] ** 2
         mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
         out_ref[0] = jnp.log(jnp.maximum(mel, log_eps))
@@ -125,8 +132,7 @@ def fbank_pallas(
     t = num_frames(w, frame_len, shift)
     t_pad = ((t + FRAMES_PER_STEP - 1) // FRAMES_PER_STEP) * FRAMES_PER_STEP
 
-    coeffs, window, mel_w, frame_pad, n_bins = _tables(cfg)
-    # per-step sample span, lane-aligned
+    coeffs, mel_w, n_bins = _tables(cfg)
     span = ((FRAMES_PER_STEP - 1) * shift + frame_len + 127) // 128 * 128
     need = (t_pad - FRAMES_PER_STEP) * shift + span
     if need > w:
@@ -135,13 +141,11 @@ def fbank_pallas(
     kern = functools.partial(
         _kernel,
         frame_len=frame_len,
-        frame_pad=frame_pad,
         shift=shift,
         n_bins=n_bins,
         span=span,
         preemph=cfg.preemph_coeff,
         remove_dc=cfg.remove_dc_offset,
-        scale=32768.0 if cfg.scale_to_int16 else 1.0,
         log_eps=float(np.finfo(np.float32).eps),
     )
     out = pl.pallas_call(
@@ -151,9 +155,6 @@ def fbank_pallas(
             pl.BlockSpec(memory_space=pltpu.ANY),  # wav stays in HBM
             pl.BlockSpec(
                 coeffs.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                window.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 mel_w.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
@@ -168,5 +169,5 @@ def fbank_pallas(
             (b, t_pad, cfg.num_mel_bins), jnp.float32
         ),
         interpret=interpret,
-    )(wav, jnp.asarray(coeffs), jnp.asarray(window), jnp.asarray(mel_w))
+    )(wav, jnp.asarray(coeffs), jnp.asarray(mel_w))
     return out[:, :t]
