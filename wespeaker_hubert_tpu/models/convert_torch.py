@@ -1,0 +1,194 @@
+"""Torch-reference checkpoint -> flax parameter converters.
+
+Enables (a) importing published WeSpeaker checkpoints and (b) the
+strongest parity gate: reference torch model and our flax model produce
+cosine-identical embeddings from the same weights
+(tests/test_torch_parity.py exercises this against randomly initialized
+reference models).
+
+Layout rules:
+  Conv1d  (out, in, k)        -> (k, in, out)
+  Conv2d  (out, in, kF, kT)   -> (kT, kF, in, out)   [we use (T, F) NHWC,
+                                 the reference uses (B, C, F, T) NCHW]
+  Linear  (out, in)           -> kernel (in, out)
+  BatchNorm -> params {scale, bias} + batch_stats {mean, var}
+The frame-map flatten order differs (reference c*F+f, ours f*C+c), so
+Dense layers consuming flattened (C, F) statistics get their input rows
+permuted (`_stats_permutation`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+__all__ = ["ecapa_from_torch", "resnet_from_torch"]
+
+
+def _np(x):
+    try:
+        return x.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(x)
+
+
+def _conv1d(sd, prefix, bias=True):
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).transpose(2, 1, 0)}
+    if bias and f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _conv2d(sd, prefix):
+    # torch (out, in, kF, kT) -> flax (kT, kF, in, out)
+    return {"kernel": _np(sd[f"{prefix}.weight"]).transpose(3, 2, 1, 0)}
+
+
+def _dense(sd, prefix):
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _dense_from_conv1d(sd, prefix):
+    """1x1 Conv1d used as a per-frame Dense (e.g. ASTP linears)."""
+    w = _np(sd[f"{prefix}.weight"])[:, :, 0]  # (out, in)
+    out = {"kernel": w.T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _bn(sd, prefix, affine=True):
+    params = {}
+    if affine:
+        params = {
+            "scale": _np(sd[f"{prefix}.weight"]),
+            "bias": _np(sd[f"{prefix}.bias"]),
+        }
+    stats = {
+        "mean": _np(sd[f"{prefix}.running_mean"]),
+        "var": _np(sd[f"{prefix}.running_var"]),
+    }
+    return params, stats
+
+
+def _stats_permutation(channels: int, freq: int) -> np.ndarray:
+    """Row permutation for Dense inputs over flattened frame maps:
+    ours index i = f*C + c  ->  reference index c*F + f."""
+    perm = np.zeros(channels * freq, np.int64)
+    for i in range(channels * freq):
+        f, c = divmod(i, channels)
+        perm[i] = c * freq + f
+    return perm
+
+
+# --------------------------------------------------------------- ECAPA
+def ecapa_from_torch(sd: Dict, channels: int = 512) -> Tuple[Dict, Dict]:
+    """Reference ECAPA_TDNN state_dict -> (params, batch_stats)."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(path, p, s=None):
+        node = params
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = p
+        if s is not None:
+            node = stats
+            for k in path[:-1]:
+                node = node.setdefault(k, {})
+            node[path[-1]] = s
+
+    def conv_relu_bn(dst, src):
+        put(dst + ("conv",), _conv1d(sd, src + ".conv"))
+        p, s = _bn(sd, src + ".bn")
+        put(dst + ("bn",), p, s)
+
+    conv_relu_bn(("layer1",), "layer1")
+    for li in (2, 3, 4):
+        base = f"layer{li}.se_res2block"
+        conv_relu_bn((f"layer{li}", "conv1"), base + ".0")
+        # Res2: convs.i / bns.i
+        scale = 8
+        for i in range(scale - 1):
+            put(
+                (f"layer{li}", "res2", f"conv_{i}"),
+                _conv1d(sd, f"{base}.1.convs.{i}"),
+            )
+            p, s = _bn(sd, f"{base}.1.bns.{i}")
+            put((f"layer{li}", "res2", f"bn_{i}"), p, s)
+        conv_relu_bn((f"layer{li}", "conv2"), base + ".2")
+        put((f"layer{li}", "se", "linear1"), _dense(sd, base + ".3.linear1"))
+        put((f"layer{li}", "se", "linear2"), _dense(sd, base + ".3.linear2"))
+
+    put(("conv",), _conv1d(sd, "conv"))
+    put(("pool", "linear1"), _dense_from_conv1d(sd, "pool.linear1"))
+    put(("pool", "linear2"), _dense_from_conv1d(sd, "pool.linear2"))
+    p, s = _bn(sd, "bn")
+    put(("bn",), p, s)
+    put(("linear",), _dense(sd, "linear"))
+    if "bn2.running_mean" in sd:
+        p, s = _bn(sd, "bn2", affine="bn2.weight" in sd)
+        put(("bn2",), p, s)
+    return params, stats
+
+
+# --------------------------------------------------------------- ResNet
+def resnet_from_torch(
+    sd: Dict,
+    num_blocks=(3, 4, 6, 3),
+    block: str = "basic",
+    m_channels: int = 32,
+    feat_dim: int = 80,
+    two_emb_layer: bool = False,
+) -> Tuple[Dict, Dict]:
+    """Reference ResNet state_dict -> (params, batch_stats)."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(path, p, s=None):
+        node = params
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = p
+        if s is not None:
+            node = stats
+            for k in path[:-1]:
+                node = node.setdefault(k, {})
+            node[path[-1]] = s
+
+    put(("conv1",), _conv2d(sd, "conv1"))
+    p, s = _bn(sd, "bn1")
+    put(("bn1",), p, s)
+
+    n_convs = 2 if block == "basic" else 3
+    for li, n in enumerate(num_blocks):
+        for bi in range(n):
+            src = f"layer{li + 1}.{bi}"
+            dst = f"layer{li + 1}_{bi}"
+            for ci in range(1, n_convs + 1):
+                put((dst, f"conv{ci}"), _conv2d(sd, f"{src}.conv{ci}"))
+                p, s = _bn(sd, f"{src}.bn{ci}")
+                put((dst, f"bn{ci}"), p, s)
+            if f"{src}.shortcut.0.weight" in sd:
+                put((dst, "shortcut_conv"), _conv2d(sd, f"{src}.shortcut.0"))
+                p, s = _bn(sd, f"{src}.shortcut.1")
+                put((dst, "shortcut_bn"), p, s)
+
+    # pooled-stats Dense needs the flatten-order permutation
+    expansion = 1 if block == "basic" else 4
+    out_c = m_channels * 8 * expansion
+    out_f = feat_dim // 8
+    perm = _stats_permutation(out_c, out_f)
+    d = out_c * out_f
+    w = _np(sd["seg_1.weight"]).T  # (2d, emb) for TSTP
+    w_ours = np.concatenate([w[perm], w[d + perm]], axis=0)
+    put(("seg_1",), {"kernel": w_ours, "bias": _np(sd["seg_1.bias"])})
+    if two_emb_layer:
+        p, s = _bn(sd, "seg_bn_1", affine=False)
+        put(("seg_bn_1",), p, s)
+        put(("seg_2",), _dense(sd, "seg_2"))
+    return params, stats
