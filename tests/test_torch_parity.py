@@ -1,0 +1,134 @@
+"""Weight-for-weight parity vs the torch reference models: randomly
+initialize the REFERENCE implementation, convert its state_dict with
+models/convert_torch.py, and require cosine ~1.0 between torch and flax
+embeddings on the same inputs.  This is the 'embeddings cosine-allclose
+to the PyTorch reference' quality gate from BASELINE.md.
+
+Skipped when /root/reference or torch is unavailable."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+
+torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "wespeaker")),
+    reason="reference checkout unavailable",
+)
+
+
+@pytest.fixture(scope="module")
+def ref_models():
+    """Import reference model modules with a stub package __init__ (the
+    real one pulls CLI deps like silero that aren't installed)."""
+    if "wespeaker" not in sys.modules or not hasattr(
+        sys.modules.get("wespeaker"), "__path__"
+    ):
+        pkg = types.ModuleType("wespeaker")
+        pkg.__path__ = [os.path.join(REF, "wespeaker")]
+        sys.modules["wespeaker"] = pkg
+    sys.path.insert(0, REF)
+    import wespeaker.models.ecapa_tdnn as ref_ecapa
+    import wespeaker.models.resnet as ref_resnet
+
+    return ref_ecapa, ref_resnet
+
+
+def _cos_rows(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.sum(a * b, 1) / (
+        np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+    )
+
+
+def test_ecapa_c512_embedding_parity(ref_models):
+    ref_ecapa, _ = ref_models
+    from wespeaker_hubert_tpu.models.convert_torch import ecapa_from_torch
+    from wespeaker_hubert_tpu.models.ecapa_tdnn import EcapaTdnn
+
+    torch.manual_seed(0)
+    ref = ref_ecapa.ECAPA_TDNN_c512(feat_dim=80, embed_dim=192)
+    ref.eval()
+    feats = np.random.default_rng(0).standard_normal((3, 200, 80)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(feats))
+    ref_emb = ref_out[-1].numpy()
+
+    params, stats = ecapa_from_torch(ref.state_dict())
+    ours = EcapaTdnn(channels=512, feat_dim=80, embed_dim=192)
+    emb = ours.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(feats),
+        train=False,
+    )
+    cos = _cos_rows(emb, ref_emb)
+    assert cos.min() > 0.9999, cos
+    np.testing.assert_allclose(np.asarray(emb), ref_emb, rtol=1e-2, atol=1e-3)
+
+
+def test_ecapa_glob_c1024_embedding_parity(ref_models):
+    ref_ecapa, _ = ref_models
+    from wespeaker_hubert_tpu.models.convert_torch import ecapa_from_torch
+    from wespeaker_hubert_tpu.models.ecapa_tdnn import EcapaTdnn
+
+    torch.manual_seed(1)
+    ref = ref_ecapa.ECAPA_TDNN_GLOB_c1024(feat_dim=80, embed_dim=192)
+    ref.eval()
+    feats = np.random.default_rng(1).standard_normal((2, 150, 80)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        ref_emb = ref(torch.from_numpy(feats))[-1].numpy()
+
+    params, stats = ecapa_from_torch(ref.state_dict(), channels=1024)
+    ours = EcapaTdnn(
+        channels=1024, feat_dim=80, embed_dim=192, global_context_att=True
+    )
+    emb = ours.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(feats),
+        train=False,
+    )
+    cos = _cos_rows(emb, ref_emb)
+    assert cos.min() > 0.9999, cos
+
+
+def test_resnet34_embedding_parity(ref_models):
+    _, ref_resnet = ref_models
+    from wespeaker_hubert_tpu.models.convert_torch import resnet_from_torch
+    from wespeaker_hubert_tpu.models.resnet import ResNet34
+
+    torch.manual_seed(2)
+    ref = ref_resnet.ResNet34(feat_dim=80, embed_dim=256)
+    ref.eval()
+    feats = np.random.default_rng(2).standard_normal((3, 200, 80)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        ref_emb = ref(torch.from_numpy(feats))[-1].numpy()
+
+    params, stats = resnet_from_torch(ref.state_dict())
+    ours = ResNet34(feat_dim=80, embed_dim=256)
+    out = ours.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(feats),
+        train=False,
+    )
+    emb = out[-1]
+    cos = _cos_rows(emb, ref_emb)
+    assert cos.min() > 0.9999, cos
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
