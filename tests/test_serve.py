@@ -1,0 +1,143 @@
+"""Batch server test: train a tiny model, start the HTTP server on a
+random port, exercise /embed, /similarity, /stats end to end with
+concurrent clients (micro-batching path)."""
+
+import io
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from wespeaker_hubert_tpu.bin.serve import (
+    BOUNDARY,
+    EmbeddingService,
+    _make_handler,
+)
+
+
+def _wav_bytes(wav, sr=16000):
+    import wave
+
+    buf = io.BytesIO()
+    pcm = np.clip(wav * 32768, -32768, 32767).astype("<i2")
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    # reuse the CLI fixture recipe: tiny trained model dir
+    import json as _json
+
+    from wespeaker_hubert_tpu.bin.average_model import average_model
+    from wespeaker_hubert_tpu.bin.train import train
+    from wespeaker_hubert_tpu.data import write_wav
+
+    root = tmp_path_factory.mktemp("serve")
+    rng = np.random.default_rng(0)
+    entries = []
+    for spk in range(2):
+        for u in range(4):
+            key = f"s{spk}u{u}"
+            path = str(root / f"{key}.wav")
+            write_wav(
+                path,
+                (rng.standard_normal(20000) * 0.1).clip(-1, 1),
+            )
+            entries.append({"key": key, "wav": path, "spk": f"s{spk}"})
+    with open(root / "train.list", "w") as f:
+        for e in entries:
+            f.write(_json.dumps(e) + "\n")
+    with open(root / "train.label", "w") as f:
+        for e in entries:
+            f.write(f"{e['key']} {e['spk']}\n")
+    exp = str(root / "exp")
+    train(
+        {
+            "exp_dir": exp,
+            "model": "ECAPA_TDNN_c512",
+            "model_args": {"feat_dim": 40, "embed_dim": 16},
+            "projection_args": {"project_type": "arc_margin", "scale": 32.0},
+            "dataset_args": {
+                "num_frms": 60, "speed_perturb": False, "aug_prob": 0.0,
+                "fbank_args": {"num_mel_bins": 40, "dither": 1.0},
+                "filter_args": {"min_num_frames": 30},
+                "shuffle_args": {"shuffle_size": 8},
+            },
+            "dataloader_args": {"batch_size": 8},
+            "train_data": str(root / "train.list"),
+            "train_label": str(root / "train.label"),
+            "num_epochs": 1,
+            "epoch_iter": 1,
+            "save_epoch_interval": 1,
+            "scheduler_args": {"initial_lr": 0.05, "final_lr": 0.01,
+                               "warm_up_epoch": 1},
+            "margin_update": {"initial_margin": 0.0, "final_margin": 0.1,
+                              "increase_start_epoch": 1, "fix_start_epoch": 1},
+        }
+    )
+    average_model(exp + "/models", exp + "/avg_model.ckpt", num=1)
+
+    service = EmbeddingService(
+        exp, max_batch=4, batch_window_ms=20.0, max_seconds=4.0,
+        chunk_frames=60,
+    )
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(service))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+    service.close()
+
+
+def _post(url, data):
+    req = urllib.request.Request(url, data=data, method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_embed_endpoint(server):
+    rng = np.random.default_rng(1)
+    wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    out = _post(server + "/embed", _wav_bytes(wav))
+    assert len(out["embedding"]) == 16
+    assert all(np.isfinite(out["embedding"]))
+
+
+def test_similarity_and_concurrent_batching(server):
+    rng = np.random.default_rng(2)
+    a = _wav_bytes((rng.standard_normal(16000) * 0.1).astype(np.float32))
+    b = _wav_bytes((rng.standard_normal(16000) * 0.1).astype(np.float32))
+
+    results = []
+
+    def call():
+        out = _post(server + "/similarity", a + BOUNDARY + b)
+        results.append(out["similarity"])
+
+    threads = [threading.Thread(target=call) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 4
+    assert all(0.0 <= s <= 1.0 for s in results)
+    # identical inputs -> identical scores regardless of batch packing
+    assert max(results) - min(results) < 1e-5
+
+    stats = json.loads(
+        urllib.request.urlopen(server + "/stats", timeout=30).read()
+    )
+    assert stats["total_steps"] >= 9  # embeds from both tests
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])

@@ -1,0 +1,184 @@
+"""Batch embedding server — the TPU-native stand-in for the reference's
+Triton GPU serving stack (reference: runtime/server/x86_gpu model_repo
+with kaldifeat feature extractor + TensorRT speaker model ensemble).
+
+Design: a stdlib HTTP server whose worker threads enqueue requests into a
+micro-batching queue; a single device thread drains up to `max_batch`
+requests every `batch_window_ms` and runs the CHUNKED fixed-shape
+embedding path (train/chunked.py — one compiled shape regardless of
+utterance length, the serving property the reference gets from its
+198-frame C++ SpeakerEngine).  Endpoints:
+
+  POST /embed        body: WAV bytes            -> {"embedding": [...]}
+  POST /similarity   body: WAV||WAV (multipart boundary b"--8<--")
+                                                -> {"similarity": s}
+  GET  /stats                                   -> throughput counters
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["EmbeddingService", "serve"]
+
+BOUNDARY = b"--8<--"
+
+
+class EmbeddingService:
+    """Micro-batching wrapper around a Speaker model directory."""
+
+    def __init__(
+        self,
+        model_dir: str,
+        max_batch: int = 16,
+        batch_window_ms: float = 5.0,
+        max_seconds: float = 30.0,
+        chunk_frames: int = 198,
+    ):
+        from ..cli.speaker import Speaker
+        from ..train.chunked import make_chunked_embed
+        from ..utils.observability import ThroughputMeter
+
+        self.speaker = Speaker(model_dir)
+        self.max_batch = max_batch
+        self.window = batch_window_ms / 1000.0
+        self.max_samples = int(max_seconds * self.speaker.resample_rate)
+        self._embed = make_chunked_embed(
+            self.speaker.net, self.speaker.fbank_cfg, chunk_frames
+        )
+        self.meter = ThroughputMeter()
+        self._q: "queue.Queue[Tuple[np.ndarray, queue.Queue]]" = queue.Queue()
+        self._stop = False
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------- device
+    def _loop(self):
+        import jax.numpy as jnp
+
+        variables = self.speaker.variables
+        while not self._stop:
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch: List[Tuple[np.ndarray, queue.Queue]] = [first]
+            deadline = time.perf_counter() + self.window
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+
+            n = len(batch)
+            wav = np.zeros((self.max_batch, self.max_samples), np.float32)
+            lengths = np.zeros((self.max_batch,), np.int32)
+            for i, (w, _) in enumerate(batch):
+                w = w[: self.max_samples]
+                wav[i, : len(w)] = w
+                lengths[i] = len(w)
+            emb = np.asarray(
+                self._embed(
+                    variables,
+                    {"wav": jnp.asarray(wav), "length": jnp.asarray(lengths)},
+                )
+            )
+            audio_s = float(lengths[:n].sum()) / self.speaker.resample_rate
+            self.meter.update(audio_s, n)
+            for i, (_, out_q) in enumerate(batch):
+                out_q.put(emb[i])
+
+    # --------------------------------------------------------------- api
+    def embed_wav_bytes(self, data: bytes) -> np.ndarray:
+        from ..data.wav_io import read_wav_bytes
+
+        wav, sr = read_wav_bytes(data)
+        assert sr == self.speaker.resample_rate, f"sample rate {sr}"
+        out_q: queue.Queue = queue.Queue()
+        self._q.put((wav, out_q))
+        return out_q.get(timeout=60)
+
+    def similarity(self, a: bytes, b: bytes) -> float:
+        e1 = self.embed_wav_bytes(a)
+        e2 = self.embed_wav_bytes(b)
+        return self.speaker.cosine_similarity(e1, e2)
+
+    def stats(self) -> dict:
+        t = self.meter.totals()
+        t["audio_seconds_per_s"] = self.meter.audio_seconds_per_s
+        t["rtf"] = self.meter.rtf
+        return t
+
+    def close(self):
+        self._stop = True
+        self._worker.join(timeout=2)
+
+
+def _make_handler(service: EmbeddingService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/stats":
+                self._json(200, service.stats())
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            data = self.rfile.read(n)
+            try:
+                if self.path == "/embed":
+                    emb = service.embed_wav_bytes(data)
+                    self._json(200, {"embedding": emb.tolist()})
+                elif self.path == "/similarity":
+                    a, b = data.split(BOUNDARY, 1)
+                    self._json(200, {"similarity": service.similarity(a, b)})
+                else:
+                    self._json(404, {"error": "unknown path"})
+            except Exception as e:  # noqa: BLE001 — report to client
+                self._json(400, {"error": str(e)})
+
+    return Handler
+
+
+def serve(model_dir: str, host: str = "0.0.0.0", port: int = 8501, **kwargs):
+    service = EmbeddingService(model_dir, **kwargs)
+    server = ThreadingHTTPServer((host, port), _make_handler(service))
+    print(f"serving {model_dir} on {host}:{port}")
+    server.serve_forever()
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8501)
+    p.add_argument("--max_batch", type=int, default=16)
+    args = p.parse_args()
+    serve(args.model_dir, args.host, args.port, max_batch=args.max_batch)
+
+
+if __name__ == "__main__":
+    main()

@@ -133,7 +133,16 @@ def train(config: str | dict, **overrides):
     dataloader_args = config.get("dataloader_args", {})
     batch_size = dataloader_args.get("batch_size", 64)
 
-    # ---- mesh
+    # ---- mesh (+ optional multi-host init)
+    from ..parallel.launch import host_rank_world, initialize_distributed
+
+    if config.get("coordinator_address"):
+        initialize_distributed(
+            config["coordinator_address"],
+            config.get("num_processes"),
+            config.get("process_id"),
+        )
+    rank, world = host_rank_world()
     model_parallel = config.get("model_parallel", 1)
     mesh = make_mesh(model_parallel=model_parallel)
     n_data = mesh.devices.shape[0]
@@ -176,6 +185,7 @@ def train(config: str | dict, **overrides):
     pipe = TrainPipeline(
         data_list, spk2id, pipe_cfg,
         reverb_store=reverb_store, noise_store=noise_store,
+        rank=rank, world_size=world,
     )
 
     # ---- model
@@ -258,9 +268,36 @@ def train(config: str | dict, **overrides):
                     s3prl_args["hf_checkpoint"])
 
     start_epoch = 0
-    ckpt = config.get("checkpoint") or latest_checkpoint(
-        os.path.join(exp_dir, "models")
-    )
+    full_state_path = os.path.join(exp_dir, "models", "train_state.ckpt")
+    if config.get("save_optimizer", False) and os.path.exists(full_state_path):
+        restored, missing, unexpected = load_partial(
+            full_state_path,
+            {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "step": state.step,
+            },
+        )
+        state = state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"], jnp.int32),
+        )
+        import json as _json
+
+        with open(full_state_path + ".json") as f:
+            start_epoch = _json.load(f).get("epoch", 0)
+        logger.info(
+            "resumed FULL train state from %s (epoch %d, step %d)",
+            full_state_path, start_epoch, int(state.step),
+        )
+        ckpt = None
+    else:
+        ckpt = config.get("checkpoint") or latest_checkpoint(
+            os.path.join(exp_dir, "models")
+        )
     if ckpt:
         meta_path = ckpt + ".json"
         state_tree = {"params": state.params, "batch_stats": state.batch_stats}
@@ -347,6 +384,21 @@ def train(config: str | dict, **overrides):
                 meta={"epoch": epoch + 1, "step": int(state.step)},
             )
             logger.info("saved %s", path)
+            if config.get("save_optimizer", False):
+                # full-state checkpoint enables EXACT step-level resume
+                # (optimizer momenta + step counter; the reference only
+                # saves model weights per epoch — SURVEY §5 notes it has
+                # no mid-epoch resume)
+                save_checkpoint(
+                    os.path.join(exp_dir, "models", "train_state.ckpt"),
+                    {
+                        "params": state.params,
+                        "batch_stats": state.batch_stats,
+                        "opt_state": state.opt_state,
+                        "step": state.step,
+                    },
+                    meta={"epoch": epoch + 1, "step": int(state.step)},
+                )
     return state
 
 

@@ -1,3 +1,4 @@
+from .launch import host_rank_world, initialize_distributed
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -11,6 +12,8 @@ from .mesh import (
 )
 
 __all__ = [
+    "host_rank_world",
+    "initialize_distributed",
     "DATA_AXIS",
     "MODEL_AXIS",
     "batch_sharding",
