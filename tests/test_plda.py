@@ -135,3 +135,45 @@ class TestNormEmbeddings:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestKaldiImport:
+    def _write_kaldi_plda(self, path, mean, transform, psi):
+        import struct
+
+        with open(path, "wb") as f:
+            f.write(b"\x00B")
+            f.write(b"<Plda> ")
+            f.write(b"FV ")
+            f.write(b"\x04" + struct.pack("<i", len(mean)))
+            f.write(np.asarray(mean, "<f4").tobytes())
+            f.write(b"FM ")
+            f.write(b"\x04" + struct.pack("<i", transform.shape[0]))
+            f.write(b"\x04" + struct.pack("<i", transform.shape[1]))
+            f.write(np.asarray(transform, "<f4").tobytes())
+            f.write(b"FV ")
+            f.write(b"\x04" + struct.pack("<i", len(psi)))
+            f.write(np.asarray(psi, "<f4").tobytes())
+            f.write(b"</Plda> ")
+
+    def test_kaldi_binary_roundtrip(self, tmp_path):
+        from wespeaker_hubert_tpu.backend.kaldi_io import load_kaldi_plda
+
+        rng, plda = _trained()
+        path = str(tmp_path / "plda.kaldi")
+        self._write_kaldi_plda(path, plda.mu, plda.transform, plda.psi)
+        loaded = load_kaldi_plda(path, normalize_length=False)
+        np.testing.assert_allclose(loaded.mu, plda.mu, atol=1e-6)
+        np.testing.assert_allclose(loaded.transform, plda.transform, atol=1e-6)
+        np.testing.assert_allclose(loaded.psi, plda.psi, atol=1e-6)
+        e = rng.standard_normal((3, D))
+        t = rng.standard_normal((3, D))
+        np.testing.assert_allclose(
+            loaded.llr(
+                loaded.transform_embeddings(e), loaded.transform_embeddings(t)
+            ),
+            plda.llr(
+                plda.transform_embeddings(e), plda.transform_embeddings(t)
+            ),
+            atol=1e-3,
+        )

@@ -85,10 +85,31 @@ def extract(
 
     pipe = EvalPipeline(load_data_list(data_list), batch_size=batch_size)
 
+    # host decode overlapped with device compute: a producer thread fills a
+    # bounded queue while the main thread drives the TPU (the reference
+    # overlaps with torch DataLoader workers; here one prefetch thread
+    # suffices since decoding is the only host work)
+    import queue as _queue
+    import threading as _threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=4)
+
+    def _produce():
+        for b in pipe:
+            q.put(b)
+        q.put(None)
+
+    producer = _threading.Thread(target=_produce, daemon=True)
+    producer.start()
+
     keys, embs = [], []
     audio_seconds = 0.0
     t0 = time.time()
-    for batch in pipe:
+    pending = None  # device result in flight
+    while True:
+        batch = q.get()
+        if batch is None:
+            break
         e = embed_fn(
             variables,
             {
@@ -96,9 +117,14 @@ def extract(
                 "length": jnp.asarray(batch["length"]),
             },
         )
-        embs.append(np.asarray(e))
+        if pending is not None:
+            embs.append(np.asarray(pending))
+        pending = e
         keys += batch["keys"]
         audio_seconds += float(batch["length"].sum()) / 16000.0
+    if pending is not None:
+        embs.append(np.asarray(pending))
+    producer.join()
     dt = time.time() - t0
     emb = np.concatenate(embs) if embs else np.zeros((0, 0), np.float32)
     logger.info(
