@@ -132,3 +132,48 @@ class TestProcessingChain:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestEmbdProcBins:
+    def test_prep_apply_update(self, tmp_path):
+        from wespeaker_hubert_tpu.bin.embd_proc import (
+            apply_chain,
+            prep_chain,
+            update_chain,
+        )
+        from wespeaker_hubert_tpu.utils.embeddings import (
+            load_embeddings,
+            save_embeddings,
+        )
+
+        rng = np.random.default_rng(0)
+        keys = [f"u{i}" for i in range(40)]
+        emb = (rng.standard_normal((40, 8)) + 3.0).astype(np.float32)
+        emb_path = str(tmp_path / "emb.npz")
+        save_embeddings(emb_path, keys, emb)
+        with open(tmp_path / "utt2spk", "w") as f:
+            for i, k in enumerate(keys):
+                f.write(f"{k} s{i % 4}\n")
+
+        chain_path = str(tmp_path / "chain.npz")
+        prep_chain(
+            "mean-subtract | length-norm", emb_path, chain_path,
+            utt2spk=str(tmp_path / "utt2spk"),
+        )
+        out_path = str(tmp_path / "out.npz")
+        n = apply_chain(chain_path, emb_path, out_path)
+        assert n == 40
+        _, out = load_embeddings(out_path)
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)
+
+        # update: refit mean on shifted domain
+        emb2 = emb + 10.0
+        emb2_path = str(tmp_path / "emb2.npz")
+        save_embeddings(emb2_path, keys, emb2)
+        chain2_path = str(tmp_path / "chain2.npz")
+        update_chain(chain_path, emb2_path, chain2_path)
+        apply_chain(chain2_path, emb2_path, out_path)
+        _, out2 = load_embeddings(out_path)
+        np.testing.assert_allclose(
+            np.linalg.norm(out2, axis=1), 1.0, atol=1e-5
+        )
