@@ -16,7 +16,6 @@ import os
 import shutil
 from typing import Optional
 
-import numpy as np
 
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.config import dump_config, load_config

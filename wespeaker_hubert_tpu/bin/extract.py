@@ -12,8 +12,6 @@ from __future__ import annotations
 import logging
 import os
 import time
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -22,7 +20,7 @@ from ..data import EvalPipeline
 from ..ops.fbank import FbankConfig
 from ..ops.pipeline import FeaturePipelineConfig
 from ..train import make_eval_embed
-from ..utils.checkpoint import load_checkpoint, load_partial
+from ..utils.checkpoint import load_partial
 from ..utils.config import parse_config_or_kwargs
 from ..utils.embeddings import save_embeddings
 from .train import build_speaker_net

@@ -13,7 +13,7 @@ import multiprocessing as mp
 import os
 import tarfile
 import wave
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -37,7 +37,7 @@ def make_raw_list(
 ) -> int:
     """wav.scp + utt2spk (+ optional vad segments) -> JSONL raw list
     (reference tools/make_raw_list.py)."""
-    utt2wav = {u: w for u, w in ( r[:2] for r in _read_table(wav_scp))}
+    utt2wav = {u: w for u, w in (r[:2] for r in _read_table(wav_scp))}
     utt2spk_map = {u: s for u, s in (r[:2] for r in _read_table(utt2spk))}
     vad: Dict[str, list] = {}
     if vad_file:

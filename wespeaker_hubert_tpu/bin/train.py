@@ -18,11 +18,10 @@ from __future__ import annotations
 import logging
 import os
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..data import AugStore, TrainPipeline, TrainPipelineConfig
 from ..models import get_projection, get_speaker_model
@@ -40,7 +39,6 @@ from ..train import (
 )
 from ..utils.checkpoint import (
     latest_checkpoint,
-    load_checkpoint,
     load_partial,
     save_checkpoint,
 )

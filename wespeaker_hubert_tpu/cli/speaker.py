@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +40,6 @@ from ..ops.feature_utils import apply_cmvn
 from ..train import make_eval_embed
 from ..utils.checkpoint import load_partial
 from ..utils.config import load_config
-from .. import bin as _bin  # noqa: F401  (keeps package import graph tight)
 from ..bin.train import build_speaker_net
 from ..ops.pipeline import FeaturePipelineConfig
 

@@ -26,7 +26,7 @@ import dataclasses
 import json
 import random
 import tarfile
-from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence
 
 import numpy as np
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
-from typing import Tuple, Union
+from typing import Tuple
 
 import numpy as np
 

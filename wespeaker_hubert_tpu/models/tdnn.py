@@ -15,7 +15,6 @@ from typing import Optional
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from .pooling import POOLING_LAYERS
 

@@ -20,9 +20,7 @@ all-gather of (B, C) logits if the head were materialized.
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ negative queue with concat_all_gather dequeue/enqueue; simclr_wrapper.py:20
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any
 
 import flax.struct
 import jax

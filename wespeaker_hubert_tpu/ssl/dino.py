@@ -20,9 +20,7 @@ executor in ssl/utils/dino_executor.py) as ONE jitted SPMD step:
 
 from __future__ import annotations
 
-import dataclasses
-import math
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import flax.struct

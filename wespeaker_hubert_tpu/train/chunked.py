@@ -12,12 +12,9 @@ whole-utterance bucketing.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.fbank import FbankConfig, fbank, num_frames
 from ..ops.feature_utils import apply_cmvn

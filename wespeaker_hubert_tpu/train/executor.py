@@ -18,7 +18,6 @@ reduces across shards).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

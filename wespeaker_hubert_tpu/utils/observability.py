@@ -20,7 +20,7 @@ import json
 import os
 import time
 from collections import deque
-from typing import Dict, Optional
+from typing import Dict
 
 __all__ = ["profile_trace", "ThroughputMeter", "MetricsLogger", "Timer"]
 
