@@ -74,7 +74,7 @@ def bench_extract(model_name, batch, seconds, dtype, iters=10):
 
 
 def bench_train_step(model_name, batch, num_frms=200, num_class=17982,
-                     iters=10):
+                     iters=10, compute_dtype=None):
     """Supervised train-step throughput (audio-seconds/s) with the full
     in-graph pipeline: speed perturb + reverb/noise + fbank + backbone +
     class-sharded-capable ArcMargin head + SGD."""
@@ -117,7 +117,7 @@ def bench_train_step(model_name, batch, num_frms=200, num_class=17982,
         fbank=FbankConfig(dither=1.0), spec_aug=True
     )
     step = make_train_step(net, tx, lr, margin, feature_cfg=fcfg,
-                           chunk_samples=chunk)
+                           chunk_samples=chunk, compute_dtype=compute_dtype)
 
     rng = np.random.default_rng(0)
     b = {
@@ -153,6 +153,7 @@ def main():
     p.add_argument("--train", action="store_true")
     p.add_argument("--train_model", default="ECAPA_TDNN_GLOB_c1024")
     p.add_argument("--train_batch", type=int, default=128)
+    p.add_argument("--train_bf16", action="store_true")
     args = p.parse_args()
 
     results = []
@@ -172,9 +173,15 @@ def main():
             print(json.dumps(row), flush=True)
 
     if args.train:
-        tp, utts = bench_train_step(args.train_model, args.train_batch)
+        import jax.numpy as jnp
+
+        cd = jnp.bfloat16 if args.train_bf16 else None
+        tp, utts = bench_train_step(
+            args.train_model, args.train_batch, compute_dtype=cd
+        )
+        tag = "_bf16" if args.train_bf16 else ""
         row = {
-            "metric": f"{args.train_model}_train_step",
+            "metric": f"{args.train_model}_train_step{tag}",
             "value": round(tp, 1),
             "unit": "audio_s/s/chip",
             "utts_per_s": round(utts, 1),

@@ -54,6 +54,7 @@ def make_train_step(
     feature_cfg: Optional[FeaturePipelineConfig] = None,
     mesh=None,
     chunk_samples: Optional[int] = None,
+    compute_dtype=None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -104,7 +105,20 @@ def make_train_step(
             feats0 = mask0 = None  # computed inside loss_fn (frontend params)
 
         def loss_fn(params):
-            variables = {"params": params}
+            if compute_dtype is not None:
+                # bf16 mixed precision: bf16 activations/params for the
+                # conv/matmul-heavy forward+backward, f32 master weights in
+                # the optimizer; the margin-softmax cosine already upcasts
+                # to f32 internally (projections._cosine_logits), and bf16
+                # needs no loss scaling (f32 exponent range)
+                cast = lambda x: (
+                    x.astype(compute_dtype)
+                    if x.dtype == jnp.float32
+                    else x
+                )
+                variables = {"params": jax.tree.map(cast, params)}
+            else:
+                variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             if feats0 is not None:
@@ -142,6 +156,8 @@ def make_train_step(
                         jnp.arange(feats.shape[1])[None, :]
                         < feat_lengths[:, None]
                     )
+            if compute_dtype is not None:
+                feats = feats.astype(compute_dtype)
             (emb, logits, aux), updates = model.apply(
                 variables,
                 feats,
@@ -151,6 +167,7 @@ def make_train_step(
                 train=True,
                 mutable=["batch_stats"],
             )
+            logits = logits.astype(jnp.float32)
             loss = aux if aux is not None else cross_entropy(logits, labels)
             acc = jnp.mean(jnp.argmax(logits, axis=-1) == labels)
             return loss, (updates.get("batch_stats", {}), acc)
