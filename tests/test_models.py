@@ -40,6 +40,36 @@ CASES = [
     ("whisper_PMFA_large_v2", {"feat": 96, "frames": 50}, 192, None),
 ]
 
+# deeper/bigger variants: parameter parity only, short 40-frame forward
+BIG_CASES = [
+    ("ResNet101", {}, 256, 15_892_448),
+    ("ResNet152", {}, 256, 19_814_880),
+    ("ResNet221", {}, 256, 23_792_224),
+    ("ResNet293", {}, 256, 28_626_016),
+    ("Gemini_DF_ResNet183", {}, 256, 9_196_384),
+    ("Gemini_DF_ResNet237", {}, 256, 11_680_096),
+    ("ERes2Net34_Large", {}, 192, 22_462_784),
+    ("ERes2Net34_aug", {}, 192, 55_165_024),
+    ("ReDimNetB1", {"feat": 72}, 192, 2_123_481 - 1),
+    ("ReDimNetB3", {"feat": 72}, 192, 3_220_413 - 1),
+    ("SimAM_ResNet100_ASP", {}, 256, 50_232_896),
+    ("REPVGG_A0", {}, 256, 14_380_960),
+    ("REPVGG_B1", {}, 256, 65_850_752),
+    ("XI_VEC_ECAPA_TDNN_c1024", {}, 192, 14_362_816),
+]
+
+
+@pytest.mark.parametrize("name,kwargs,embed_dim,expected", BIG_CASES)
+def test_param_count_big_models(name, kwargs, embed_dim, expected):
+    feat = kwargs.pop("feat", 80)
+    model = get_speaker_model(name)(
+        feat_dim=feat, embed_dim=embed_dim, **kwargs
+    )
+    x = jnp.zeros((1, 48, feat))
+    variables = model.init(jax.random.key(0), x, train=False)
+    got = _param_count(variables["params"])
+    assert got == expected, f"{name}: {got} params, reference has {expected}"
+
 
 def _param_count(tree):
     return sum(np.prod(x.shape) for x in jax.tree.leaves(tree))
