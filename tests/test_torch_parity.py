@@ -132,3 +132,31 @@ def test_resnet34_embedding_parity(ref_models):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_campplus_embedding_parity(ref_models):
+    sys.path.insert(0, REF)
+    import wespeaker.models.campplus as ref_campplus
+
+    from wespeaker_hubert_tpu.models.campplus import CAMPPlus
+    from wespeaker_hubert_tpu.models.convert_torch import campplus_from_torch
+
+    torch.manual_seed(3)
+    ref = ref_campplus.CAMPPlus(feat_dim=80, embed_dim=512)
+    ref.eval()
+    feats = np.random.default_rng(3).standard_normal((2, 200, 80)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        out = ref(torch.from_numpy(feats))
+        ref_emb = (out[-1] if isinstance(out, (tuple, list)) else out).numpy()
+
+    params, stats = campplus_from_torch(ref.state_dict())
+    ours = CAMPPlus(feat_dim=80, embed_dim=512)
+    emb = ours.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(feats),
+        train=False,
+    )
+    cos = _cos_rows(emb, ref_emb)
+    assert cos.min() > 0.9999, cos

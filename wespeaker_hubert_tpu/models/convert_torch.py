@@ -23,7 +23,7 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-__all__ = ["ecapa_from_torch", "resnet_from_torch"]
+__all__ = ["ecapa_from_torch", "resnet_from_torch", "campplus_from_torch"]
 
 
 def _np(x):
@@ -191,4 +191,98 @@ def resnet_from_torch(
         p, s = _bn(sd, "seg_bn_1", affine=False)
         put(("seg_bn_1",), p, s)
         put(("seg_2",), _dense(sd, "seg_2"))
+    return params, stats
+
+
+# --------------------------------------------------------------- CAM++
+def campplus_from_torch(
+    sd: Dict, m_channels: int = 32, feat_dim: int = 80
+) -> Tuple[Dict, Dict]:
+    """Reference CAMPPlus state_dict -> (params, batch_stats)."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(path, p, s=None):
+        node = params
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = p
+        if s is not None:
+            node = stats
+            for k in path[:-1]:
+                node = node.setdefault(k, {})
+            node[path[-1]] = s
+
+    # ---- FCM head (2-D, NCHW (F,T) -> our NHWC (T,F))
+    head: Dict = {}
+
+    def put_head(path, p, s=None):
+        node = head
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = p
+        if s is not None:
+            node = stats.setdefault("head", {})
+            for k in path[:-1]:
+                node = node.setdefault(k, {})
+            node[path[-1]] = s
+
+    put_head(("conv1",), _conv2d(sd, "head.conv1"))
+    p, s = _bn(sd, "head.bn1")
+    put_head(("bn1",), p, s)
+    for li in (1, 2):
+        for bi in (0, 1):
+            src = f"head.layer{li}.{bi}"
+            dst = f"layer{li}_{bi}"
+            put_head((dst, "conv1"), _conv2d(sd, src + ".conv1"))
+            p, s = _bn(sd, src + ".bn1")
+            put_head((dst, "bn1"), p, s)
+            put_head((dst, "conv2"), _conv2d(sd, src + ".conv2"))
+            p, s = _bn(sd, src + ".bn2")
+            put_head((dst, "bn2"), p, s)
+            if f"{src}.shortcut.0.weight" in sd:
+                put_head((dst, "shortcut_conv"), _conv2d(sd, src + ".shortcut.0"))
+                p, s = _bn(sd, src + ".shortcut.1")
+                put_head((dst, "shortcut_bn"), p, s)
+    put_head(("conv2",), _conv2d(sd, "head.conv2"))
+    p, s = _bn(sd, "head.bn2")
+    put_head(("bn2",), p, s)
+    params["head"] = head
+
+    # ---- tdnn conv over the flattened FCM map: permute input channels
+    # (reference flatten c*F+f at campplus.py:428; ours f*C+c)
+    out_f = feat_dim // 8
+    perm = _stats_permutation(m_channels, out_f)
+    w = _np(sd["xvector.tdnn.linear.weight"]).transpose(2, 1, 0)  # (5, CF, out)
+    put(("tdnn_conv",), {"kernel": w[:, perm, :]})
+    p, s = _bn(sd, "xvector.tdnn.nonlinear.batchnorm")
+    put(("tdnn_bn",), p, s)
+
+    # ---- dense CAM blocks
+    for i, num_layers in enumerate((12, 24, 16)):
+        for j in range(num_layers):
+            src = f"xvector.block{i + 1}.tdnnd{j + 1}"
+            dst = f"block{i + 1}_tdnnd{j + 1}"
+            p, s = _bn(sd, src + ".nonlinear1.batchnorm")
+            put((dst, "nonlinear1_bn"), p, s)
+            put((dst, "linear1"), _dense_from_conv1d(sd, src + ".linear1"))
+            p, s = _bn(sd, src + ".nonlinear2.batchnorm")
+            put((dst, "nonlinear2_bn"), p, s)
+            put((dst, "cam_layer", "linear_local"),
+                _conv1d(sd, src + ".cam_layer.linear_local"))
+            put((dst, "cam_layer", "linear1"),
+                _dense_from_conv1d(sd, src + ".cam_layer.linear1"))
+            put((dst, "cam_layer", "linear2"),
+                _dense_from_conv1d(sd, src + ".cam_layer.linear2"))
+        src = f"xvector.transit{i + 1}"
+        p, s = _bn(sd, src + ".nonlinear.batchnorm")
+        put((f"transit{i + 1}_bn",), p, s)
+        put((f"transit{i + 1}_linear",),
+            _dense_from_conv1d(sd, src + ".linear"))
+
+    p, s = _bn(sd, "xvector.out_nonlinear.batchnorm")
+    put(("out_bn",), p, s)
+    put(("dense_linear",), _dense_from_conv1d(sd, "xvector.dense.linear"))
+    p, s = _bn(sd, "xvector.dense.nonlinear.batchnorm", affine=False)
+    put(("dense_bn",), p, s)
     return params, stats
