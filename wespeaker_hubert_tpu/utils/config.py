@@ -37,6 +37,15 @@ def apply_overrides(
             raise ValueError(f"override {item!r} must be key=value")
         key, raw = item.split("=", 1)
         value = yaml.safe_load(raw)
+        if isinstance(value, str):
+            # YAML 1.1 only floats '1.0e-3', not '1e-3'; coerce numerics
+            try:
+                value = int(value)
+            except ValueError:
+                try:
+                    value = float(value)
+                except ValueError:
+                    pass
         node = out
         parts = key.split(".")
         for p in parts[:-1]:
