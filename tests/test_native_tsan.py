@@ -1,0 +1,67 @@
+"""ThreadSanitizer race check for the native loader: builds the loader +
+stress harness with -fsanitize=thread and runs multiple epochs; any data
+race aborts with a TSan report.  (The reference's hand-rolled C++
+threading — BlockingQueue/ThreadPool — ships with no sanitizer coverage;
+SURVEY §5.)  Skipped when g++/tsan runtime is unavailable."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+NATIVE = os.path.join(
+    os.path.dirname(__file__), "..", "wespeaker_hubert_tpu", "data", "native"
+)
+
+
+def _build_tsan(tmp_path):
+    binary = str(tmp_path / "loader_tsan")
+    try:
+        subprocess.run(
+            [
+                "g++", "-O1", "-g", "-std=c++17", "-pthread",
+                "-fsanitize=thread",
+                os.path.join(NATIVE, "loader.cc"),
+                os.path.join(NATIVE, "loader_test_main.cc"),
+                "-o", binary,
+            ],
+            check=True, capture_output=True,
+        )
+    except (OSError, subprocess.CalledProcessError):
+        return None
+    return binary
+
+
+def test_loader_race_free(tmp_path):
+    binary = _build_tsan(tmp_path)
+    if binary is None:
+        pytest.skip("g++/tsan unavailable")
+
+    from wespeaker_hubert_tpu.data import write_wav
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(20):
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(
+            p,
+            (rng.standard_normal(int(rng.integers(4000, 30000))) * 0.1)
+            .clip(-1, 1),
+        )
+        paths.append(p)
+    lst = str(tmp_path / "files.txt")
+    with open(lst, "w") as f:
+        f.write("\n".join(paths) + "\n")
+
+    proc = subprocess.run(
+        [binary, lst, "5"], capture_output=True, text=True, timeout=120
+    )
+    report = proc.stdout + proc.stderr
+    assert proc.returncode == 0, report
+    assert "WARNING: ThreadSanitizer" not in report, report
+    assert "consumed" in proc.stdout
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])

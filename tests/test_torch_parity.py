@@ -160,3 +160,31 @@ def test_campplus_embedding_parity(ref_models):
     )
     cos = _cos_rows(emb, ref_emb)
     assert cos.min() > 0.9999, cos
+
+
+def test_eres2net_embedding_parity(ref_models):
+    sys.path.insert(0, REF)
+    import wespeaker.models.eres2net as ref_eres2net
+
+    from wespeaker_hubert_tpu.models.convert_torch import eres2net_from_torch
+    from wespeaker_hubert_tpu.models.eres2net import ERes2Net34_Base
+
+    torch.manual_seed(4)
+    ref = ref_eres2net.ERes2Net34_Base(feat_dim=80, embed_dim=192)
+    ref.eval()
+    feats = np.random.default_rng(4).standard_normal((2, 200, 80)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        out = ref(torch.from_numpy(feats))
+        ref_emb = (out[-1] if isinstance(out, (tuple, list)) else out).numpy()
+
+    params, stats = eres2net_from_torch(ref.state_dict())
+    ours = ERes2Net34_Base(feat_dim=80, embed_dim=192)
+    emb = ours.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(feats),
+        train=False,
+    )
+    cos = _cos_rows(emb, ref_emb)
+    assert cos.min() > 0.9999, cos

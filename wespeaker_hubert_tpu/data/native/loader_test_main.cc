@@ -1,0 +1,65 @@
+// Standalone stress harness for the native loader, built with
+// -fsanitize=thread by tests/test_native_tsan.py (race detection for the
+// worker-pool/bounded-queue machinery — an aux subsystem the reference
+// has none of, SURVEY §5).
+//
+// Usage: loader_test_main <wav_dir_file_list> <epochs>
+//   file list: one wav path per line.
+
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+extern "C" {
+void* loader_create(const char** paths, const int* labels, int n,
+                    int chunk_samples, int batch_size, int min_samples,
+                    unsigned seed, int num_threads, int queue_cap);
+void loader_start_epoch(void* h, int epoch);
+int loader_next(void* h, float* wav_out, int* label_out);
+void loader_destroy(void* h);
+}
+
+int main(int argc, char** argv) {
+  if (argc < 3) {
+    fprintf(stderr, "usage: %s <file_list> <epochs>\n", argv[0]);
+    return 2;
+  }
+  std::vector<std::string> paths;
+  {
+    FILE* f = fopen(argv[1], "r");
+    if (!f) return 2;
+    char line[4096];
+    while (fgets(line, sizeof line, f)) {
+      size_t n = strlen(line);
+      while (n && (line[n - 1] == '\n' || line[n - 1] == '\r')) line[--n] = 0;
+      if (n) paths.emplace_back(line);
+    }
+    fclose(f);
+  }
+  const int epochs = atoi(argv[2]);
+  const int chunk = 16000, batch = 4;
+
+  std::vector<const char*> cpaths;
+  std::vector<int> labels;
+  for (size_t i = 0; i < paths.size(); ++i) {
+    cpaths.push_back(paths[i].c_str());
+    labels.push_back(static_cast<int>(i % 3));
+  }
+  void* h = loader_create(cpaths.data(), labels.data(),
+                          static_cast<int>(cpaths.size()), chunk, batch,
+                          1000, 7u, 6, 2 * batch);
+  std::vector<float> wav(static_cast<size_t>(batch) * chunk);
+  std::vector<int> lab(batch);
+  long total = 0;
+  for (int e = 0; e < epochs; ++e) {
+    loader_start_epoch(h, e);
+    int n;
+    while ((n = loader_next(h, wav.data(), lab.data())) == batch) total += n;
+    total += n;
+  }
+  loader_destroy(h);
+  printf("consumed %ld samples over %d epochs\n", total, epochs);
+  return 0;
+}

@@ -23,7 +23,12 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-__all__ = ["ecapa_from_torch", "resnet_from_torch", "campplus_from_torch"]
+__all__ = [
+    "ecapa_from_torch",
+    "resnet_from_torch",
+    "campplus_from_torch",
+    "eres2net_from_torch",
+]
 
 
 def _np(x):
@@ -285,4 +290,85 @@ def campplus_from_torch(
     put(("dense_linear",), _dense_from_conv1d(sd, "xvector.dense.linear"))
     p, s = _bn(sd, "xvector.dense.nonlinear.batchnorm", affine=False)
     put(("dense_bn",), p, s)
+    return params, stats
+
+
+# ------------------------------------------------------------- ERes2Net
+def eres2net_from_torch(
+    sd: Dict,
+    m_channels: int = 32,
+    num_blocks=(3, 4, 6, 3),
+    scale: int = 2,
+    expansion: int = 2,
+    feat_dim: int = 80,
+) -> Tuple[Dict, Dict]:
+    """Reference ERes2Net state_dict -> (params, batch_stats)."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(path, p, s=None):
+        node = params
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = p
+        if s is not None:
+            node = stats
+            for k in path[:-1]:
+                node = node.setdefault(k, {})
+            node[path[-1]] = s
+
+    def bn(dst, src, affine=True):
+        p, s = _bn(sd, src, affine)
+        put(dst, p, s)
+
+    def aff(dst, src):
+        put(dst + ("att_conv1",), _conv2d(sd, src + ".local_att.0") | (
+            {"bias": _np(sd[src + ".local_att.0.bias"])}
+            if src + ".local_att.0.bias" in sd else {}))
+        bn(dst + ("att_bn1",), src + ".local_att.1")
+        put(dst + ("att_conv2",), _conv2d(sd, src + ".local_att.3") | (
+            {"bias": _np(sd[src + ".local_att.3.bias"])}
+            if src + ".local_att.3.bias" in sd else {}))
+        bn(dst + ("att_bn2",), src + ".local_att.4")
+
+    put(("conv1",), _conv2d(sd, "conv1"))
+    bn(("bn1",), "bn1")
+
+    for li, n in enumerate(num_blocks):
+        diff = li >= 2  # layers 3/4 use diff_AFF blocks
+        for bi in range(n):
+            src = f"layer{li + 1}.{bi}"
+            dst = f"layer{li + 1}_{bi}"
+            put((dst, "conv1"), _conv2d(sd, src + ".conv1"))
+            bn((dst, "bn1"), src + ".bn1")
+            if diff:
+                put((dst, "conv2_1"), _conv2d(sd, src + ".conv2_1"))
+                bn((dst, "bn2_1"), src + ".bn2_1")
+                for k in range(scale - 1):
+                    put((dst, f"convs_{k}"), _conv2d(sd, f"{src}.convs.{k}"))
+                    bn((dst, f"bns_{k}"), f"{src}.bns.{k}")
+                    aff((dst, f"fuse_{k}"), f"{src}.fuse_models.{k}")
+            else:
+                for k in range(scale):
+                    put((dst, f"convs_{k}"), _conv2d(sd, f"{src}.convs.{k}"))
+                    bn((dst, f"bns_{k}"), f"{src}.bns.{k}")
+            put((dst, "conv3"), _conv2d(sd, src + ".conv3"))
+            bn((dst, "bn3"), src + ".bn3")
+            if f"{src}.shortcut.0.weight" in sd:
+                put((dst, "shortcut_conv"), _conv2d(sd, f"{src}.shortcut.0"))
+                bn((dst, "shortcut_bn"), f"{src}.shortcut.1")
+
+    for i in (1, 2, 3):
+        put((f"layer{i}_downsample",), _conv2d(sd, f"layer{i}_downsample"))
+    aff(("fuse_mode12",), "fuse_mode12")
+    aff(("fuse_mode123",), "fuse_mode123")
+    aff(("fuse_mode1234",), "fuse_mode1234")
+
+    out_c = m_channels * 8 * expansion
+    out_f = feat_dim // 8
+    perm = _stats_permutation(out_c, out_f)
+    d = out_c * out_f
+    w = _np(sd["seg_1.weight"]).T
+    w_ours = np.concatenate([w[perm], w[d + perm]], axis=0)
+    put(("seg_1",), {"kernel": w_ours, "bias": _np(sd["seg_1.bias"])})
     return params, stats
