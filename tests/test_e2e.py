@@ -160,3 +160,77 @@ def test_train_extract_score_eer(corpus):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_train_with_speed_perturb_and_aug(corpus):
+    """Full device-aug training path: speed perturb (x3 label space,
+    device resample) + reverb/noise mixing + SpecAug, converging on the
+    synthetic corpus."""
+    from wespeaker_hubert_tpu.data import AugStore
+
+    spk2id = {f"s{i}": i for i in range(N_SPK)}
+    backbone = EcapaTdnn(channels=48, feat_dim=40, embed_dim=24)
+    projection = get_projection(
+        {
+            "project_type": "arc_margin",
+            "embed_dim": 24,
+            "num_class": 3 * N_SPK,  # x3 for speed labels
+            "scale": 32.0,
+        }
+    )
+    net = SpeakerNet(backbone=backbone, projection=projection)
+    fcfg = FeaturePipelineConfig(
+        fbank=FbankConfig(num_mel_bins=40, dither=1.0), spec_aug=True
+    )
+    lr = ExponentialDecrease(
+        num_epochs=10, epoch_iter=5, initial_lr=0.08, final_lr=0.02,
+        warm_up_epoch=1,
+    )
+    margin = MarginSchedule(
+        epoch_iter=5, increase_start_epoch=3, fix_start_epoch=6,
+        initial_margin=0.0, final_margin=0.1,
+    )
+    tx = make_optimizer(lr, "SGD", weight_decay=1e-4)
+
+    rng = np.random.default_rng(9)
+    noise_store = AugStore(
+        arrays={
+            "noise-a": (rng.standard_normal(20000) * 0.1).astype(np.float32),
+            "music-b": (rng.standard_normal(30000) * 0.1).astype(np.float32),
+        }
+    )
+    rir = np.zeros(2000, np.float32)
+    rir[0] = 1.0
+    rir[400] = 0.4
+    rir_store = AugStore(arrays={"rir-1": rir})
+
+    pipe = TrainPipeline(
+        load_data_list(corpus["train_list"]),
+        spk2id,
+        TrainPipelineConfig(
+            num_frms=100, batch_size=14, shuffle_size=32, aug_prob=0.5,
+            filter_min_frames=50, speed_perturb=True,
+        ),
+        reverb_store=rir_store,
+        noise_store=noise_store,
+    )
+
+    state = None
+    step = make_train_step(net, tx, lr, margin, feature_cfg=fcfg)
+    losses = []
+    seen_labels = set()
+    for epoch in range(10):
+        pipe.set_epoch(epoch)
+        for batch in pipe:
+            seen_labels.update(np.asarray(batch["label"]).tolist())
+            if state is None:
+                state = create_train_state(
+                    net, tx, jax.random.key(0),
+                    jnp.zeros((14, 100, 40)), jnp.asarray(batch["label"]),
+                )
+            state, metrics = step(state, batch, jax.random.key(7))
+            losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+    # the x3 speed label space was actually exercised
+    assert max(seen_labels) >= N_SPK
