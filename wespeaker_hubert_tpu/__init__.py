@@ -20,3 +20,17 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Honor an explicit JAX_PLATFORMS env request even when a site hook has
+# pre-registered another backend (e.g. a TPU plugin registered by
+# sitecustomize overrides JAX_PLATFORMS=cpu; tests and CPU-only tools set
+# it deliberately).  No-op once a backend is already in use.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass

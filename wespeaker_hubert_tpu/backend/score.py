@@ -78,12 +78,19 @@ def trial_cosine_scores(
     return np.concatenate(out) if out else np.zeros((0,), np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("top_n",))
 def cohort_mean_std(
     emb: jax.Array, cohort: jax.Array, top_n: int
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-embedding mean/std of its top-N cohort cosine scores
-    (reference score_norm.py:26-36).  S-Norm = top_n == len(cohort)."""
+    (reference score_norm.py:26-36).  S-Norm = top_n == len(cohort);
+    top_n is clamped to the cohort size."""
+    return _cohort_mean_std(emb, cohort, min(top_n, cohort.shape[0]))
+
+
+@functools.partial(jax.jit, static_argnames=("top_n",))
+def _cohort_mean_std(
+    emb: jax.Array, cohort: jax.Array, top_n: int
+) -> Tuple[jax.Array, jax.Array]:
     e = l2_normalize(emb.astype(jnp.float32))
     c = l2_normalize(cohort.astype(jnp.float32))
     scores = jnp.dot(e, c.T, preferred_element_type=jnp.float32)  # (N, M)
