@@ -93,3 +93,58 @@ class TestWhisperEncoder:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestWhisperTraining:
+    def test_whisper_frontend_train_smoke(self, tmp_path):
+        """bin/train with frontend=whisper_encoder (tiny variant)."""
+        import json
+
+        from wespeaker_hubert_tpu.bin.train import train
+        from wespeaker_hubert_tpu.data import write_wav
+
+        rng = np.random.default_rng(0)
+        entries = []
+        for spk in range(2):
+            for u in range(4):
+                key = f"s{spk}u{u}"
+                p = str(tmp_path / f"{key}.wav")
+                write_wav(
+                    p, (rng.standard_normal(20000) * 0.1).clip(-1, 1)
+                )
+                entries.append({"key": key, "wav": p, "spk": f"s{spk}"})
+        with open(tmp_path / "train.list", "w") as f:
+            for e in entries:
+                f.write(json.dumps(e) + "\n")
+        with open(tmp_path / "train.label", "w") as f:
+            for e in entries:
+                f.write(f"{e['key']} {e['spk']}\n")
+
+        cfg = WhisperEncoderConfig.tiny_test()
+        config = {
+            "exp_dir": str(tmp_path / "exp"),
+            "model": "whisper_PMFA_large_v2",
+            "model_args": {"feat_dim": cfg.output_size, "embed_dim": 16},
+            "projection_args": {"project_type": "arc_margin", "scale": 32.0},
+            "dataset_args": {
+                "num_frms": 60, "speed_perturb": False, "aug_prob": 0.0,
+                "frontend": "whisper_encoder",
+                "whisper_encoder_args": {"variant": "tiny_test"},
+                "fbank_args": {"num_mel_bins": 40, "dither": 1.0},
+                "filter_args": {"min_num_frames": 30},
+                "shuffle_args": {"shuffle_size": 8},
+            },
+            "dataloader_args": {"batch_size": 8},
+            "train_data": str(tmp_path / "train.list"),
+            "train_label": str(tmp_path / "train.label"),
+            "num_epochs": 1,
+            "epoch_iter": 1,
+            "save_epoch_interval": 1,
+            "scheduler_args": {"initial_lr": 0.01, "final_lr": 0.005,
+                               "warm_up_epoch": 1},
+            "margin_update": {"initial_margin": 0.0, "final_margin": 0.1,
+                              "increase_start_epoch": 1, "fix_start_epoch": 1},
+        }
+        state = train(config)
+        assert int(state.step) == 1
+        assert "frontend" in state.params

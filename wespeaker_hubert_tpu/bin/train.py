@@ -235,8 +235,16 @@ def train(config: str | dict, **overrides):
 
         chunk = pipe.chunk_samples
         example_wav = jnp.zeros((batch_size, chunk))
-        t_ex = int(feat_extract_output_lengths(net.frontend.cfg, chunk)) if hasattr(net.frontend, "cfg") and hasattr(net.frontend.cfg, "conv_kernel") else pipe_cfg.num_frms
-        feat_dim = net.backbone.feat_dim
+        if hasattr(net.frontend, "cfg") and hasattr(
+            net.frontend.cfg, "conv_kernel"
+        ):
+            t_ex = int(feat_extract_output_lengths(net.frontend.cfg, chunk))
+        else:
+            t_ex = pipe_cfg.num_frms  # T doesn't affect param shapes
+        feat_dim = getattr(
+            net.backbone, "feat_dim",
+            getattr(net.backbone, "output_size", None),
+        )
         feats_ex = jnp.zeros((batch_size, t_ex, feat_dim))
     else:
         feat_dim = feature_cfg.fbank.num_mel_bins
