@@ -162,3 +162,27 @@ class TestFrontend:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestLayerSelection:
+    def test_single_layer_and_last_only(self):
+        cfg = SSLEncoderConfig.tiny("hubert")
+        wav = jnp.asarray(
+            np.random.default_rng(5).standard_normal((1, 3200)), jnp.float32
+        )
+        # single-layer select == that encoder hidden state
+        front = SSLFrontend(cfg, frozen=True, layer=1)
+        v = front.init(jax.random.key(0), wav)
+        feats, _ = front.apply(v, wav)
+        from wespeaker_hubert_tpu.frontend import SSLEncoder
+
+        enc = SSLEncoder(cfg)
+        hidden, _ = enc.apply({"params": v["params"]["upstream"]}, wav)
+        np.testing.assert_allclose(
+            np.asarray(feats), np.asarray(hidden[1]), atol=1e-6
+        )
+
+        # multilayer_feature=False: only one featurizer weight
+        front2 = SSLFrontend(cfg, frozen=True, multilayer_feature=False)
+        v2 = front2.init(jax.random.key(0), wav)
+        assert v2["params"]["featurizer_weights"].shape == (1,)

@@ -71,7 +71,10 @@ def build_speaker_net(config: dict, num_class: int) -> SpeakerNet:
         upstream = s3prl_args.get("upstream", "wavlm_large")
         enc_cfg = getattr(SSLEncoderConfig, upstream)()
         frontend = SSLFrontend(
-            enc_cfg, frozen=s3prl_args.get("frozen", True)
+            enc_cfg,
+            frozen=s3prl_args.get("frozen", True),
+            layer=s3prl_args.get("layer", -1),
+            multilayer_feature=s3prl_args.get("multilayer_feature", True),
         )
         model_args["feat_dim"] = enc_cfg.hidden_size
     elif dataset_args.get("frontend") == "whisper_encoder":

@@ -26,8 +26,15 @@ __all__ = ["SSLFrontend"]
 
 
 class SSLFrontend(nn.Module):
+    """`layer` >= 0 selects a single hidden state (reference s3prl.py:
+    55-58, 84-86: layer selection forbids multilayer_feature);
+    `multilayer_feature=False` uses only the last state (reference
+    s3prl.py:109-111); default is the learned weighted mix of all."""
+
     cfg: SSLEncoderConfig
     frozen: bool = True
+    layer: int = -1
+    multilayer_feature: bool = True
 
     @nn.compact
     def __call__(
@@ -42,6 +49,16 @@ class SSLFrontend(nn.Module):
         )
         if self.frozen:
             hidden_states = [jax.lax.stop_gradient(h) for h in hidden_states]
+
+        if self.layer >= 0:
+            if self.layer >= len(hidden_states):
+                raise ValueError(
+                    f"s3prl_args.layer={self.layer} out of range: upstream "
+                    f"has {len(hidden_states)} hidden states (0..{len(hidden_states) - 1})"
+                )
+            return hidden_states[self.layer], feat_lengths
+        if not self.multilayer_feature:
+            hidden_states = hidden_states[-1:]
 
         n = len(hidden_states)
         weights = self.param(
