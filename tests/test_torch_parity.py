@@ -188,3 +188,98 @@ def test_eres2net_embedding_parity(ref_models):
     )
     cos = _cos_rows(emb, ref_emb)
     assert cos.min() > 0.9999, cos
+
+
+def test_repvgg_tiny_a0_embedding_parity(ref_models):
+    sys.path.insert(0, REF)
+    import wespeaker.models.repvgg as ref_repvgg
+
+    from wespeaker_hubert_tpu.models.convert_torch import repvgg_from_torch
+    from wespeaker_hubert_tpu.models.repvgg import REPVGG_FACTORIES
+
+    torch.manual_seed(5)
+    ref = ref_repvgg.REPVGG_TINY_A0(feat_dim=40, embed_dim=64)
+    ref.eval()
+    feats = np.random.default_rng(5).standard_normal((2, 96, 40)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        out = ref(torch.from_numpy(feats))
+        ref_emb = (out[-1] if isinstance(out, (tuple, list)) else out).numpy()
+
+    params, stats = repvgg_from_torch(
+        ref.state_dict(),
+        num_blocks=(3, 4, 23, 3),
+        width_multiplier=(0.5, 0.5, 0.5, 0.5),
+        feat_dim=40,
+    )
+    ours = REPVGG_FACTORIES["REPVGG_TINY_A0"](feat_dim=40, embed_dim=64)
+    emb = ours.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(feats),
+        train=False,
+    )
+    cos = _cos_rows(emb, ref_emb)
+    assert cos.min() > 0.9999, cos
+
+
+def test_repvgg_rsbb_deploy_parity(ref_models):
+    """RSBB (dilated-branch) variant, converted twice: training-form
+    checkpoint AND torch-side deploy-form (repvgg_model_convert)."""
+    sys.path.insert(0, REF)
+    import wespeaker.models.repvgg as ref_repvgg
+
+    from wespeaker_hubert_tpu.models.convert_torch import repvgg_from_torch
+    from wespeaker_hubert_tpu.models.repvgg import REPVGG_FACTORIES
+
+    torch.manual_seed(6)
+    ref = ref_repvgg.REPVGG_TINY_RSBB_A0(feat_dim=40, embed_dim=64)
+    ref.eval()
+    feats = np.random.default_rng(6).standard_normal((2, 96, 40)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        out = ref(torch.from_numpy(feats))
+        ref_emb = (out[-1] if isinstance(out, (tuple, list)) else out).numpy()
+
+    params, stats = repvgg_from_torch(
+        ref.state_dict(),
+        num_blocks=(3, 4, 23, 3),
+        width_multiplier=(0.5, 0.5, 0.5, 0.5),
+        block="RepSPK",
+        feat_dim=40,
+    )
+    ours = REPVGG_FACTORIES["REPVGG_TINY_RSBB_A0"](feat_dim=40, embed_dim=64)
+    emb = ours.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(feats),
+        train=False,
+    )
+    cos = _cos_rows(emb, ref_emb)
+    # 33 stacked dilated-conv blocks accumulate ~1e-4 f32 reduction-order
+    # noise (single-block parity is 1e-6; see convert_torch.py docstring)
+    assert cos.min() > 0.9995, cos
+
+    # deploy-form: torch-side fuse, then convert the reparam checkpoint
+    deploy_ref = ref_repvgg.repvgg_model_convert(ref)
+    deploy_ref.eval()
+    with torch.no_grad():
+        out = deploy_ref(torch.from_numpy(feats))
+        dep_emb = (out[-1] if isinstance(out, (tuple, list)) else out).numpy()
+    np.testing.assert_allclose(dep_emb, ref_emb, rtol=1e-3, atol=1e-4)
+
+    dparams, _ = repvgg_from_torch(
+        deploy_ref.state_dict(),
+        num_blocks=(3, 4, 23, 3),
+        width_multiplier=(0.5, 0.5, 0.5, 0.5),
+        block="RepSPK",
+        feat_dim=40,
+    )
+    ours_dep = REPVGG_FACTORIES["REPVGG_TINY_RSBB_A0"](
+        feat_dim=40, embed_dim=64, deploy=True
+    )
+    emb_dep = ours_dep.apply(
+        {"params": dparams}, jnp.asarray(feats), train=False
+    )
+    cos = _cos_rows(emb_dep, ref_emb)
+    assert cos.min() > 0.9995, cos

@@ -98,7 +98,8 @@ def iter_raw_list(entries: Iterable[str]) -> Iterator[dict]:
                 wav = np.concatenate(parts) if parts else wav[:0]
             yield {
                 "key": obj["key"],
-                "spk": obj["spk"],
+                # eval/trial lists carry no speaker label — default empty
+                "spk": obj.get("spk", ""),
                 "wav": wav,
                 "sample_rate": sr,
             }
@@ -124,8 +125,8 @@ def iter_tar_shards(paths: Iterable[str]) -> Iterator[dict]:
                     name = member.name
                     base, _, ext = name.rpartition(".")
                     if base != cur_key:
-                        if cur_key is not None and "wav" in cur and "spk" in cur:
-                            yield cur | {"key": cur_key}
+                        if cur_key is not None and "wav" in cur:
+                            yield cur | {"key": cur_key, "spk": cur.get("spk", "")}
                         cur_key, cur = base, {}
                     data = tf.extractfile(member).read()
                     if ext == "wav":
@@ -134,8 +135,8 @@ def iter_tar_shards(paths: Iterable[str]) -> Iterator[dict]:
                         cur["sample_rate"] = sr
                     elif ext in ("spk", "txt"):
                         cur["spk"] = data.decode("utf-8").strip()
-                if cur_key is not None and "wav" in cur and "spk" in cur:
-                    yield cur | {"key": cur_key}
+                if cur_key is not None and "wav" in cur:
+                    yield cur | {"key": cur_key, "spk": cur.get("spk", "")}
         except Exception as e:
             logging.warning("failed to read shard %s: %s", path, e)
 

@@ -28,6 +28,7 @@ __all__ = [
     "resnet_from_torch",
     "campplus_from_torch",
     "eres2net_from_torch",
+    "repvgg_from_torch",
 ]
 
 
@@ -371,4 +372,87 @@ def eres2net_from_torch(
     w = _np(sd["seg_1.weight"]).T
     w_ours = np.concatenate([w[perm], w[d + perm]], axis=0)
     put(("seg_1",), {"kernel": w_ours, "bias": _np(sd["seg_1.bias"])})
+    return params, stats
+
+
+# --------------------------------------------------------------- RepVGG
+def repvgg_from_torch(
+    sd: Dict,
+    num_blocks=(3, 4, 23, 3),
+    width_multiplier=(0.5, 0.5, 0.5, 0.5),
+    block: str = "RepVGG",
+    base_width: int = 64,
+    feat_dim: int = 80,
+) -> Tuple[Dict, Dict]:
+    """Reference RepVGG state_dict -> (params, batch_stats).
+
+    Handles both training-form checkpoints (rbr_dense/rbr_1x1/
+    rbr_dense_dilation/rbr_identity branches, reference repvgg.py:105,289)
+    and deploy-form ones produced by repvgg_model_convert (:590 —
+    rbr_reparam only).  Branch mapping: rbr_dense->dense_conv/dense_bn,
+    rbr_1x1->one_conv/one_bn, rbr_dense_dilation->dil_conv/dil_bn,
+    rbr_identity->id_bn, se.fc_1/fc_2->se/fc1,fc2."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(path, p, s=None):
+        node = params
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = p
+        if s is not None:
+            node = stats
+            for k in path[:-1]:
+                node = node.setdefault(k, {})
+            node[path[-1]] = s
+
+    def convert_block(dst, src):
+        blk: Dict = {}
+        if f"{src}.rbr_reparam.weight" in sd:
+            blk["reparam"] = {
+                "kernel": _np(sd[f"{src}.rbr_reparam.weight"]).transpose(
+                    3, 2, 1, 0
+                ),
+                "bias": _np(sd[f"{src}.rbr_reparam.bias"]),
+            }
+        else:
+            blk["dense_conv"] = _conv2d(sd, f"{src}.rbr_dense.conv")
+            p, s = _bn(sd, f"{src}.rbr_dense.bn")
+            blk["dense_bn"] = p
+            stats_blk = {"dense_bn": s}
+            if f"{src}.rbr_1x1.conv.weight" in sd:
+                blk["one_conv"] = _conv2d(sd, f"{src}.rbr_1x1.conv")
+                p, s = _bn(sd, f"{src}.rbr_1x1.bn")
+                blk["one_bn"] = p
+                stats_blk["one_bn"] = s
+            if f"{src}.rbr_dense_dilation.conv.weight" in sd:
+                blk["dil_conv"] = _conv2d(sd, f"{src}.rbr_dense_dilation.conv")
+                p, s = _bn(sd, f"{src}.rbr_dense_dilation.bn")
+                blk["dil_bn"] = p
+                stats_blk["dil_bn"] = s
+            if f"{src}.rbr_identity.weight" in sd:
+                p, s = _bn(sd, f"{src}.rbr_identity")
+                blk["id_bn"] = p
+                stats_blk["id_bn"] = s
+            stats[dst] = stats_blk
+        if f"{src}.se.fc_1.weight" in sd:
+            blk["se"] = {
+                "fc1": _dense(sd, f"{src}.se.fc_1"),
+                "fc2": _dense(sd, f"{src}.se.fc_2"),
+            }
+        params[dst] = blk
+
+    convert_block("stage0", "stage0")
+    for si, n in enumerate(num_blocks):
+        for bi in range(n):
+            convert_block(f"stage{si + 1}_{bi}", f"stage{si + 1}.{bi}")
+
+    wm = [w * (base_width / 64.0) for w in width_multiplier]
+    out_c = int(512 * wm[3])
+    out_f = feat_dim // 8
+    perm = _stats_permutation(out_c, out_f)
+    d = out_c * out_f
+    w = _np(sd["seg.weight"]).T  # (2d, emb) for TSTP
+    w_ours = np.concatenate([w[perm], w[d + perm]], axis=0)
+    put(("seg",), {"kernel": w_ours, "bias": _np(sd["seg.bias"])})
     return params, stats
