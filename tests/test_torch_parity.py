@@ -283,3 +283,127 @@ def test_repvgg_rsbb_deploy_parity(ref_models):
     )
     cos = _cos_rows(emb_dep, ref_emb)
     assert cos.min() > 0.9995, cos
+
+
+def test_xvec_embedding_parity(ref_models):
+    sys.path.insert(0, REF)
+    import wespeaker.models.tdnn as ref_tdnn
+
+    from wespeaker_hubert_tpu.models.convert_torch import xvec_from_torch
+    from wespeaker_hubert_tpu.models.tdnn import XVEC
+
+    torch.manual_seed(7)
+    ref = ref_tdnn.XVEC(feat_dim=40, embed_dim=64)
+    ref.eval()
+    feats = np.random.default_rng(7).standard_normal((2, 120, 40)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        out = ref(torch.from_numpy(feats))
+        ref_emb = (out[-1] if isinstance(out, (tuple, list)) else out).numpy()
+
+    params, stats = xvec_from_torch(ref.state_dict())
+    ours = XVEC(feat_dim=40, embed_dim=64)
+    out = ours.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(feats),
+        train=False,
+    )
+    emb = out[-1] if isinstance(out, (tuple, list)) else out
+    cos = _cos_rows(emb, ref_emb)
+    assert cos.min() > 0.9999, cos
+
+
+def test_gemini_dfresnet_embedding_parity(ref_models):
+    sys.path.insert(0, REF)
+    import wespeaker.models.gemini_dfresnet as ref_gem
+
+    from wespeaker_hubert_tpu.models.convert_torch import gemini_from_torch
+    from wespeaker_hubert_tpu.models.gemini_dfresnet import Gemini_DF_ResNet60
+
+    torch.manual_seed(8)
+    ref = ref_gem.Gemini_DF_ResNet60(
+        feat_dim=80, embed_dim=64, two_emb_layer=True
+    )
+    ref.eval()
+    feats = np.random.default_rng(8).standard_normal((2, 96, 80)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        out = ref(torch.from_numpy(feats))
+        ref_emb = (out[-1] if isinstance(out, (tuple, list)) else out).numpy()
+
+    params, stats = gemini_from_torch(
+        ref.state_dict(), feat_dim=80, two_emb_layer=True
+    )
+    ours = Gemini_DF_ResNet60(feat_dim=80, embed_dim=64, two_emb_layer=True)
+    out = ours.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(feats),
+        train=False,
+    )
+    emb = out[-1]
+    cos = _cos_rows(emb, ref_emb)
+    assert cos.min() > 0.9999, cos
+
+
+def test_samresnet_embedding_parity(ref_models):
+    sys.path.insert(0, REF)
+    import wespeaker.models.samresnet as ref_sam
+
+    from wespeaker_hubert_tpu.models.convert_torch import samresnet_from_torch
+
+    torch.manual_seed(9)
+    ref = ref_sam.SimAM_ResNet34_ASP(
+        in_planes=32, embed_dim=64, acoustic_dim=40
+    )
+    ref.eval()
+    feats = np.random.default_rng(9).standard_normal((2, 96, 40)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        out = ref(torch.from_numpy(feats))
+        ref_emb = (out[-1] if isinstance(out, (tuple, list)) else out).numpy()
+
+    params, stats = samresnet_from_torch(
+        ref.state_dict(), in_planes=32, feat_dim=40
+    )
+    from wespeaker_hubert_tpu.models.samresnet import SimAMResNet
+
+    ours = SimAMResNet(32, (3, 4, 6, 3), 64, 40)
+    emb = ours.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(feats),
+        train=False,
+    )
+    cos = _cos_rows(emb, ref_emb)
+    assert cos.min() > 0.9999, cos
+
+
+def test_res2net_embedding_parity(ref_models):
+    sys.path.insert(0, REF)
+    import wespeaker.models.res2net as ref_res2net
+
+    from wespeaker_hubert_tpu.models.convert_torch import res2net_from_torch
+    from wespeaker_hubert_tpu.models.res2net import Res2Net34_Base
+
+    torch.manual_seed(10)
+    ref = ref_res2net.Res2Net34_Base(feat_dim=40, embed_dim=64)
+    ref.eval()
+    feats = np.random.default_rng(10).standard_normal((2, 96, 40)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        out = ref(torch.from_numpy(feats))
+        ref_emb = (out[-1] if isinstance(out, (tuple, list)) else out).numpy()
+
+    params, stats = res2net_from_torch(ref.state_dict(), feat_dim=40)
+    ours = Res2Net34_Base(feat_dim=40, embed_dim=64)
+    out = ours.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(feats),
+        train=False,
+    )
+    emb = out[-1] if isinstance(out, (tuple, list)) else out
+    cos = _cos_rows(emb, ref_emb)
+    assert cos.min() > 0.9999, cos

@@ -129,6 +129,13 @@ def extract(
         "extracted %d embeddings; %.1f audio-s in %.1fs (%.1f audio-s/s)",
         len(keys), audio_seconds, dt, audio_seconds / max(dt, 1e-9),
     )
+    if not keys:
+        # every sample was skipped (corrupt wavs / bad list): a silent
+        # empty output file would poison downstream scoring — fail loudly
+        raise RuntimeError(
+            f"extracted 0 embeddings from {data_list!r}; "
+            "check the data list format and per-sample warnings above"
+        )
     if output:
         os.makedirs(os.path.dirname(output) or ".", exist_ok=True)
         save_embeddings(output, keys, emb)

@@ -29,6 +29,10 @@ __all__ = [
     "campplus_from_torch",
     "eres2net_from_torch",
     "repvgg_from_torch",
+    "xvec_from_torch",
+    "gemini_from_torch",
+    "samresnet_from_torch",
+    "res2net_from_torch",
 ]
 
 
@@ -455,4 +459,204 @@ def repvgg_from_torch(
     w = _np(sd["seg.weight"]).T  # (2d, emb) for TSTP
     w_ours = np.concatenate([w[perm], w[d + perm]], axis=0)
     put(("seg",), {"kernel": w_ours, "bias": _np(sd["seg.bias"])})
+    return params, stats
+
+
+# ----------------------------------------------------------------- XVEC
+def xvec_from_torch(sd: Dict) -> Tuple[Dict, Dict]:
+    """Reference XVEC (tdnn.py:57) state_dict -> (params, batch_stats).
+    1-D TDNN layers keep channel order, so no flatten permutation."""
+    params: Dict = {}
+    stats: Dict = {}
+    for i in range(1, 6):
+        name = f"frame_{i}"
+        _, s = _bn(sd, f"{name}.bn", affine=False)
+        params[name] = {"conv_1d": _conv1d(sd, f"{name}.conv_1d")}
+        stats[name] = {"bn": s}
+    params["seg_1"] = _dense(sd, "seg_1")
+    _, s = _bn(sd, "seg_bn_1", affine=False)
+    stats["seg_bn_1"] = s
+    params["seg_2"] = _dense(sd, "seg_2")
+    return params, stats
+
+
+# -------------------------------------------------------- Gemini DF-ResNet
+def gemini_from_torch(
+    sd: Dict,
+    depths=(3, 3, 9, 3),
+    dims=(32, 32, 64, 128, 256),
+    feat_dim: int = 80,
+    two_emb_layer: bool = False,
+) -> Tuple[Dict, Dict]:
+    """Reference Gemini_DF_ResNet (gemini_dfresnet.py:51) state_dict ->
+    (params, batch_stats).  Frequency strides /16, time /2."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(path, p, s=None):
+        node = params
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = p
+        if s is not None:
+            node = stats
+            for k in path[:-1]:
+                node = node.setdefault(k, {})
+            node[path[-1]] = s
+
+    put(("stem_conv",), _conv2d(sd, "downsample_layers.0.0"))
+    p, s = _bn(sd, "downsample_layers.0.1")
+    put(("stem_bn",), p, s)
+    for i in range(4):
+        put((f"down{i + 1}_conv",), _conv2d(sd, f"downsample_layers.{i + 1}.0"))
+        p, s = _bn(sd, f"downsample_layers.{i + 1}.1")
+        put((f"down{i + 1}_bn",), p, s)
+        for j in range(depths[i]):
+            src = f"stages.{i}.{j}"
+            dst = f"stage{i + 1}_{j}"
+            for ci in (1, 2, 3):
+                put((dst, f"conv{ci}"), _conv2d(sd, f"{src}.conv{ci}"))
+                p, s = _bn(sd, f"{src}.bn{ci}")
+                put((dst, f"bn{ci}"), p, s)
+
+    out_c = dims[-1]
+    out_f = feat_dim // 16
+    perm = _stats_permutation(out_c, out_f)
+    d = out_c * out_f
+    w = _np(sd["seg_1.weight"]).T
+    w_ours = np.concatenate([w[perm], w[d + perm]], axis=0)
+    put(("seg_1",), {"kernel": w_ours, "bias": _np(sd["seg_1.bias"])})
+    if two_emb_layer:
+        _, s = _bn(sd, "seg_bn_1", affine=False)
+        stats["seg_bn_1"] = s
+        put(("seg_2",), _dense(sd, "seg_2"))
+    return params, stats
+
+
+# ---------------------------------------------------------- SimAM ResNet
+def samresnet_from_torch(
+    sd: Dict,
+    num_blocks=(3, 4, 6, 3),
+    in_planes: int = 64,
+    feat_dim: int = 80,
+) -> Tuple[Dict, Dict]:
+    """Reference SimAM_ResNet*_ASP (samresnet.py:134,152) state_dict ->
+    (params, batch_stats).  The ASP attention convs and the bottleneck
+    Dense all consume flattened (C, F) maps, so each gets the flatten-
+    order permutation on the corresponding rows/columns."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(path, p, s=None):
+        node = params
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = p
+        if s is not None:
+            node = stats
+            for k in path[:-1]:
+                node = node.setdefault(k, {})
+            node[path[-1]] = s
+
+    put(("conv1",), _conv2d(sd, "front.conv1"))
+    p, s = _bn(sd, "front.bn1")
+    put(("bn1",), p, s)
+    for li, n in enumerate(num_blocks):
+        for bi in range(n):
+            src = f"front.layer{li + 1}.{bi}"
+            dst = f"layer{li + 1}_{bi}"
+            for ci in (1, 2):
+                put((dst, f"conv{ci}"), _conv2d(sd, f"{src}.conv{ci}"))
+                p, s = _bn(sd, f"{src}.bn{ci}")
+                put((dst, f"bn{ci}"), p, s)
+            if f"{src}.downsample.0.weight" in sd:
+                put((dst, "downsample_conv"), _conv2d(sd, f"{src}.downsample.0"))
+                p, s = _bn(sd, f"{src}.downsample.1")
+                put((dst, "downsample_bn"), p, s)
+
+    out_c = in_planes * 8
+    out_f = feat_dim // 8
+    perm = _stats_permutation(out_c, out_f)
+    d = out_c * out_f
+
+    # ASP attention: Conv1d(CF->128) -> ReLU -> BN -> Conv1d(128->CF)
+    w1 = _np(sd["pooling.attention.0.weight"])[:, :, 0].T  # (CF, 128)
+    put(
+        ("pooling", "att1"),
+        {"kernel": w1[perm], "bias": _np(sd["pooling.attention.0.bias"])},
+    )
+    p, s = _bn(sd, "pooling.attention.2")
+    put(("pooling", "att_bn"), p, s)
+    w2 = _np(sd["pooling.attention.3.weight"])[:, :, 0].T  # (128, CF)
+    put(
+        ("pooling", "att2"),
+        {
+            "kernel": w2[:, perm],
+            "bias": _np(sd["pooling.attention.3.bias"])[perm],
+        },
+    )
+
+    w = _np(sd["bottleneck.weight"]).T  # (2d, emb)
+    w_ours = np.concatenate([w[perm], w[d + perm]], axis=0)
+    put(("bottleneck",), {"kernel": w_ours, "bias": _np(sd["bottleneck.bias"])})
+    return params, stats
+
+
+# ---------------------------------------------------------------- Res2Net
+def res2net_from_torch(
+    sd: Dict,
+    num_blocks=(3, 4, 6, 3),
+    m_channels: int = 32,
+    feat_dim: int = 80,
+    scale: int = 2,
+    two_emb_layer: bool = False,
+) -> Tuple[Dict, Dict]:
+    """Reference Res2Net (res2net.py:96) state_dict -> (params,
+    batch_stats).  Blocks expand x2; the multi-scale 3x3 convs map
+    convs.{i}/bns.{i} -> convs_{i}/bns_{i}."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(path, p, s=None):
+        node = params
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = p
+        if s is not None:
+            node = stats
+            for k in path[:-1]:
+                node = node.setdefault(k, {})
+            node[path[-1]] = s
+
+    put(("conv1",), _conv2d(sd, "conv1"))
+    p, s = _bn(sd, "bn1")
+    put(("bn1",), p, s)
+    for li, n in enumerate(num_blocks):
+        for bi in range(n):
+            src = f"layer{li + 1}.{bi}"
+            dst = f"layer{li + 1}_{bi}"
+            for ci in (1, 3):
+                put((dst, f"conv{ci}"), _conv2d(sd, f"{src}.conv{ci}"))
+                p, s = _bn(sd, f"{src}.bn{ci}")
+                put((dst, f"bn{ci}"), p, s)
+            for i in range(scale - 1):
+                put((dst, f"convs_{i}"), _conv2d(sd, f"{src}.convs.{i}"))
+                p, s = _bn(sd, f"{src}.bns.{i}")
+                put((dst, f"bns_{i}"), p, s)
+            if f"{src}.shortcut.0.weight" in sd:
+                put((dst, "shortcut_conv"), _conv2d(sd, f"{src}.shortcut.0"))
+                p, s = _bn(sd, f"{src}.shortcut.1")
+                put((dst, "shortcut_bn"), p, s)
+
+    out_c = m_channels * 8 * 2  # block expansion 2
+    out_f = feat_dim // 8
+    perm = _stats_permutation(out_c, out_f)
+    d = out_c * out_f
+    w = _np(sd["seg_1.weight"]).T
+    w_ours = np.concatenate([w[perm], w[d + perm]], axis=0)
+    put(("seg_1",), {"kernel": w_ours, "bias": _np(sd["seg_1.bias"])})
+    if two_emb_layer:
+        _, s = _bn(sd, "seg_bn_1", affine=False)
+        stats["seg_bn_1"] = s
+        put(("seg_2",), _dense(sd, "seg_2"))
     return params, stats
