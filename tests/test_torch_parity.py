@@ -407,3 +407,158 @@ def test_res2net_embedding_parity(ref_models):
     emb = out[-1] if isinstance(out, (tuple, list)) else out
     cos = _cos_rows(emb, ref_emb)
     assert cos.min() > 0.9999, cos
+
+
+def test_xi_vector_embedding_parity(ref_models):
+    """XI pooling on both backbones (reference xi_vector.py:31-49)."""
+    sys.path.insert(0, REF)
+    import wespeaker.models.xi_vector as ref_xi
+
+    from wespeaker_hubert_tpu.models.convert_torch import (
+        ecapa_from_torch,
+        xvec_from_torch,
+    )
+    from wespeaker_hubert_tpu.models.xi_vector import (
+        XI_VEC_ECAPA_TDNN_c512,
+        XI_VEC_XVEC,
+    )
+
+    feats = np.random.default_rng(11).standard_normal((2, 120, 40)).astype(
+        np.float32
+    )
+
+    torch.manual_seed(11)
+    ref = ref_xi.XI_VEC_XVEC(feat_dim=40, embed_dim=64)
+    ref.eval()
+    with torch.no_grad():
+        out = ref(torch.from_numpy(feats))
+        ref_emb = (out[-1] if isinstance(out, (tuple, list)) else out).numpy()
+    params, stats = xvec_from_torch(ref.state_dict(), pooling_func="XI")
+    ours = XI_VEC_XVEC(feat_dim=40, embed_dim=64)
+    out = ours.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(feats),
+        train=False,
+    )
+    emb = out[-1] if isinstance(out, (tuple, list)) else out
+    cos = _cos_rows(emb, ref_emb)
+    assert cos.min() > 0.9999, cos
+
+    torch.manual_seed(12)
+    ref = ref_xi.XI_VEC_ECAPA_TDNN_c512(feat_dim=40, embed_dim=64)
+    ref.eval()
+    with torch.no_grad():
+        out = ref(torch.from_numpy(feats))
+        ref_emb = (out[-1] if isinstance(out, (tuple, list)) else out).numpy()
+    params, stats = ecapa_from_torch(
+        ref.state_dict(), channels=512, pooling_func="XI"
+    )
+    ours = XI_VEC_ECAPA_TDNN_c512(feat_dim=40, embed_dim=64)
+    emb = ours.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(feats),
+        train=False,
+    )
+    emb = emb[-1] if isinstance(emb, (tuple, list)) else emb
+    cos = _cos_rows(emb, ref_emb)
+    assert cos.min() > 0.9999, cos
+
+
+def test_redimnet_b0_embedding_parity(ref_models):
+    """B0: basic_resnet blocks, conv_exp squeeze stages, TCB everywhere."""
+    sys.path.insert(0, REF)
+    import wespeaker.models.redimnet as ref_rdn
+
+    from wespeaker_hubert_tpu.models.convert_torch import redimnet_from_torch
+    from wespeaker_hubert_tpu.models.redimnet import ReDimNetB0
+
+    torch.manual_seed(13)
+    ref = ref_rdn.ReDimNetB0(feat_dim=60, embed_dim=64)
+    ref.eval()
+    feats = np.random.default_rng(13).standard_normal((2, 100, 60)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        out = ref(torch.from_numpy(feats))
+        ref_emb = (out[-1] if isinstance(out, (tuple, list)) else out).numpy()
+
+    setup = [(1, 2, 1, ((3, 3),), 30), (2, 3, 2, ((3, 3),), 30),
+             (1, 3, 3, ((3, 3),), 30), (2, 4, 2, ((3, 3),), 10),
+             (1, 3, 1, ((3, 3),), 10)]
+    params, stats = redimnet_from_torch(
+        ref.state_dict(), setup, C=10, feat_dim=60,
+        block_2d_type="basic_resnet",
+    )
+    ours = ReDimNetB0(feat_dim=60, embed_dim=64)
+    out = ours.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(feats),
+        train=False,
+    )
+    emb = out[-1] if isinstance(out, (tuple, list)) else out
+    cos = _cos_rows(emb, ref_emb)
+    assert cos.min() > 0.9999, cos
+
+
+def test_redimnet_b1_embedding_parity(ref_models):
+    """B1: convnext blocks, stages without TCB, stride-3 stage."""
+    sys.path.insert(0, REF)
+    import wespeaker.models.redimnet as ref_rdn
+
+    from wespeaker_hubert_tpu.models.convert_torch import redimnet_from_torch
+    from wespeaker_hubert_tpu.models.redimnet import ReDimNetB1
+
+    torch.manual_seed(14)
+    ref = ref_rdn.ReDimNetB1(feat_dim=72, embed_dim=64)
+    ref.eval()
+    feats = np.random.default_rng(14).standard_normal((2, 100, 72)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        out = ref(torch.from_numpy(feats))
+        ref_emb = (out[-1] if isinstance(out, (tuple, list)) else out).numpy()
+
+    setup = [(1, 2, 1, ((3, 3),), None), (2, 3, 1, ((3, 3),), None),
+             (3, 4, 1, ((3, 3),), 12), (2, 5, 1, ((3, 3),), 12),
+             (2, 3, 1, ((3, 3),), 8)]
+    params, stats = redimnet_from_torch(
+        ref.state_dict(), setup, C=12, feat_dim=72,
+        block_2d_type="convnext_like",
+    )
+    ours = ReDimNetB1(feat_dim=72, embed_dim=64)
+    out = ours.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(feats),
+        train=False,
+    )
+    emb = out[-1] if isinstance(out, (tuple, list)) else out
+    cos = _cos_rows(emb, ref_emb)
+    assert cos.min() > 0.9999, cos
+
+
+def test_whisper_pmfa_head_parity(ref_models):
+    sys.path.insert(0, REF)
+    import wespeaker.models.whisper_PMFA as ref_pmfa
+
+    from wespeaker_hubert_tpu.models.convert_torch import (
+        whisper_pmfa_from_torch,
+    )
+    from wespeaker_hubert_tpu.models.whisper_pmfa import WhisperPMFA
+
+    torch.manual_seed(15)
+    ref = ref_pmfa.whisper_PMFA(output_size=96, embedding_dim=64)
+    ref.eval()
+    feats = np.random.default_rng(15).standard_normal((2, 50, 96)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        out = ref(torch.from_numpy(feats))
+        ref_emb = (out[-1] if isinstance(out, (tuple, list)) else out).numpy()
+
+    params, stats = whisper_pmfa_from_torch(ref.state_dict())
+    ours = WhisperPMFA(output_size=96, embed_dim=64)
+    emb = ours.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(feats),
+        train=False,
+    )
+    cos = _cos_rows(emb, ref_emb)
+    assert cos.min() > 0.9999, cos

@@ -43,7 +43,8 @@ def extract(
     logger = logging.getLogger("extract")
 
     dataset_args = config.get("dataset_args", {})
-    fb = dataset_args.get("fbank_args", {})
+    # accept fbank_args both nested (train-config style) and top-level
+    fb = dataset_args.get("fbank_args", config.get("fbank_args", {}))
     feature_cfg = FeaturePipelineConfig(
         fbank=FbankConfig(
             num_mel_bins=fb.get("num_mel_bins", 80),

@@ -33,6 +33,8 @@ __all__ = [
     "gemini_from_torch",
     "samresnet_from_torch",
     "res2net_from_torch",
+    "redimnet_from_torch",
+    "whisper_pmfa_from_torch",
 ]
 
 
@@ -95,8 +97,25 @@ def _stats_permutation(channels: int, freq: int) -> np.ndarray:
     return perm
 
 
+def _xi_pool(sd, prefix="pool"):
+    """XI (xi-vector Gaussian-posterior) pooling params
+    (reference pooling_layers.py:313): prior mean/log-precision +
+    Conv1d->BN->Conv1d precision estimator."""
+    p, st = _bn(sd, f"{prefix}.lin1_relu_bn.2")
+    params = {
+        "prior_mean": _np(sd[f"{prefix}.prior_mean"]),
+        "prior_logprec": _np(sd[f"{prefix}.prior_logprec"]),
+        "lin1": _dense_from_conv1d(sd, f"{prefix}.lin1_relu_bn.0"),
+        "bn1": p,
+        "lin2": _dense_from_conv1d(sd, f"{prefix}.lin2"),
+    }
+    return params, {"bn1": st}
+
+
 # --------------------------------------------------------------- ECAPA
-def ecapa_from_torch(sd: Dict, channels: int = 512) -> Tuple[Dict, Dict]:
+def ecapa_from_torch(
+    sd: Dict, channels: int = 512, pooling_func: str = "ASTP"
+) -> Tuple[Dict, Dict]:
     """Reference ECAPA_TDNN state_dict -> (params, batch_stats)."""
     params: Dict = {}
     stats: Dict = {}
@@ -135,8 +154,12 @@ def ecapa_from_torch(sd: Dict, channels: int = 512) -> Tuple[Dict, Dict]:
         put((f"layer{li}", "se", "linear2"), _dense(sd, base + ".3.linear2"))
 
     put(("conv",), _conv1d(sd, "conv"))
-    put(("pool", "linear1"), _dense_from_conv1d(sd, "pool.linear1"))
-    put(("pool", "linear2"), _dense_from_conv1d(sd, "pool.linear2"))
+    if pooling_func == "XI":
+        p, st = _xi_pool(sd)
+        put(("pool",), p, st)
+    else:
+        put(("pool", "linear1"), _dense_from_conv1d(sd, "pool.linear1"))
+        put(("pool", "linear2"), _dense_from_conv1d(sd, "pool.linear2"))
     p, s = _bn(sd, "bn")
     put(("bn",), p, s)
     put(("linear",), _dense(sd, "linear"))
@@ -463,7 +486,7 @@ def repvgg_from_torch(
 
 
 # ----------------------------------------------------------------- XVEC
-def xvec_from_torch(sd: Dict) -> Tuple[Dict, Dict]:
+def xvec_from_torch(sd: Dict, pooling_func: str = "TSTP") -> Tuple[Dict, Dict]:
     """Reference XVEC (tdnn.py:57) state_dict -> (params, batch_stats).
     1-D TDNN layers keep channel order, so no flatten permutation."""
     params: Dict = {}
@@ -473,6 +496,10 @@ def xvec_from_torch(sd: Dict) -> Tuple[Dict, Dict]:
         _, s = _bn(sd, f"{name}.bn", affine=False)
         params[name] = {"conv_1d": _conv1d(sd, f"{name}.conv_1d")}
         stats[name] = {"bn": s}
+    if pooling_func == "XI":
+        p, st = _xi_pool(sd)
+        params["pool"] = p
+        stats["pool"] = st
     params["seg_1"] = _dense(sd, "seg_1")
     _, s = _bn(sd, "seg_bn_1", affine=False)
     stats["seg_bn_1"] = s
@@ -659,4 +686,215 @@ def res2net_from_torch(
         _, s = _bn(sd, "seg_bn_1", affine=False)
         stats["seg_bn_1"] = s
         put(("seg_2",), _dense(sd, "seg_2"))
+    return params, stats
+
+
+# --------------------------------------------------------------- ReDimNet
+def _ln(sd, prefix):
+    """Custom channels-first LayerNorm (reference redimnet.py:63) ->
+    flax LayerNorm {scale, bias}."""
+    return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def redimnet_from_torch(
+    sd: Dict,
+    stages_setup,
+    C: int = 16,
+    feat_dim: int = 72,
+    block_2d_type: str = "basic_resnet",
+    block_1d_type: str = "conv+att",
+    out_channels=None,
+    two_emb_layer: bool = False,
+) -> Tuple[Dict, Dict]:
+    """Reference ReDimNet (redimnet.py:792 + ReDimNetBone:622) state_dict
+    -> (params, batch_stats).
+
+    Both sides share the to1d flatten order f*C + c (reference :758-765
+    permutes (B,C,F,T)->(B,F,C,T) before reshape; ours reshapes
+    (B,T,F,C)), so no row permutations are needed anywhere — the
+    1-D convs, attention and ASTP pool convert verbatim."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(path, p, s=None):
+        node = params
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = p
+        if s is not None:
+            node = stats
+            for k in path[:-1]:
+                node = node.setdefault(k, {})
+            node[path[-1]] = s
+
+    def conv2d_block(dst, src, use_fwse):
+        """ConvBlock2d -> our stage block (reference :167-203)."""
+        base = f"{src}.conv_block"
+        blk_p: Dict = {}
+        blk_s: Dict = {}
+        if block_2d_type == "convnext_like":
+            i = 0
+            while f"{base}.dwconvs.{i}.weight" in sd:
+                blk_p[f"dwconv_{i}"] = _conv2d(sd, f"{base}.dwconvs.{i}")
+                blk_p[f"dwconv_{i}"]["bias"] = _np(
+                    sd[f"{base}.dwconvs.{i}.bias"]
+                )
+                i += 1
+            p, s = _bn(sd, f"{base}.norm")
+            blk_p["norm"] = p
+            blk_s["norm"] = s
+            blk_p["pwconv1"] = _conv2d(sd, f"{base}.pwconv1")
+            blk_p["pwconv1"]["bias"] = _np(sd[f"{base}.pwconv1.bias"])
+        else:
+            for ci in (1, 2):
+                blk_p[f"conv{ci}"] = _conv2d(sd, f"{base}.conv{ci}")
+                if f"{base}.conv{ci}pw.weight" in sd:
+                    blk_p[f"conv{ci}pw"] = _conv2d(sd, f"{base}.conv{ci}pw")
+                    blk_p[f"conv{ci}pw"]["bias"] = _np(
+                        sd[f"{base}.conv{ci}pw.bias"]
+                    )
+                p, s = _bn(sd, f"{base}.bn{ci}")
+                blk_p[f"bn{ci}"] = p
+                blk_s[f"bn{ci}"] = s
+            if use_fwse and f"{base}.se.squeeze.weight" in sd:
+                blk_p["se"] = {
+                    "squeeze": _dense(sd, f"{base}.se.squeeze"),
+                    "exitation": _dense(sd, f"{base}.se.exitation"),
+                }
+            if f"{base}.downsample.0.weight" in sd:
+                blk_p["ds_conv"] = {
+                    "kernel": _np(sd[f"{base}.downsample.0.weight"]).transpose(
+                        3, 2, 1, 0
+                    )
+                }
+                p, s = _bn(sd, f"{base}.downsample.1")
+                blk_p["ds_bn"] = p
+                blk_s["ds_bn"] = s
+        return blk_p, blk_s
+
+    def convnext1d(src):
+        blk_p: Dict = {}
+        blk_s: Dict = {}
+        blk_p["dwconv_0"] = _conv1d(sd, f"{src}.dwconvs.0")
+        p, s = _bn(sd, f"{src}.norm")
+        blk_p["norm"] = p
+        blk_s["norm"] = s
+        blk_p["pwconv1"] = _conv1d(sd, f"{src}.pwconv1")
+        return blk_p, blk_s
+
+    def transformer_layer(src):
+        blk_p = {
+            "attention": {
+                name: _dense(sd, f"{src}.attention.{name}")
+                for name in ("q_proj", "k_proj", "v_proj", "out_proj")
+            },
+            "layer_norm": _ln(sd, f"{src}.layer_norm"),
+            "intermediate_dense": _dense(
+                sd, f"{src}.feed_forward.intermediate_dense"
+            ),
+            "output_dense": _dense(sd, f"{src}.feed_forward.output_dense"),
+            "final_layer_norm": _ln(sd, f"{src}.final_layer_norm"),
+        }
+        return blk_p
+
+    # stem
+    stem = _conv2d(sd, "backbone.stem.0")
+    stem["bias"] = _np(sd["backbone.stem.0.bias"])
+    put(("stem_conv",), stem)
+    put(("stem_norm",), _ln(sd, "backbone.stem.1"))
+
+    n_stages = len(stages_setup)
+    # input mix weights: reference (1, n+1, CF, 1) -> ours (n+1, CF);
+    # index 0 is the fixed all-ones stage-0 weight (skipped)
+    for si in range(1, n_stages):
+        w = _np(sd[f"backbone.inputs_weights.{si}"])[0, :, :, 0]
+        put((f"inputs_weights_{si}",), w)
+    w = _np(sd[f"backbone.inputs_weights.{n_stages}"])[0, :, :, 0]
+    put(("inputs_weights_final",), w)
+
+    for si, (stride, num_blocks, conv_exp, _ks, att_red) in enumerate(
+        stages_setup
+    ):
+        base = f"backbone.stage{si}"
+        down = {"kernel": _np(sd[f"{base}.0.weight"]).transpose(3, 2, 1, 0),
+                "bias": _np(sd[f"{base}.0.bias"])}
+        put((f"stage{si}_down",), down)
+        for bi in range(num_blocks):
+            p, s = conv2d_block(
+                f"stage{si}_block{bi}", f"{base}.{bi + 1}",
+                block_2d_type == "basic_resnet_fwse",
+            )
+            params[f"stage{si}_block{bi}"] = p
+            if s:
+                stats[f"stage{si}_block{bi}"] = s
+        idx = num_blocks + 1
+        if conv_exp != 1:
+            sq = {"kernel": _np(sd[f"{base}.{idx}.0.weight"]).transpose(
+                      3, 2, 1, 0),
+                  "bias": _np(sd[f"{base}.{idx}.0.bias"])}
+            put((f"stage{si}_squeeze_conv",), sq)
+            p, s = _bn(sd, f"{base}.{idx}.1")
+            put((f"stage{si}_squeeze_bn",), p, s)
+            pw = {"kernel": _np(sd[f"{base}.{idx}.3.weight"]).transpose(
+                      3, 2, 1, 0),
+                  "bias": _np(sd[f"{base}.{idx}.3.bias"])}
+            put((f"stage{si}_squeeze_pw",), pw)
+            idx += 1
+        idx += 1  # to1d (parameterless)
+        if att_red is not None:
+            src = f"{base}.{idx}"
+            tcb_p: Dict = {
+                "red_conv": _conv1d(sd, f"{src}.red_dim_conv.0"),
+                "red_norm": _ln(sd, f"{src}.red_dim_conv.1"),
+                "exp_conv": _conv1d(sd, f"{src}.exp_dim_conv"),
+            }
+            tcb_s: Dict = {}
+            if block_1d_type == "conv+att":
+                for i in range(4):
+                    p, s = convnext1d(f"{src}.tcm.{i}")
+                    tcb_p[f"convnext_{i}"] = p
+                    tcb_s[f"convnext_{i}"] = s
+                tcb_p["att"] = transformer_layer(f"{src}.tcm.4")
+            elif block_1d_type == "att":
+                pe = _conv1d(sd, f"{src}.tcm.0.conv")
+                tcb_p["pos_enc"] = {
+                    "conv": pe,
+                    "norm": _ln(sd, f"{src}.tcm.0.norm"),
+                }
+                tcb_p["att"] = transformer_layer(f"{src}.tcm.1")
+            params[f"stage{si}_tcb"] = tcb_p
+            if tcb_s:
+                stats[f"stage{si}_tcb"] = tcb_s
+
+    if out_channels is not None:
+        put(("mfa_conv",), _conv1d(sd, "backbone.mfa.0"))
+        p, s = _bn(sd, "backbone.mfa.1")
+        put(("mfa_bn",), p, s)
+
+    put(("pool", "linear1"), _dense_from_conv1d(sd, "pool.linear1"))
+    put(("pool", "linear2"), _dense_from_conv1d(sd, "pool.linear2"))
+    put(("seg_1",), _dense(sd, "seg_1"))
+    if two_emb_layer:
+        _, s = _bn(sd, "seg_bn_1", affine=False)
+        stats["seg_bn_1"] = s
+        put(("seg_2",), _dense(sd, "seg_2"))
+    return params, stats
+
+
+# ------------------------------------------------------------ WhisperPMFA
+def whisper_pmfa_from_torch(sd: Dict) -> Tuple[Dict, Dict]:
+    """Reference whisper_PMFA head (whisper_PMFA.py:112) state_dict ->
+    (params, batch_stats): ASTP pool + BN over pooled stats + fc.
+    The whisper encoder itself converts via
+    frontend.convert_whisper_state_dict."""
+    params: Dict = {}
+    stats: Dict = {}
+    params["pooling"] = {
+        "linear1": _dense_from_conv1d(sd, "pooling.linear1"),
+        "linear2": _dense_from_conv1d(sd, "pooling.linear2"),
+    }
+    p, s = _bn(sd, "bn.norm")
+    params["bn"] = p
+    stats["bn"] = s
+    params["fc"] = _dense(sd, "fc")
     return params, stats
