@@ -562,3 +562,58 @@ def test_whisper_pmfa_head_parity(ref_models):
     )
     cos = _cos_rows(emb, ref_emb)
     assert cos.min() > 0.9999, cos
+
+
+def test_import_torch_cli_roundtrip(ref_models, tmp_path):
+    """import_torch CLI -> extract API: converted checkpoint must load
+    into the SpeakerNet tree (regression: un-nested backbone params were
+    silently all-missing and extraction ran on random init)."""
+    sys.path.insert(0, REF)
+    import json
+
+    import wespeaker.models.tdnn as ref_tdnn
+
+    from wespeaker_hubert_tpu.bin.extract import extract
+    from wespeaker_hubert_tpu.bin.import_torch import import_torch
+    from wespeaker_hubert_tpu.data import write_wav
+
+    torch.manual_seed(16)
+    ref = ref_tdnn.XVEC(feat_dim=80, embed_dim=64)
+    sd = {"module." + k: v for k, v in ref.state_dict().items()}
+    sd["module.projection.weight"] = torch.zeros(10, 64)
+    pt = str(tmp_path / "avg_model.pt")
+    torch.save(sd, pt)
+
+    ckpt = str(tmp_path / "xvec.ckpt")
+    import_torch("XVEC", pt, ckpt, feat_dim=80)
+
+    rng = np.random.default_rng(16)
+    entries = []
+    for i in range(2):
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, (rng.standard_normal(20000) * 0.1).clip(-1, 1))
+        entries.append({"key": f"u{i}", "wav": p})
+    lst = str(tmp_path / "x.list")
+    with open(lst, "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+
+    config = {
+        "model": "XVEC",
+        "model_args": {"feat_dim": 80, "embed_dim": 64},
+    }
+    keys, emb = extract(
+        config, lst, ckpt, str(tmp_path / "e.npz"), batch_size=2
+    )
+    assert sorted(keys) == ["u0", "u1"]
+    assert np.isfinite(emb).all()
+
+    # wrong-model checkpoint must be refused, not silently random
+    bad = str(tmp_path / "bad.ckpt")
+    import_torch("XVEC", pt, bad, feat_dim=80)
+    config_bad = {
+        "model": "ECAPA_TDNN_c512",
+        "model_args": {"feat_dim": 80, "embed_dim": 64},
+    }
+    with pytest.raises(RuntimeError, match="matched no backbone"):
+        extract(config_bad, lst, bad, str(tmp_path / "b.npz"), batch_size=2)

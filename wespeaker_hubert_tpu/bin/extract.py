@@ -73,6 +73,19 @@ def extract(
     restored, missing, unexpected = load_partial(checkpoint, target)
     if missing:
         logger.info("missing keys in checkpoint: %d", len(missing))
+    # a checkpoint that matches no backbone weights would silently
+    # extract random-init embeddings — refuse
+    n_backbone = sum(
+        1 for k in missing if k.startswith("params/backbone")
+    )
+    n_target = len(
+        [None for k, _ in _flatten_paths(target["params"].get("backbone", {}))]
+    )
+    if n_target and n_backbone >= n_target:
+        raise RuntimeError(
+            f"checkpoint {checkpoint!r} matched no backbone parameters "
+            "(wrong model/config or un-nested tree?)"
+        )
     variables = {
         "params": restored["params"],
         "batch_stats": restored["batch_stats"],
@@ -141,6 +154,14 @@ def extract(
         os.makedirs(os.path.dirname(output) or ".", exist_ok=True)
         save_embeddings(output, keys, emb)
     return keys, emb
+
+
+def _flatten_paths(tree, prefix=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten_paths(v, prefix + (k,))
+    else:
+        yield prefix, tree
 
 
 def main():

@@ -35,6 +35,7 @@ __all__ = [
     "res2net_from_torch",
     "redimnet_from_torch",
     "whisper_pmfa_from_torch",
+    "convert_checkpoint",
 ]
 
 
@@ -898,3 +899,139 @@ def whisper_pmfa_from_torch(sd: Dict) -> Tuple[Dict, Dict]:
     stats["bn"] = s
     params["fc"] = _dense(sd, "fc")
     return params, stats
+
+
+# ------------------------------------------------- name -> converter registry
+_REPVGG_CFG = {
+    # name: (num_blocks, width_multiplier, block)
+    "REPVGG_TINY_A0": ((3, 4, 23, 3), (0.5, 0.5, 0.5, 0.5), "RepVGG"),
+    "REPVGG_TINY_RSBB_A0": ((3, 4, 23, 3), (0.5, 0.5, 0.5, 0.5), "RepSPK"),
+    "REPVGG_A0": ((2, 4, 14, 1), (0.75, 0.75, 0.75, 2.5), "RepVGG"),
+    "REPVGG_RSBB_A0": ((2, 4, 14, 1), (0.75, 0.75, 0.75, 2.5), "RepSPK"),
+    "REPVGG_A1": ((2, 4, 14, 1), (1, 1, 1, 2.5), "RepVGG"),
+    "REPVGG_A2": ((2, 4, 14, 1), (1.5, 1.5, 1.5, 2.75), "RepVGG"),
+    "REPVGG_RSBB_A2": ((2, 4, 14, 1), (1.5, 1.5, 1.5, 2.75), "RepSPK"),
+    "REPVGG_B0": ((4, 6, 16, 1), (1, 1, 1, 2.5), "RepVGG"),
+    "REPVGG_RSBB_B0": ((4, 6, 16, 1), (1, 1, 1, 2.5), "RepSPK"),
+    "REPVGG_B1": ((4, 6, 16, 1), (2, 2, 2, 4), "RepVGG"),
+    "REPVGG_B1g2": ((4, 6, 16, 1), (2, 2, 2, 4), "RepVGG"),
+    "REPVGG_B1g4": ((4, 6, 16, 1), (2, 2, 2, 4), "RepVGG"),
+    "REPVGG_B2": ((4, 6, 16, 1), (2.5, 2.5, 2.5, 5), "RepVGG"),
+    "REPVGG_B2g2": ((4, 6, 16, 1), (2.5, 2.5, 2.5, 5), "RepVGG"),
+    "REPVGG_B2g4": ((4, 6, 16, 1), (2.5, 2.5, 2.5, 5), "RepVGG"),
+    "REPVGG_B3": ((4, 6, 16, 1), (3, 3, 3, 5), "RepVGG"),
+    "REPVGG_B3g2": ((4, 6, 16, 1), (3, 3, 3, 5), "RepVGG"),
+    "REPVGG_B3g4": ((4, 6, 16, 1), (3, 3, 3, 5), "RepVGG"),
+    "REPVGG_D2SE": ((8, 14, 24, 1), (2.5, 2.5, 2.5, 5), "RepVGG"),
+}
+
+_RESNET_CFG = {
+    "ResNet18": ((2, 2, 2, 2), "basic"),
+    "ResNet34": ((3, 4, 6, 3), "basic"),
+    "ResNet50": ((3, 4, 6, 3), "bottleneck"),
+    "ResNet101": ((3, 4, 23, 3), "bottleneck"),
+    "ResNet152": ((3, 8, 36, 3), "bottleneck"),
+    "ResNet221": ((6, 16, 48, 3), "bottleneck"),
+    "ResNet293": ((10, 20, 64, 3), "bottleneck"),
+}
+
+_REDIMNET_CFG = {
+    # name: (C, feat_dim, block_2d_type, stages_setup)
+    "ReDimNetB0": (10, 60, "basic_resnet",
+                   ((1, 2, 1, ((3, 3),), 30), (2, 3, 2, ((3, 3),), 30),
+                    (1, 3, 3, ((3, 3),), 30), (2, 4, 2, ((3, 3),), 10),
+                    (1, 3, 1, ((3, 3),), 10))),
+    "ReDimNetB1": (12, 72, "convnext_like",
+                   ((1, 2, 1, ((3, 3),), None), (2, 3, 1, ((3, 3),), None),
+                    (3, 4, 1, ((3, 3),), 12), (2, 5, 1, ((3, 3),), 12),
+                    (2, 3, 1, ((3, 3),), 8))),
+    "ReDimNetB2": (16, 72, "convnext_like",
+                   ((1, 2, 1, ((3, 3),), 12), (2, 2, 1, ((3, 3),), 12),
+                    (1, 3, 1, ((3, 3),), 12), (2, 4, 1, ((3, 3),), 8),
+                    (1, 4, 1, ((3, 3),), 8), (2, 4, 1, ((3, 3),), 4))),
+    "ReDimNetB3": (16, 72, "basic_resnet_fwse",
+                   ((1, 6, 4, ((3, 3),), 32), (2, 6, 2, ((3, 3),), 32),
+                    (1, 8, 2, ((3, 3),), 32), (2, 10, 2, ((3, 3),), 16),
+                    (1, 10, 1, ((3, 3),), 16), (2, 8, 1, ((3, 3),), 16))),
+    "ReDimNetB4": (32, 72, "basic_resnet_fwse",
+                   ((1, 4, 2, ((3, 3),), 48), (2, 4, 2, ((3, 3),), 48),
+                    (1, 6, 2, ((3, 3),), 48), (2, 6, 1, ((3, 3),), 32),
+                    (1, 8, 1, ((3, 3),), 24), (2, 4, 1, ((3, 3),), 16))),
+    "ReDimNetB5": (32, 72, "basic_resnet_fwse",
+                   ((1, 4, 2, ((3, 3),), 48), (2, 4, 2, ((3, 3),), 48),
+                    (1, 6, 2, ((3, 3),), 48), (2, 6, 1, ((3, 3),), 32),
+                    (1, 8, 1, ((3, 3),), 24), (2, 4, 1, ((3, 3),), 16))),
+    "ReDimNetB6": (32, 72, "basic_resnet",
+                   ((1, 4, 4, ((3, 3),), 32), (2, 6, 2, ((3, 3),), 32),
+                    (1, 6, 2, ((3, 3),), 24), (3, 8, 1, ((3, 3),), 24),
+                    (1, 8, 1, ((3, 3),), 16), (2, 8, 1, ((3, 3),), 16))),
+}
+
+
+def convert_checkpoint(model: str, sd: Dict, **model_args) -> Tuple[Dict, Dict]:
+    """Dispatch a reference state_dict to the right converter by model
+    name (the same names as models/registry.py / reference
+    speaker_model.py).  model_args mirror the training-config
+    model_args (feat_dim, two_emb_layer, ...)."""
+    feat_dim = int(model_args.get("feat_dim", 80))
+    two_emb = bool(model_args.get("two_emb_layer", False))
+
+    if model.startswith("XI_VEC_"):
+        if model == "XI_VEC_XVEC":
+            return xvec_from_torch(sd, pooling_func="XI")
+        channels = 1024 if "1024" in model else 512
+        return ecapa_from_torch(sd, channels=channels, pooling_func="XI")
+    if model.startswith("ECAPA_TDNN"):
+        channels = 1024 if "c1024" in model else 512
+        return ecapa_from_torch(sd, channels=channels)
+    if model in _RESNET_CFG:
+        nb, blk = _RESNET_CFG[model]
+        return resnet_from_torch(
+            sd, num_blocks=nb, block=blk, feat_dim=feat_dim,
+            two_emb_layer=two_emb,
+        )
+    if model == "CAMPPlus":
+        return campplus_from_torch(sd, feat_dim=feat_dim)
+    if model.startswith("ERes2Net"):
+        m = 64 if ("Large" in model or "aug" in model) else 32
+        kw = {}
+        if "aug" in model:
+            kw = dict(scale=int(model_args.get("scale", 3)),
+                      expansion=int(model_args.get("expansion", 4)))
+        return eres2net_from_torch(sd, m_channels=m, feat_dim=feat_dim, **kw)
+    if model.startswith("Res2Net"):
+        m = 64 if "Large" in model else 32
+        return res2net_from_torch(
+            sd, m_channels=m, feat_dim=feat_dim, two_emb_layer=two_emb
+        )
+    if model in _REPVGG_CFG:
+        nb, wm, blk = _REPVGG_CFG[model]
+        return repvgg_from_torch(
+            sd, num_blocks=nb, width_multiplier=wm, block=blk,
+            feat_dim=feat_dim,
+        )
+    if model == "XVEC" or model.startswith("TDNN"):
+        return xvec_from_torch(sd)
+    if model.startswith("Gemini_DF_ResNet"):
+        depth_map = {"60": (3, 3, 9, 3), "114": (3, 3, 27, 3),
+                     "183": (3, 8, 45, 3), "237": (3, 8, 63, 3)}
+        depths = depth_map[model.rsplit("ResNet", 1)[1]]
+        return gemini_from_torch(
+            sd, depths=depths, feat_dim=feat_dim, two_emb_layer=two_emb
+        )
+    if model.startswith("SimAM_ResNet"):
+        nb = (6, 16, 24, 3) if "100" in model else (3, 4, 6, 3)
+        return samresnet_from_torch(
+            sd, num_blocks=nb,
+            in_planes=int(model_args.get("in_planes", 64)),
+            feat_dim=feat_dim,
+        )
+    if model in _REDIMNET_CFG:
+        C, F, b2, setup = _REDIMNET_CFG[model]
+        return redimnet_from_torch(
+            sd, setup, C=C, feat_dim=int(model_args.get("feat_dim", F)),
+            block_2d_type=b2, two_emb_layer=two_emb,
+        )
+    if model.startswith("whisper_PMFA"):
+        return whisper_pmfa_from_torch(sd)
+    raise ValueError(f"no torch converter registered for model {model!r}")

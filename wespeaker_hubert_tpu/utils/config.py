@@ -14,7 +14,8 @@ from typing import Any, Dict, Iterable, Optional
 
 import yaml
 
-__all__ = ["load_config", "apply_overrides", "dump_config", "parse_config_or_kwargs"]
+__all__ = ["load_config", "apply_overrides", "dump_config",
+           "parse_config_or_kwargs", "coerce_value"]
 
 
 def load_config(path: str) -> Dict[str, Any]:
@@ -27,6 +28,20 @@ def dump_config(config: Dict[str, Any], path: str) -> None:
         yaml.safe_dump(config, f, sort_keys=False)
 
 
+def coerce_value(raw: str) -> Any:
+    """YAML-parse a CLI value string, coercing bare numerics ('1e-3')."""
+    value = yaml.safe_load(raw)
+    if isinstance(value, str):
+        try:
+            value = int(value)
+        except ValueError:
+            try:
+                value = float(value)
+            except ValueError:
+                pass
+    return value
+
+
 def apply_overrides(
     config: Dict[str, Any], overrides: Iterable[str]
 ) -> Dict[str, Any]:
@@ -36,16 +51,8 @@ def apply_overrides(
         if "=" not in item:
             raise ValueError(f"override {item!r} must be key=value")
         key, raw = item.split("=", 1)
-        value = yaml.safe_load(raw)
-        if isinstance(value, str):
-            # YAML 1.1 only floats '1.0e-3', not '1e-3'; coerce numerics
-            try:
-                value = int(value)
-            except ValueError:
-                try:
-                    value = float(value)
-                except ValueError:
-                    pass
+        # YAML 1.1 only floats '1.0e-3', not '1e-3'; coerce numerics
+        value = coerce_value(raw)
         node = out
         parts = key.split(".")
         for p in parts[:-1]:
