@@ -20,7 +20,57 @@ from typing import Optional
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.config import dump_config, load_config
 
-__all__ = ["export_model"]
+__all__ = ["export_model", "export_stablehlo"]
+
+
+def export_stablehlo(
+    config: dict,
+    checkpoint: str,
+    output_path: str,
+    feat_dim: Optional[int] = None,
+) -> str:
+    """Serialize the feats->embedding graph as portable StableHLO
+    (jax.export), the role ONNX/TorchScript graphs play for the
+    reference's C++/Triton runtimes (reference bin/export_onnx.py:46).
+
+    The exported function takes (B, T, F) features with symbolic batch
+    and time dims and returns (B, embed_dim) embeddings; any PJRT
+    runtime can load the artifact without Python.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from ..utils.checkpoint import load_partial
+    from .train import build_speaker_net
+
+    net = build_speaker_net(config, num_class=2)
+    fd = feat_dim or config.get("model_args", {}).get("feat_dim", 80)
+    variables = net.init(
+        jax.random.key(0),
+        jnp.zeros((1, 100, fd)),
+        jnp.zeros((1,), jnp.int32),
+        0.0,
+        train=False,
+    )
+    target = {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+    }
+    restored, _, _ = load_partial(checkpoint, target)
+
+    def embed(feats):
+        return net.apply(restored, feats, method=net.embed)
+
+    b, t = jax_export.symbolic_shape("b, t")
+    exported = jax_export.export(jax.jit(embed))(
+        jax.ShapeDtypeStruct((b, t, fd), jnp.float32)
+    )
+    blob = exported.serialize()
+    os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+    with open(output_path, "wb") as f:
+        f.write(blob)
+    return output_path
 
 
 def export_model(
@@ -56,9 +106,19 @@ def main():
     p.add_argument("--output_dir", required=True)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--mean_vec", default=None)
+    p.add_argument("--stablehlo", action="store_true",
+                   help="also serialize feats->embedding as StableHLO")
     args = p.parse_args()
     out = export_model(args.exp_dir, args.output_dir, args.checkpoint,
                        args.mean_vec)
+    if args.stablehlo:
+        config = load_config(os.path.join(out, "config.yaml"))
+        path = export_stablehlo(
+            config,
+            os.path.join(out, "avg_model.ckpt"),
+            os.path.join(out, "model.stablehlo"),
+        )
+        print(f"stablehlo -> {path}")
     print(f"exported model dir -> {out}")
 
 
