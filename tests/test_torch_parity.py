@@ -617,3 +617,40 @@ def test_import_torch_cli_roundtrip(ref_models, tmp_path):
     }
     with pytest.raises(RuntimeError, match="matched no backbone"):
         extract(config_bad, lst, bad, str(tmp_path / "b.npz"), batch_size=2)
+
+
+def test_redimnet_b3_fwse_embedding_parity(ref_models):
+    """B3: basic_resnet_fwse blocks — covers the fwSE + grouped-conv
+    pointwise converter path."""
+    sys.path.insert(0, REF)
+    import wespeaker.models.redimnet as ref_rdn
+
+    from wespeaker_hubert_tpu.models.convert_torch import (
+        _REDIMNET_CFG,
+        redimnet_from_torch,
+    )
+    from wespeaker_hubert_tpu.models.redimnet import ReDimNetB3
+
+    torch.manual_seed(17)
+    ref = ref_rdn.ReDimNetB3(feat_dim=72, embed_dim=64)
+    ref.eval()
+    feats = np.random.default_rng(17).standard_normal((1, 60, 72)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        out = ref(torch.from_numpy(feats))
+        ref_emb = (out[-1] if isinstance(out, (tuple, list)) else out).numpy()
+
+    C, F, b2, setup = _REDIMNET_CFG["ReDimNetB3"]
+    params, stats = redimnet_from_torch(
+        ref.state_dict(), setup, C=C, feat_dim=F, block_2d_type=b2
+    )
+    ours = ReDimNetB3(feat_dim=72, embed_dim=64)
+    out = ours.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(feats),
+        train=False,
+    )
+    emb = out[-1] if isinstance(out, (tuple, list)) else out
+    cos = _cos_rows(emb, ref_emb)
+    assert cos.min() > 0.999, cos
