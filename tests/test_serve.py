@@ -5,6 +5,7 @@ concurrent clients (micro-batching path)."""
 import io
 import json
 import threading
+import urllib.error
 import urllib.request
 from http.server import ThreadingHTTPServer
 
@@ -141,3 +142,48 @@ def test_similarity_and_concurrent_batching(server):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_kserve_v2_protocol(server):
+    """Triton/KServe-v2 REST endpoints: health, metadata, infer."""
+    with urllib.request.urlopen(server + "/v2/health/ready", timeout=30) as r:
+        assert r.status == 200
+    with urllib.request.urlopen(
+        server + "/v2/models/speaker", timeout=30
+    ) as r:
+        meta = json.loads(r.read())
+    assert meta["inputs"][0]["name"] == "WAV"
+    assert meta["outputs"][0]["name"] == "EMB"
+    assert meta["outputs"][0]["shape"] == [1, 16]
+
+    rng = np.random.default_rng(7)
+    wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    body = json.dumps({
+        "inputs": [{"name": "WAV", "shape": [1, len(wav)],
+                    "datatype": "FP32", "data": wav.tolist()}]
+    }).encode()
+    out = _post(server + "/v2/models/speaker/infer", body)
+    emb_t = out["outputs"][0]
+    assert emb_t["name"] == "EMB"
+    assert emb_t["shape"] == [1, 16]
+    v2_emb = np.asarray(emb_t["data"], np.float32)
+
+    # must match the plain /embed path on the same audio (that path
+    # round-trips through int16 WAV encoding, hence the loose atol)
+    legacy = _post(server + "/embed", _wav_bytes(wav))
+    np.testing.assert_allclose(
+        v2_emb, np.asarray(legacy["embedding"], np.float32),
+        rtol=1e-3, atol=1e-2,
+    )
+
+    # malformed: missing WAV tensor -> 400 with an error message
+    bad = json.dumps({"inputs": []}).encode()
+    req = urllib.request.Request(
+        server + "/v2/models/speaker/infer", data=bad, method="POST"
+    )
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "WAV" in json.loads(e.read())["error"]

@@ -13,6 +13,18 @@ utterance length, the serving property the reference gets from its
   POST /similarity   body: WAV||WAV (multipart boundary b"--8<--")
                                                 -> {"similarity": s}
   GET  /stats                                   -> throughput counters
+
+KServe-v2 (Triton HTTP) protocol, so clients written against the
+reference's Triton server (runtime/server/x86_gpu client.py) can point
+here unchanged:
+
+  GET  /v2/health/live | /v2/health/ready       -> 200
+  GET  /v2/models/<name>                        -> model metadata
+  POST /v2/models/<name>/infer
+       {"inputs": [{"name": "WAV", "shape": [1, N], "datatype": "FP32",
+                    "data": [...]}]}
+       -> {"outputs": [{"name": "EMB", "shape": [1, D],
+                        "datatype": "FP32", "data": [...]}]}
 """
 
 from __future__ import annotations
@@ -54,6 +66,10 @@ class EmbeddingService:
             self.speaker.net, self.speaker.fbank_cfg, chunk_frames
         )
         self.meter = ThroughputMeter()
+        self.embed_dim = int(
+            self.speaker.net.backbone.embed_dim
+            if hasattr(self.speaker.net.backbone, "embed_dim") else -1
+        )
         self._q: "queue.Queue[Tuple[np.ndarray, queue.Queue]]" = queue.Queue()
         self._stop = False
         self._worker = threading.Thread(target=self._loop, daemon=True)
@@ -104,8 +120,12 @@ class EmbeddingService:
 
         wav, sr = read_wav_bytes(data)
         assert sr == self.speaker.resample_rate, f"sample rate {sr}"
+        return self.embed_samples(wav)
+
+    def embed_samples(self, wav: np.ndarray) -> np.ndarray:
+        """Embed raw float32 samples at the model sample rate."""
         out_q: queue.Queue = queue.Queue()
-        self._q.put((wav, out_q))
+        self._q.put((np.asarray(wav, np.float32).reshape(-1), out_q))
         return out_q.get(timeout=60)
 
     def similarity(self, a: bytes, b: bytes) -> float:
@@ -140,6 +160,18 @@ def _make_handler(service: EmbeddingService):
         def do_GET(self):
             if self.path == "/stats":
                 self._json(200, service.stats())
+            elif self.path in ("/v2/health/live", "/v2/health/ready", "/v2"):
+                self._json(200, {})
+            elif self.path.startswith("/v2/models/"):
+                name = self.path[len("/v2/models/"):].split("/")[0]
+                self._json(200, {
+                    "name": name,
+                    "platform": "jax_xla",
+                    "inputs": [{"name": "WAV", "datatype": "FP32",
+                                "shape": [1, -1]}],
+                    "outputs": [{"name": "EMB", "datatype": "FP32",
+                                 "shape": [1, service.embed_dim]}],
+                })
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -150,6 +182,26 @@ def _make_handler(service: EmbeddingService):
                 if self.path == "/embed":
                     emb = service.embed_wav_bytes(data)
                     self._json(200, {"embedding": emb.tolist()})
+                elif self.path.startswith("/v2/models/") and self.path.endswith(
+                    "/infer"
+                ):
+                    req = json.loads(data)
+                    tensors = {t["name"]: t for t in req.get("inputs", [])}
+                    if "WAV" not in tensors:
+                        raise ValueError("missing input tensor 'WAV'")
+                    wav = np.asarray(
+                        tensors["WAV"]["data"], np.float32
+                    ).reshape(-1)
+                    emb = service.embed_samples(wav)
+                    self._json(200, {
+                        "model_name": self.path.split("/")[3],
+                        "outputs": [{
+                            "name": "EMB",
+                            "datatype": "FP32",
+                            "shape": [1, int(emb.shape[-1])],
+                            "data": [float(x) for x in emb.ravel()],
+                        }],
+                    })
                 elif self.path == "/similarity":
                     a, b = data.split(BOUNDARY, 1)
                     self._json(200, {"similarity": service.similarity(a, b)})
