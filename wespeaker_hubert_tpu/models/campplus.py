@@ -21,13 +21,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .norm import BatchNorm
 from .pooling import POOLING_LAYERS
 
 __all__ = ["CAMPPlus"]
 
 
 def _bn(train, name, affine=True):
-    return nn.BatchNorm(
+    return BatchNorm(
         use_running_average=not train,
         momentum=0.9,
         epsilon=1e-5,

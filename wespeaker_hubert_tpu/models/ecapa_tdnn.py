@@ -26,6 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .norm import BatchNorm
 from .pooling import POOLING_LAYERS
 
 __all__ = [
@@ -55,7 +56,7 @@ class ConvReluBn(nn.Module):
             name="conv",
         )(x)
         x = nn.relu(x)
-        return nn.BatchNorm(
+        return BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
         )(x)
 
@@ -93,7 +94,7 @@ class Res2ConvReluBn(nn.Module):
                 padding=[(pad, pad)],
                 name=f"conv_{i}",
             )(sp)
-            sp = nn.BatchNorm(
+            sp = BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
@@ -188,12 +189,12 @@ class EcapaTdnn(nn.Module):
         out = pool_cls(in_dim=512 * 3, name="pool", **kwargs)(
             out, mask=mask, train=train
         )
-        out = nn.BatchNorm(
+        out = BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
         )(out)
         out = nn.Dense(self.embed_dim, name="linear")(out)
         if self.emb_bn:
-            out = nn.BatchNorm(
+            out = BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,

@@ -17,6 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .norm import BatchNorm
 from .pooling import POOLING_LAYERS
 from .resnet import _bn, _downsample_mask
 
@@ -222,7 +223,7 @@ class ERes2Net(nn.Module):
         embed_a = nn.Dense(self.embed_dim, name="seg_1")(stats)
         if self.two_emb_layer:
             h2 = nn.relu(embed_a)
-            h2 = nn.BatchNorm(
+            h2 = BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 use_bias=False, use_scale=False, name="seg_bn_1",
             )(h2)

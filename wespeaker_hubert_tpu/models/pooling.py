@@ -21,6 +21,8 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+
+from .norm import BatchNorm
 import jax
 import jax.numpy as jnp
 
@@ -178,7 +180,7 @@ class ASP(nn.Module):
     def __call__(self, x, mask: Optional[jax.Array] = None, train: bool = False):
         x = _flatten_4d(x)
         h = nn.relu(nn.Dense(self.bottleneck_dim, name="att1")(x))
-        h = nn.BatchNorm(
+        h = BatchNorm(
             use_running_average=not train, momentum=0.9, name="att_bn"
         )(h)
         scores = nn.Dense(self.in_dim, name="att2")(h)
@@ -288,7 +290,7 @@ class XI(nn.Module):
 
         h = nn.Dense(self.hidden_size, name="lin1")(x)
         h = nn.relu(h)
-        h = nn.BatchNorm(
+        h = BatchNorm(
             use_running_average=not train, momentum=0.9, name="bn1"
         )(h)
         logprec = jax.nn.softplus(nn.Dense(d, name="lin2")(h))

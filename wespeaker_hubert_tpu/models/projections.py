@@ -29,6 +29,8 @@ import math
 from typing import Optional, Tuple
 
 import flax.linen as nn
+
+from .norm import BatchNorm
 import jax
 import jax.numpy as jnp
 
@@ -316,7 +318,7 @@ class LinearProduct(nn.Module):
     def __call__(
         self, embed, label=None, margin=0.0, train: bool = False
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(
+        x = BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(
             embed
         )
         x = nn.relu(x)

@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .norm import BatchNorm, LayerNorm
 from .pooling import POOLING_LAYERS
 
 __all__ = [
@@ -65,7 +66,7 @@ class ConvNeXtLikeBlock(nn.Module):
                 )(x)
             )
         h = jnp.concatenate(outs, axis=-1)
-        h = nn.BatchNorm(
+        h = BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             name="norm",
         )(h)
@@ -104,7 +105,7 @@ class ResBasicBlock(nn.Module):
         in_planes = x.shape[-1]
 
         def bn(name):
-            return nn.BatchNorm(
+            return BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 name=name,
             )
@@ -180,12 +181,12 @@ class TransformerEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = x + _Attention(self.n_state, self.n_head, name="attention")(x)
-        x = nn.LayerNorm(epsilon=1e-6, name="layer_norm")(x)
+        x = LayerNorm(epsilon=1e-6, name="layer_norm")(x)
         h = nn.Dense(self.n_mlp, name="intermediate_dense")(x)
         h = nn.gelu(h, approximate=True)  # NewGELUActivation
         h = nn.Dense(self.n_state, name="output_dense")(h)
         x = x + h
-        return nn.LayerNorm(epsilon=1e-6, name="final_layer_norm")(x)
+        return LayerNorm(epsilon=1e-6, name="final_layer_norm")(x)
 
 
 class PosEncConv(nn.Module):
@@ -201,7 +202,7 @@ class PosEncConv(nn.Module):
             self.C, (self.ks,), padding=[(self.ks // 2, self.ks // 2)],
             feature_group_count=self.C, name="conv",
         )(x)
-        h = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
+        h = LayerNorm(epsilon=1e-6, name="norm")(h)
         return x + h
 
 
@@ -219,11 +220,11 @@ class TimeContextBlock1d(nn.Module):
     def __call__(self, x, train: bool = False):
         skip = x
         h = nn.Conv(self.hC, (1,), name="red_conv")(x)
-        h = nn.LayerNorm(epsilon=1e-6, name="red_norm")(h)
+        h = LayerNorm(epsilon=1e-6, name="red_norm")(h)
 
         if self.block_type == "fc":
             h2 = nn.Conv(self.hC * 2, (1,), name="fc1")(h)
-            h2 = nn.LayerNorm(epsilon=1e-6, name="fc_norm")(h2)
+            h2 = LayerNorm(epsilon=1e-6, name="fc_norm")(h2)
             h2 = nn.gelu(h2, approximate=False)
             h = nn.Conv(self.hC, (1,), name="fc2")(h2)
         elif self.block_type == "att":
@@ -285,7 +286,7 @@ class ReDimNet(nn.Module):
         # stem: (B, T, F, 1) -> (B, T, F, C) + per-channel LN
         h = x[..., None]
         h = nn.Conv(self.C, (3, 3), padding="SAME", name="stem_conv")(h)
-        h = nn.LayerNorm(
+        h = LayerNorm(
             epsilon=1e-6, reduction_axes=-1, name="stem_norm"
         )(h)
 
@@ -340,7 +341,7 @@ class ReDimNet(nn.Module):
                     feature_group_count=_groups(cur_c, self.group_divisor),
                     name=f"stage{si}_squeeze_conv",
                 )(z2)
-                z2 = nn.BatchNorm(
+                z2 = BatchNorm(
                     use_running_average=not train, momentum=0.9,
                     epsilon=1e-6, name=f"stage{si}_squeeze_bn",
                 )(z2)
@@ -369,7 +370,7 @@ class ReDimNet(nn.Module):
         out_dim = cf
         if self.out_channels is not None:
             feat = nn.Conv(self.out_channels, (1,), name="mfa_conv")(feat)
-            feat = nn.BatchNorm(
+            feat = BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 name="mfa_bn",
             )(feat)
@@ -384,7 +385,7 @@ class ReDimNet(nn.Module):
         embed_a = nn.Dense(self.embed_dim, name="seg_1")(stats)
         if self.two_emb_layer:
             h2 = nn.relu(embed_a)
-            h2 = nn.BatchNorm(
+            h2 = BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 use_bias=False, use_scale=False, name="seg_bn_1",
             )(h2)

@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .norm import BatchNorm
 from .pooling import POOLING_LAYERS
 from .resnet import _bn, _downsample_mask
 
@@ -120,7 +121,7 @@ class Res2Net(nn.Module):
         embed_a = nn.Dense(self.embed_dim, name="seg_1")(stats)
         if self.two_emb_layer:
             h = nn.relu(embed_a)
-            h = nn.BatchNorm(
+            h = BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,

@@ -28,6 +28,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .norm import BatchNorm
 from .pooling import POOLING_LAYERS
 
 __all__ = [
@@ -43,7 +44,7 @@ __all__ = [
 
 
 def _bn(train, name):
-    return nn.BatchNorm(
+    return BatchNorm(
         use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
     )
 
@@ -175,7 +176,7 @@ class ResNet(nn.Module):
         embed_a = nn.Dense(self.embed_dim, name="seg_1")(stats)
         if self.two_emb_layer:
             h = nn.relu(embed_a)
-            h = nn.BatchNorm(
+            h = BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,

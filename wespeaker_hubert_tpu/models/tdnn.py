@@ -16,6 +16,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 
+from .norm import BatchNorm
 from .pooling import POOLING_LAYERS
 
 __all__ = ["XVEC", "TdnnLayer"]
@@ -38,7 +39,7 @@ class TdnnLayer(nn.Module):
             name="conv_1d",
         )(x)
         x = nn.relu(x)
-        return nn.BatchNorm(
+        return BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
@@ -75,7 +76,7 @@ class XVEC(nn.Module):
         )(out, mask=mask, train=train)
         embed_a = nn.Dense(self.embed_dim, name="seg_1")(stats)
         h = nn.relu(embed_a)
-        h = nn.BatchNorm(
+        h = BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,

@@ -13,6 +13,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 
+from .norm import BatchNorm
 from .pooling import POOLING_LAYERS
 
 __all__ = ["WhisperPMFA", "whisper_PMFA_large_v2"]
@@ -32,7 +33,7 @@ class WhisperPMFA(nn.Module):
         stats = POOLING_LAYERS[self.pooling_func](
             in_dim=self.output_size, name="pooling", **kwargs
         )(x, mask=mask, train=train)
-        stats = nn.BatchNorm(
+        stats = BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             name="bn",
         )(stats)
