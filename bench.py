@@ -64,7 +64,10 @@ def main():
     t0 = time.perf_counter()
     for _ in range(iters):
         out = extract(wav)
-    out.block_until_ready()
+    # fetch (not just block): through remote-device tunnels,
+    # block_until_ready can report readiness before execution finishes;
+    # a host fetch of one element forces the full dependency chain
+    _ = np.asarray(out[:1, :1])
     dt = time.perf_counter() - t0
 
     audio_seconds = BATCH * SECONDS * iters

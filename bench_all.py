@@ -64,11 +64,11 @@ def bench_extract(model_name, batch, seconds, dtype, iters=10):
 
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.standard_normal((batch, n)) * 0.1, jnp.float32)
-    run(wav).block_until_ready()
+    _ = np.asarray(run(wav)[:1, :1])  # compile + fetch-forced warmup
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run(wav)
-    out.block_until_ready()
+    _ = np.asarray(out[:1, :1])  # fetch forces completion (see bench.py)
     dt = time.perf_counter() - t0
     return batch * seconds * iters / dt
 
@@ -134,12 +134,12 @@ def bench_train_step(model_name, batch, num_frms=200, num_class=17982,
         "snr": jnp.full((batch,), 10.0, jnp.float32),
     }
     key = jax.random.key(1)
-    state, _ = step(state, b, key)  # compile
-    jax.block_until_ready(state.params)
+    state, m0 = step(state, b, key)  # compile
+    float(m0["loss"])  # fetch-forced warmup
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, b, key)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # fetch forces completion (see bench.py)
     dt = time.perf_counter() - t0
     audio_s = batch * (num_frms * 0.01) * iters
     return audio_s / dt, batch * iters / dt

@@ -32,6 +32,8 @@ import math
 from typing import List, Optional, Tuple
 
 import flax.linen as nn
+
+from ..models.norm import GroupNorm, LayerNorm
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -132,12 +134,12 @@ class ConvFeatureEncoder(nn.Module):
                 name=f"conv_{i}",
             )(h)
             if cfg.feat_extract_norm == "group" and i == 0:
-                h = nn.GroupNorm(
+                h = GroupNorm(
                     num_groups=dim, epsilon=cfg.layer_norm_eps,
                     name=f"norm_{i}",
                 )(h)
             elif cfg.feat_extract_norm == "layer":
-                h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=f"norm_{i}")(h)
+                h = LayerNorm(epsilon=cfg.layer_norm_eps, name=f"norm_{i}")(h)
             h = nn.gelu(h, approximate=False)
         return h
 
@@ -294,21 +296,21 @@ class EncoderLayer(nn.Module):
 
         if cfg.do_stable_layer_norm:  # pre-LN (large models)
             a, position_bias = attention(
-                nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(x),
+                LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(x),
                 attn_bias,
                 position_bias,
             )
             x = x + a
             x = x + FeedForward(cfg, name="feed_forward")(
-                nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_layer_norm")(x)
+                LayerNorm(epsilon=cfg.layer_norm_eps, name="final_layer_norm")(x)
             )
         else:  # post-LN (base models)
             a, position_bias = attention(x, attn_bias, position_bias)
-            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(
+            x = LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(
                 x + a
             )
             x = x + FeedForward(cfg, name="feed_forward")(x)
-            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_layer_norm")(x)
+            x = LayerNorm(epsilon=cfg.layer_norm_eps, name="final_layer_norm")(x)
         return x, position_bias
 
 
@@ -327,7 +329,7 @@ class SSLEncoder(nn.Module):
         cfg = self.cfg
         feats = ConvFeatureEncoder(cfg, name="feature_extractor")(wav)
 
-        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="feat_proj_layer_norm")(
+        h = LayerNorm(epsilon=cfg.layer_norm_eps, name="feat_proj_layer_norm")(
             feats
         )
         h = nn.Dense(cfg.hidden_size, name="feat_projection")(h)
@@ -344,7 +346,7 @@ class SSLEncoder(nn.Module):
         pos = PositionalConvEmbedding(cfg, name="pos_conv_embed")(h)
         h = h + pos
         if not cfg.do_stable_layer_norm:
-            h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="encoder_layer_norm")(h)
+            h = LayerNorm(epsilon=cfg.layer_norm_eps, name="encoder_layer_norm")(h)
 
         hidden_states = [h]
         position_bias = None
@@ -356,7 +358,7 @@ class SSLEncoder(nn.Module):
         if cfg.do_stable_layer_norm:
             # final LN applies to the LAST state (large models); keep raw
             # per-layer states for the featurizer like s3prl.
-            hidden_states[-1] = nn.LayerNorm(
+            hidden_states[-1] = LayerNorm(
                 epsilon=cfg.layer_norm_eps, name="encoder_layer_norm"
             )(hidden_states[-1])
         return hidden_states, feat_lengths

@@ -17,6 +17,8 @@ import dataclasses
 from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
+
+from ..models.norm import GroupNorm, LayerNorm
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -94,9 +96,9 @@ class _Block(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = x + _MHA(self.n_state, self.n_head, name="attn")(
-            nn.LayerNorm(name="attn_ln")(x)
+            LayerNorm(name="attn_ln")(x)
         )
-        h = nn.LayerNorm(name="mlp_ln")(x)
+        h = LayerNorm(name="mlp_ln")(x)
         h = nn.Dense(self.n_state * 4, name="mlp_0")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.n_state, name="mlp_2")(h)
@@ -134,7 +136,7 @@ class WhisperEncoder(nn.Module):
             if cfg.layer_st <= i <= cfg.layer_ed:
                 outs.append(h)
         xs = jnp.concatenate(outs, axis=-1)
-        xs = nn.LayerNorm(name="ln_post2")(xs)
+        xs = LayerNorm(name="ln_post2")(xs)
 
         feat_lengths = None
         if lengths is not None:

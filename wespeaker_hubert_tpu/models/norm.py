@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import flax.linen as nn
 
-__all__ = ["BatchNorm", "LayerNorm"]
+__all__ = ["BatchNorm", "LayerNorm", "GroupNorm"]
 
 
 class BatchNorm(nn.BatchNorm):
@@ -32,6 +32,14 @@ class BatchNorm(nn.BatchNorm):
 
 class LayerNorm(nn.LayerNorm):
     """nn.LayerNorm that returns the input's dtype (f32 stats inside)."""
+
+    def __call__(self, x):
+        y = super().__call__(x)
+        return y.astype(x.dtype)
+
+
+class GroupNorm(nn.GroupNorm):
+    """nn.GroupNorm that returns the input's dtype (f32 stats inside)."""
 
     def __call__(self, x):
         y = super().__call__(x)
