@@ -79,10 +79,41 @@ def add_reverb_noise(
     return jnp.where((aug_type > 0)[:, None], normed, out)
 
 
+# All SPEEDS are rational with denominator 10, so resampling is polyphase:
+# every block of 10 output samples consumes exactly p input samples
+# (p = 10*speed) with FIXED per-phase interpolation weights.  That turns
+# the resample into [static strided slices] + [one tiny constant matmul]
+# — no data-dependent gather, which TPUs execute orders of magnitude
+# slower than an MXU matmul (take_along_axis over (B, 32000) dominated
+# the whole train step before this rewrite).
+_POLY_Q = 10
+_POLY_P = {1.0: 10, 0.9: 9, 1.1: 11}
+
+
+def _poly_plan(s: float):
+    """(p, w_in, k, weight (q, w_in)) for speed s = p/10."""
+    p = _POLY_P[s]
+    w_in = int(np.floor((_POLY_Q - 1) * s)) + 2
+    k = -(-w_in // p) + 1  # slabs needed to cover a block
+    weight = np.zeros((_POLY_Q, w_in), np.float32)
+    for j in range(_POLY_Q):
+        pos = j * s
+        lo = int(np.floor(pos))
+        f = pos - lo
+        weight[j, lo] += 1.0 - f
+        weight[j, lo + 1] += f
+    return p, w_in, k, weight
+
+
 def speed_input_len(out_len: int) -> int:
     """Samples the host must supply per utterance so every speed branch has
-    enough input: ceil(out_len * max(SPEEDS)) + 1."""
-    return int(np.ceil(out_len * max(SPEEDS))) + 2
+    enough input for whole polyphase blocks."""
+    m = -(-out_len // _POLY_Q)
+    need = 0
+    for s in SPEEDS:
+        p, _, k, _ = _poly_plan(s)
+        need = max(need, (m + k - 1) * p)
+    return need
 
 
 @functools.partial(jax.jit, static_argnames=("out_len",))
@@ -90,24 +121,28 @@ def speed_perturb(
     wav: jax.Array, speed_idx: jax.Array, out_len: int
 ) -> jax.Array:
     """Resample each row by SPEEDS[speed_idx[i]] (sox 'speed' semantics:
-    output[n] = input(n * speed)) to exactly out_len samples.
+    output[n] = linear-interp input at n * speed) to exactly out_len
+    samples, via per-speed polyphase matmuls.
 
     wav: (B, L_in) with L_in >= speed_input_len(out_len).
     speed_idx: (B,) int32 in {0, 1, 2} for speeds {1.0, 0.9, 1.1}.
     """
-    l_in = wav.shape[1]
-    n = np.arange(out_len, dtype=np.float64)
-    tables_lo, tables_frac = [], []
+    b, l_in = wav.shape
+    m = -(-out_len // _POLY_Q)
+    outs = []
     for s in SPEEDS:
-        pos = np.minimum(n * s, l_in - 2)
-        lo = np.floor(pos).astype(np.int32)
-        tables_lo.append(lo)
-        tables_frac.append((pos - lo).astype(np.float32))
-    lo_t = jnp.asarray(np.stack(tables_lo))        # (3, out_len)
-    frac_t = jnp.asarray(np.stack(tables_frac))    # (3, out_len)
-
-    lo = lo_t[speed_idx]       # (B, out_len)
-    frac = frac_t[speed_idx]   # (B, out_len)
-    x0 = jnp.take_along_axis(wav, lo, axis=1)
-    x1 = jnp.take_along_axis(wav, lo + 1, axis=1)
-    return x0 * (1.0 - frac) + x1 * frac
+        p, w_in, k, weight = _poly_plan(s)
+        need = (m + k - 1) * p
+        x = jnp.pad(wav, ((0, 0), (0, need - l_in))) if l_in < need else wav
+        slabs = [
+            x[:, j * p : (j + m) * p].reshape(b, m, p) for j in range(k)
+        ]
+        xb = jnp.concatenate(slabs, axis=-1)[:, :, :w_in]  # (B, M, w_in)
+        y = jnp.einsum(
+            "bmw,qw->bmq", xb, jnp.asarray(weight),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(y.reshape(b, m * _POLY_Q)[:, :out_len])
+    stacked = jnp.stack(outs)  # (3, B, out_len)
+    onehot = jax.nn.one_hot(speed_idx, len(SPEEDS), dtype=wav.dtype)
+    return jnp.einsum("sbl,bs->bl", stacked, onehot)

@@ -86,17 +86,23 @@ def num_frames(num_samples, frame_length: int, frame_shift: int):
 def frame_signal(wav: jax.Array, frame_length: int, frame_shift: int) -> jax.Array:
     """(B, W) -> (B, T, frame_length) overlapping frames (snip_edges).
 
-    Implemented as a strided gather; XLA lowers this to an efficient
-    dynamic-slice/gather fusion on TPU.
+    Implemented as ceil(L/shift) static strided slices + reshapes (each
+    slab j is wav[j*shift : j*shift + T*shift] viewed as (T, shift)) —
+    pure data movement XLA copies at HBM speed, instead of an (T, L)
+    index gather, which TPUs lower to a slow scalar-indexed loop.
     """
     b, w = wav.shape
     t = num_frames(w, frame_length, frame_shift)
-    # (T, L) index matrix is a compile-time constant.
-    idx = (
-        np.arange(t, dtype=np.int32)[:, None] * frame_shift
-        + np.arange(frame_length, dtype=np.int32)[None, :]
-    )
-    return wav[:, idx]
+    k = -(-frame_length // frame_shift)  # slabs per frame
+    need = (t + k - 1) * frame_shift
+    x = jnp.pad(wav, ((0, 0), (0, need - w))) if w < need else wav
+    slabs = [
+        x[:, j * frame_shift : (j + t) * frame_shift].reshape(
+            b, t, frame_shift
+        )
+        for j in range(k)
+    ]
+    return jnp.concatenate(slabs, axis=-1)[:, :, :frame_length]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
