@@ -212,3 +212,90 @@ class TestShardedTrain:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestScannedStep:
+    def test_scanned_equals_sequential(self):
+        """num_steps=K scan == K sequential single steps (same data/rng:
+        step_fn folds the per-call rng with state.step, and the scan
+        passes split(rng)[k] at step k — replicate that exactly)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from wespeaker_hubert_tpu.models import get_projection, get_speaker_model
+        from wespeaker_hubert_tpu.models.speaker_net import SpeakerNet
+        from wespeaker_hubert_tpu.ops.fbank import FbankConfig
+        from wespeaker_hubert_tpu.ops.pipeline import FeaturePipelineConfig
+        from wespeaker_hubert_tpu.train import (
+            ExponentialDecrease,
+            MarginSchedule,
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        K, B, T, F, C = 3, 4, 50, 24, 11
+        backbone = get_speaker_model("XVEC")(feat_dim=F, embed_dim=16)
+        projection = get_projection(
+            {"project_type": "arc_margin", "embed_dim": 16,
+             "num_class": C, "scale": 32.0}
+        )
+        net = SpeakerNet(backbone=backbone, projection=projection)
+        lr = ExponentialDecrease(num_epochs=2, epoch_iter=10,
+                                 initial_lr=0.1, final_lr=0.01,
+                                 warm_up_epoch=1)
+        margin = MarginSchedule(epoch_iter=10, increase_start_epoch=1,
+                                fix_start_epoch=2, initial_margin=0.0,
+                                final_margin=0.2)
+        tx = make_optimizer(lr, "SGD", weight_decay=1e-4)
+        fcfg = FeaturePipelineConfig(
+            fbank=FbankConfig(num_mel_bins=F, dither=0.0), spec_aug=False
+        )
+
+        rng = np.random.default_rng(0)
+        feats = rng.standard_normal((K, B, T, F)).astype(np.float32)
+        labels = rng.integers(0, C, (K, B)).astype(np.int32)
+
+        def fresh_state():
+            return create_train_state(
+                net, tx, jax.random.key(0),
+                jnp.zeros((B, T, F)), jnp.zeros((B,), jnp.int32),
+            )
+
+        key = jax.random.key(7)
+
+        step1 = make_train_step(net, tx, lr, margin, feature_cfg=fcfg)
+        s_seq = fresh_state()
+        keys = jax.random.split(key, K)
+        losses_seq = []
+        for k in range(K):
+            s_seq, m = step1(
+                s_seq,
+                {"feat": jnp.asarray(feats[k]), "label": jnp.asarray(labels[k])},
+                keys[k],
+            )
+            losses_seq.append(float(m["loss"]))
+
+        stepK = make_train_step(net, tx, lr, margin, feature_cfg=fcfg,
+                                num_steps=K)
+        s_scan, metrics = stepK(
+            fresh_state(),
+            {"feat": jnp.asarray(feats), "label": jnp.asarray(labels)},
+            key,
+        )
+        np.testing.assert_allclose(
+            np.asarray(metrics["loss"]), np.asarray(losses_seq), rtol=2e-5
+        )
+        a = jax.tree.leaves(s_seq.params)
+        bss = jax.tree.leaves(s_scan.params)
+        for x, y in zip(a, bss):
+            # scan vs per-call executables fuse/reorder float ops
+            # differently, and ArcMargin's easy-margin branch can flip
+            # for boundary samples, nudging a handful of head rows by
+            # O(lr * eps); per-step losses already match to 2e-5, so
+            # require bulk closeness with a loose absolute cap
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=2e-3, atol=5e-3
+            )
+        assert int(s_scan.step) == K

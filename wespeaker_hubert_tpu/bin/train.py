@@ -23,6 +23,8 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from ..data import AugStore, TrainPipeline, TrainPipelineConfig
 from ..models import get_projection, get_speaker_model
 from ..models.speaker_net import SpeakerNet
@@ -337,7 +339,19 @@ def train(config: str | dict, **overrides):
         )
 
     state = shard_train_state(state, mesh)
+    # loop_steps > 1 scans that many optimizer steps inside one XLA
+    # dispatch (train/executor.py): fewer host round trips — the main
+    # lever when the host-device link has per-dispatch latency
+    loop_steps = int(config.get("loop_steps", 1))
     step_fn = make_train_step(
+        net, tx, lr_schedule, margin_schedule,
+        feature_cfg=feature_cfg, mesh=mesh,
+        chunk_samples=pipe.chunk_samples,
+        num_steps=loop_steps,
+    )
+    # single-step program for the tail of an epoch when the batch count
+    # isn't a multiple of loop_steps
+    flush_fn = step_fn if loop_steps == 1 else make_train_step(
         net, tx, lr_schedule, margin_schedule,
         feature_cfg=feature_cfg, mesh=mesh,
         chunk_samples=pipe.chunk_samples,
@@ -359,13 +373,31 @@ def train(config: str | dict, **overrides):
         pipe.set_epoch(epoch)
         t0 = time.time()
         n_iter = 0
+        pending = []
         for batch in pipe:
-            batch = shard_batch(
-                {k: v for k, v in batch.items() if k != "keys"}, mesh
-            )
-            state, metrics = step_fn(state, batch, rng)
-            n_iter += 1
-            if n_iter % log_interval == 0:
+            if loop_steps > 1:
+                pending.append(
+                    {k: v for k, v in batch.items() if k != "keys"}
+                )
+                if len(pending) < loop_steps:
+                    continue
+                stacked = {
+                    k: np.stack([p[k] for p in pending])
+                    for k in pending[0]
+                }
+                pending = []
+                batch = shard_batch(stacked, mesh, stacked=True)
+                state, metrics = step_fn(state, batch, rng)
+                # stacked (K,) metrics: report the last step's values
+                metrics = {k: v[-1] for k, v in metrics.items()}
+                n_iter += loop_steps
+            else:
+                batch = shard_batch(
+                    {k: v for k, v in batch.items() if k != "keys"}, mesh
+                )
+                state, metrics = step_fn(state, batch, rng)
+                n_iter += 1
+            if n_iter % log_interval < loop_steps:
                 jax.block_until_ready(metrics["loss"])
                 meter.update(audio_s_per_batch * log_interval, log_interval)
                 logger.info(
@@ -383,6 +415,10 @@ def train(config: str | dict, **overrides):
                 )
             if n_iter >= epoch_iter:
                 break
+        for tail in pending:  # flush leftover (< loop_steps) batches
+            state, metrics = flush_fn(state, shard_batch(tail, mesh), rng)
+            n_iter += 1
+        pending = []
         dt = time.time() - t0
         logger.info("epoch %d done: %d iters in %.1fs", epoch, n_iter, dt)
         if (epoch + 1) % save_interval == 0 or epoch + 1 == num_epochs:

@@ -96,8 +96,12 @@ def shard_tree(tree, mesh: Mesh, head_path: str = "projection"):
     return jax.tree.map(jax.device_put, tree, sh)
 
 
-def shard_batch(batch, mesh: Mesh):
+def shard_batch(batch, mesh: Mesh, stacked: bool = False):
     """Place a host-resident batch pytree onto the mesh, sharded on the
-    leading (batch) axis over 'data'."""
-    sh = batch_sharding(mesh)
+    batch axis over 'data'.  stacked=True marks multi-step batches with
+    a leading (num_steps,) scan axis — the batch axis is then dim 1."""
+    if stacked:
+        sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    else:
+        sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -55,8 +55,14 @@ def make_train_step(
     mesh=None,
     chunk_samples: Optional[int] = None,
     compute_dtype=None,
+    num_steps: int = 1,
 ) -> Callable:
     """Build the jitted train step.
+
+    num_steps > 1 returns a SCANNED step: (state, batches, rng) ->
+    (state, metrics) where every batch leaf has a leading (num_steps,)
+    axis and metrics are stacked per step — one XLA dispatch per
+    num_steps optimizer steps (see comment at the scan below).
 
     The returned fn: (state, batch, rng) -> (state, metrics) where batch is
     {'wav': (B, W)} or {'feat': (B, T, F)}, plus 'label': (B,) and optional
@@ -185,6 +191,34 @@ def make_train_step(
         )
         metrics = {"loss": loss, "acc": acc, "lr": lr, "margin": margin}
         return new_state, metrics
+
+    if num_steps > 1:
+        # Scan num_steps optimizer steps inside ONE compiled program:
+        # the host dispatches (and optionally fetches metrics) once per
+        # num_steps batches.  This amortizes per-dispatch overhead —
+        # essential over remote-device links and still a win for
+        # directly-attached hosts (fewer host round trips; XLA overlaps
+        # the next step's prologue with the previous epilogue).  Batch
+        # leaves carry a leading (num_steps, ...) axis; rng is split
+        # in-graph per step.
+        def multi_step_fn(state: TrainState, batches, rng):
+            rngs = jax.random.split(rng, num_steps)
+
+            def body(carry, xs):
+                batch_k, rng_k = xs
+                return step_fn(carry, batch_k, rng_k)
+
+            return jax.lax.scan(body, state, (batches, rngs))
+
+        if mesh is None:
+            return jax.jit(multi_step_fn, donate_argnums=(0,))
+        batch_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+        repl = NamedSharding(mesh, P())
+        return jax.jit(
+            multi_step_fn,
+            donate_argnums=(0,),
+            in_shardings=(None, batch_sh, repl),
+        )
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
