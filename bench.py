@@ -45,32 +45,40 @@ def main():
     )
     cfg = FeaturePipelineConfig(fbank=FbankConfig(dither=0.0), spec_aug=False)
 
-    @jax.jit
-    def extract(wav):
+    def extract_one(wav):
         feats, _ = wav_to_features(wav, cfg, train=False)
         return model.apply(
             variables, feats.astype(jnp.bfloat16), train=False
         ).astype(jnp.float32)
 
+    # Sustained-throughput harness: scan SCAN_K batches inside one XLA
+    # dispatch, so per-dispatch link latency (notable over remote-device
+    # tunnels, ~20 ms/call) amortizes and the number reflects the chip.
+    SCAN_K = 10
+
+    @jax.jit
+    def extract_many(wavs):  # (K, B, n) -> (K, B, D)
+        return jax.lax.scan(
+            lambda _, w: (None, extract_one(w)), None, wavs
+        )[1]
+
     rng = np.random.default_rng(0)
-    wav = jnp.asarray(
-        rng.standard_normal((BATCH, nsamp)) * 0.1, dtype=jnp.float32
+    wavs = jnp.asarray(
+        rng.standard_normal((SCAN_K, BATCH, nsamp)) * 0.1, dtype=jnp.float32
     )
 
-    # compile + warmup
-    extract(wav).block_until_ready()
+    # compile + fetch-forced warmup (block_until_ready alone can report
+    # readiness before remote execution finishes)
+    _ = np.asarray(extract_many(wavs)[:1, :1, :1])
 
-    iters = 20
+    iters = 4
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = extract(wav)
-    # fetch (not just block): through remote-device tunnels,
-    # block_until_ready can report readiness before execution finishes;
-    # a host fetch of one element forces the full dependency chain
-    _ = np.asarray(out[:1, :1])
+        out = extract_many(wavs)
+    _ = np.asarray(out[:1, :1, :1])  # fetch forces the full chain
     dt = time.perf_counter() - t0
 
-    audio_seconds = BATCH * SECONDS * iters
+    audio_seconds = BATCH * SECONDS * iters * SCAN_K
     throughput = audio_seconds / dt
     print(
         json.dumps(
