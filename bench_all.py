@@ -74,7 +74,7 @@ def bench_extract(model_name, batch, seconds, dtype, iters=10):
 
 
 def bench_train_step(model_name, batch, num_frms=200, num_class=17982,
-                     iters=10, compute_dtype=None):
+                     iters=10, compute_dtype=None, loop_steps=1):
     """Supervised train-step throughput (audio-seconds/s) with the full
     in-graph pipeline: speed perturb + reverb/noise + fbank + backbone +
     class-sharded-capable ArcMargin head + SGD."""
@@ -117,7 +117,8 @@ def bench_train_step(model_name, batch, num_frms=200, num_class=17982,
         fbank=FbankConfig(dither=1.0), spec_aug=True
     )
     step = make_train_step(net, tx, lr, margin, feature_cfg=fcfg,
-                           chunk_samples=chunk, compute_dtype=compute_dtype)
+                           chunk_samples=chunk, compute_dtype=compute_dtype,
+                           num_steps=loop_steps)
 
     rng = np.random.default_rng(0)
     b = {
@@ -134,15 +135,19 @@ def bench_train_step(model_name, batch, num_frms=200, num_class=17982,
         "snr": jnp.full((batch,), 10.0, jnp.float32),
     }
     key = jax.random.key(1)
+    if loop_steps > 1:
+        b = {k: jnp.broadcast_to(v, (loop_steps,) + v.shape) for k, v in b.items()}
     state, m0 = step(state, b, key)  # compile
-    float(m0["loss"])  # fetch-forced warmup
+    loss0 = m0["loss"] if loop_steps == 1 else m0["loss"][-1]
+    float(loss0)  # fetch-forced warmup
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, b, key)
-    float(metrics["loss"])  # fetch forces completion (see bench.py)
+    loss = metrics["loss"] if loop_steps == 1 else metrics["loss"][-1]
+    float(loss)  # fetch forces completion (see bench.py)
     dt = time.perf_counter() - t0
-    audio_s = batch * (num_frms * 0.01) * iters
-    return audio_s / dt, batch * iters / dt
+    audio_s = batch * (num_frms * 0.01) * iters * loop_steps
+    return audio_s / dt, batch * iters * loop_steps / dt
 
 
 def main():
@@ -154,6 +159,8 @@ def main():
     p.add_argument("--train_model", default="ECAPA_TDNN_GLOB_c1024")
     p.add_argument("--train_batch", type=int, default=128)
     p.add_argument("--train_bf16", action="store_true")
+    p.add_argument("--loop_steps", type=int, default=1,
+                   help="scan this many optimizer steps per dispatch")
     args = p.parse_args()
 
     results = []
@@ -177,7 +184,8 @@ def main():
 
         cd = jnp.bfloat16 if args.train_bf16 else None
         tp, utts = bench_train_step(
-            args.train_model, args.train_batch, compute_dtype=cd
+            args.train_model, args.train_batch, compute_dtype=cd,
+            loop_steps=args.loop_steps,
         )
         tag = "_bf16" if args.train_bf16 else ""
         row = {
