@@ -51,6 +51,7 @@ def extract(
             frame_shift_ms=fb.get("frame_shift", 10),
             frame_length_ms=fb.get("frame_length", 25),
             dither=0.0,  # eval: no dither (reference extract.py:64-70)
+            matmul_precision=fb.get("matmul_precision", "highest"),
         ),
         spec_aug=False,
     )

@@ -107,6 +107,7 @@ def _feature_cfg(dataset_args: dict) -> FeaturePipelineConfig:
             frame_shift_ms=fb.get("frame_shift", 10),
             frame_length_ms=fb.get("frame_length", 25),
             dither=fb.get("dither", 1.0),
+            matmul_precision=fb.get("matmul_precision", "highest"),
         ),
         spec_aug=dataset_args.get("spec_aug", False),
         spec_aug_num_t_mask=sa.get("num_t_mask", 1),
