@@ -143,3 +143,28 @@ def test_train_mode_updates_batch_stats():
 def test_unknown_model_raises():
     with pytest.raises(ValueError):
         get_speaker_model("NopeNet")
+
+
+def test_redimnet_gru_time_context_block():
+    """block_1d_type='gru' (reference redimnet.py:566-578): bi-GRU over
+    time + 1x1 projection, residual; unused by the factories but part of
+    the reference API surface."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wespeaker_hubert_tpu.models.redimnet import TimeContextBlock1d
+
+    blk = TimeContextBlock1d(24, 8, block_type="gru")
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 50, 24)), jnp.float32
+    )
+    variables = blk.init(jax.random.key(0), x)
+    y = blk.apply(variables, x)
+    assert y.shape == (2, 50, 24)
+    assert bool(jnp.isfinite(y).all())
+    # recurrence must mix across time: per-frame output depends on other
+    # frames' inputs (distinguishes it from the 'fc' pointwise branch)
+    x2 = x.at[:, 0, :].set(0.0)
+    y2 = blk.apply(variables, x2)
+    assert float(jnp.abs(y2[:, -1] - y[:, -1]).max()) > 0

@@ -239,6 +239,18 @@ class TimeContextBlock1d(nn.Module):
                     name=f"convnext_{i}",
                 )(h, train)
             h = TransformerEncoderLayer(self.hC, self.hC, 4, name="att")(h)
+        elif self.block_type == "gru":
+            # bidirectional GRU over time + 1x1 projection (reference
+            # :566-578; NB the reference feeds a seq-first torch GRU a
+            # batch-first tensor — a latent bug in an unused path — here
+            # the recurrence correctly runs over the time axis)
+            fwd = nn.RNN(nn.GRUCell(self.hC), name="gru_fwd")(h)
+            bwd = nn.RNN(
+                nn.GRUCell(self.hC), reverse=True, keep_order=True,
+                name="gru_bwd",
+            )(h)
+            h = jnp.concatenate([fwd, bwd], axis=-1)
+            h = nn.Conv(self.hC, (1,), name="gru_proj")(h)
         else:
             raise NotImplementedError(self.block_type)
 
