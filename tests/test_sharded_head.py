@@ -77,3 +77,60 @@ def test_weight_stays_sharded(setup):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_scanned_step_on_mesh():
+    """loop_steps scan composes with the (data, model) mesh: stacked
+    batches shard on dim 1 and the step compiles + runs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wespeaker_hubert_tpu.models import get_projection, get_speaker_model
+    from wespeaker_hubert_tpu.models.speaker_net import SpeakerNet
+    from wespeaker_hubert_tpu.ops.fbank import FbankConfig
+    from wespeaker_hubert_tpu.ops.pipeline import FeaturePipelineConfig
+    from wespeaker_hubert_tpu.parallel import make_mesh, shard_batch
+    from wespeaker_hubert_tpu.train import (
+        ExponentialDecrease,
+        MarginSchedule,
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+        shard_train_state,
+    )
+
+    mesh = make_mesh(model_parallel=2)
+    K, B, T, F, C = 2, 8, 40, 24, 16
+    backbone = get_speaker_model("XVEC")(feat_dim=F, embed_dim=16)
+    projection = get_projection(
+        {"project_type": "arc_margin", "embed_dim": 16,
+         "num_class": C, "scale": 32.0}
+    )
+    net = SpeakerNet(backbone=backbone, projection=projection)
+    lr = ExponentialDecrease(num_epochs=2, epoch_iter=10, initial_lr=0.1,
+                             final_lr=0.01, warm_up_epoch=1)
+    margin = MarginSchedule(epoch_iter=10, increase_start_epoch=1,
+                            fix_start_epoch=2, initial_margin=0.0,
+                            final_margin=0.2)
+    tx = make_optimizer(lr, "SGD", weight_decay=1e-4)
+    fcfg = FeaturePipelineConfig(
+        fbank=FbankConfig(num_mel_bins=F, dither=0.0), spec_aug=False
+    )
+    state = create_train_state(
+        net, tx, jax.random.key(0),
+        jnp.zeros((B, T, F)), jnp.zeros((B,), jnp.int32),
+    )
+    state = shard_train_state(state, mesh)
+    step = make_train_step(net, tx, lr, margin, feature_cfg=fcfg,
+                           mesh=mesh, num_steps=K)
+    rng = np.random.default_rng(0)
+    batch = {
+        "feat": rng.standard_normal((K, B, T, F)).astype(np.float32),
+        "label": rng.integers(0, C, (K, B)).astype(np.int32),
+    }
+    batch = shard_batch(batch, mesh, stacked=True)
+    state, metrics = step(state, batch, jax.random.key(1))
+    assert metrics["loss"].shape == (K,)
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
+    assert int(state.step) == K
