@@ -35,13 +35,14 @@ def _next_pow2(n: int) -> int:
     return 1 << (int(n) - 1).bit_length()
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("impl",))
 def add_reverb_noise(
     wav: jax.Array,
     rir: jax.Array,
     noise: jax.Array,
     aug_type: jax.Array,
     snr: jax.Array,
+    impl: str = "fft",
 ) -> jax.Array:
     """Apply per-sample augmentation.
 
@@ -50,19 +51,32 @@ def add_reverb_noise(
     noise: (B, L) noise chunks in [-1, 1] (tile-padded by the host)
     aug_type: (B,) int32 — 0: none, 1: reverb, 2: additive noise
     snr:   (B,) float32 target SNR dB (used when aug_type == 2)
+    impl:  'fft' (default) or 'conv' (per-sample grouped time-domain
+           conv, feature_group_count=B; numerically equal to ~3e-5 but
+           measured 31x SLOWER on v5e — Mosaic does not tile a B-group
+           8000-tap conv onto the MXU.  Kept for reference/CPU use.)
     """
     b, l = wav.shape
     r = rir.shape[1]
-    nfft = _next_pow2(l + r - 1)
 
     # --- reverb branch: energy-normalize RIR, full conv, cut to L
     rir_energy = jnp.sqrt(jnp.sum(rir.astype(jnp.float32) ** 2, axis=1, keepdims=True))
     rir_n = rir / jnp.maximum(rir_energy, 1e-8)
-    y = jnp.fft.irfft(
-        jnp.fft.rfft(wav, n=nfft, axis=-1) * jnp.fft.rfft(rir_n, n=nfft, axis=-1),
-        n=nfft,
-        axis=-1,
-    )[:, :l]
+    if impl == "conv":
+        lhs = jnp.pad(wav[None], ((0, 0), (0, 0), (r - 1, 0)))
+        rhs = rir_n[:, ::-1][:, None, :]
+        y = jax.lax.conv_general_dilated(
+            lhs, rhs, (1,), "VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            feature_group_count=b,
+        )[0]
+    else:
+        nfft = _next_pow2(l + r - 1)
+        y = jnp.fft.irfft(
+            jnp.fft.rfft(wav, n=nfft, axis=-1) * jnp.fft.rfft(rir_n, n=nfft, axis=-1),
+            n=nfft,
+            axis=-1,
+        )[:, :l]
 
     # --- noise branch: scale noise to target SNR
     audio_db = 10.0 * jnp.log10(jnp.mean(wav**2, axis=1) + 1e-4)

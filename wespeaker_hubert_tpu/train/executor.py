@@ -56,6 +56,7 @@ def make_train_step(
     chunk_samples: Optional[int] = None,
     compute_dtype=None,
     num_steps: int = 1,
+    reverb_impl: str = "fft",
 ) -> Callable:
     """Build the jitted train step.
 
@@ -86,7 +87,7 @@ def make_train_step(
         if "aug_type" in batch:
             wav = add_reverb_noise(
                 wav, batch["rir"], batch["noise"], batch["aug_type"],
-                batch["snr"],
+                batch["snr"], impl=reverb_impl,
             )
         return wav
 
