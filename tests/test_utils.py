@@ -137,3 +137,25 @@ class TestObservability:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_file_utils(tmp_path):
+    from wespeaker_hubert_tpu.utils.file_utils import (
+        read_lists,
+        read_scp,
+        read_table,
+    )
+
+    p = tmp_path / "wav.scp"
+    p.write_text("utt1 /a/b.wav\nutt2 /c/d.wav\n\n")
+    assert read_scp(str(p)) == [("utt1", "/a/b.wav"), ("utt2", "/c/d.wav")]
+
+    p2 = tmp_path / "x.list"
+    p2.write_text("a\nb\n\nc\n")
+    assert read_lists(str(p2)) == ["a", "b", "c"]
+
+    p3 = tmp_path / "trials"
+    p3.write_text("e1 t1 target\ne2 t2 nontarget\n")
+    assert read_table(str(p3)) == [
+        ["e1", "t1", "target"], ["e2", "t2", "nontarget"]
+    ]
