@@ -110,3 +110,32 @@ class TestSpeedPerturb:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_speed_perturb_matches_scalar_interp():
+    """Polyphase output == scalar-loop linear interpolation at n*speed
+    (the sox 'speed' semantics), for every speed branch."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from wespeaker_hubert_tpu.ops.augment import (
+        SPEEDS,
+        speed_input_len,
+        speed_perturb,
+    )
+
+    out_len = 3210  # not a multiple of the polyphase block (10)
+    l_in = speed_input_len(out_len)
+    rng = np.random.default_rng(11)
+    wav = rng.standard_normal((3, l_in)).astype(np.float32)
+    idx = np.array([0, 1, 2], np.int32)
+    y = np.asarray(speed_perturb(jnp.asarray(wav), jnp.asarray(idx), out_len))
+    n = np.arange(out_len)
+    for i, k in enumerate(idx):
+        s = SPEEDS[k]
+        pos = n * s
+        lo = np.floor(pos).astype(int)
+        f = (pos - lo).astype(np.float32)
+        ref = wav[i, lo] * (1 - f) + wav[i, lo + 1] * f
+        np.testing.assert_allclose(y[i], ref, atol=2e-6)
