@@ -107,6 +107,46 @@ class Speaker:
     def set_vad(self, enable: bool):
         self.apply_vad = enable
 
+    def set_resample_rate(self, resample_rate: int):
+        """Expected input sample rate (reference cli/speaker.py:65)."""
+        self.resample_rate = resample_rate
+
+    def set_window_type(self, window_type: str):
+        """Fbank window (reference :62); rebuilds the feature pipeline."""
+        import dataclasses
+
+        self.fbank_cfg = dataclasses.replace(
+            self.fbank_cfg, window_type=window_type
+        )
+        self._embed_fn = make_eval_embed(
+            self.net,
+            feature_cfg=FeaturePipelineConfig(
+                fbank=self.fbank_cfg, spec_aug=False
+            ),
+        )
+
+    def set_wavform_norm(self, wavform_norm: bool):
+        """Scale-to-int16 off means operate on [-1, 1] floats directly
+        (reference :59 — campplus/eres2net models are trained that way)."""
+        import dataclasses
+
+        self.fbank_cfg = dataclasses.replace(
+            self.fbank_cfg, scale_to_int16=not wavform_norm
+        )
+        self._embed_fn = make_eval_embed(
+            self.net,
+            feature_cfg=FeaturePipelineConfig(
+                fbank=self.fbank_cfg, spec_aug=False
+            ),
+        )
+
+    def set_diarization_params(
+        self, window_secs: float = 1.5, period_secs: float = 0.75
+    ):
+        """Sliding-window subsegmentation parameters (reference :75)."""
+        self.diar_window_secs = window_secs
+        self.diar_period_secs = period_secs
+
     def _load_audio(self, audio_path: str) -> np.ndarray:
         wav, sr = read_wav(audio_path)
         assert sr == self.resample_rate, (
@@ -240,6 +280,18 @@ class Speaker:
             )
             out.append(np.asarray(emb))
         return np.concatenate(out)
+
+    def diarize_list(self, scp_path: str):
+        """wav.scp -> list of per-utt merged segments (reference :272)."""
+        results = {}
+        with open(scp_path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 2:
+                    continue
+                utt, path = parts[0], parts[1]
+                results[utt] = self.diarize(path, utt=utt)
+        return results
 
     def make_rttm(self, merged_segments, outfile: str):
         write_rttm(
