@@ -14,7 +14,8 @@ from typing import BinaryIO, Tuple
 
 import numpy as np
 
-__all__ = ["read_kaldi_plda", "load_kaldi_plda"]
+__all__ = ["read_kaldi_plda", "load_kaldi_plda",
+           "write_kaldi_vectors", "read_kaldi_vectors"]
 
 
 def _read_token(f: BinaryIO) -> str:
@@ -92,3 +93,50 @@ def load_kaldi_plda(path: str, normalize_length: bool = True):
     plda.psi = psi
     plda.offset = -transform @ mean
     return plda
+
+
+def write_kaldi_vectors(ark_path: str, names, vectors, scp_path: str = None):
+    """Write embeddings as a Kaldi binary vector archive (+ optional scp).
+
+    Matches the format the reference emits via kaldiio in bin/extract.py
+    (ark entry: 'key \\0B FV <int32 dim> <f32 data>'; scp line:
+    'key ark:offset'), so downstream kaldi tooling (PLDA recipes,
+    ivector-style scoring) can consume our embeddings directly.
+    """
+    scp_lines = []
+    with open(ark_path, "wb") as f:
+        for name, vec in zip(names, vectors):
+            vec = np.asarray(vec, "<f4").reshape(-1)
+            f.write(name.encode() + b" ")
+            offset = f.tell()
+            f.write(b"\x00B")
+            f.write(b"FV ")
+            f.write(b"\x04" + struct.pack("<i", vec.shape[0]))
+            f.write(vec.tobytes())
+            scp_lines.append(f"{name} {ark_path}:{offset}")
+    if scp_path:
+        with open(scp_path, "w", encoding="utf-8") as f:
+            f.write("\n".join(scp_lines) + "\n")
+    return ark_path
+
+
+def read_kaldi_vectors(path: str):
+    """Read a binary vector ark written by write_kaldi_vectors (or kaldi)
+    -> list[(key, np.ndarray)]."""
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            key_chars = []
+            c = f.read(1)
+            if not c:
+                break
+            while c not in (b" ", b""):
+                key_chars.append(c)
+                c = f.read(1)
+            key = b"".join(key_chars).decode()
+            marker = f.read(2)
+            if marker != b"\x00B":
+                raise ValueError(f"not kaldi binary at {key!r}")
+            vec = _read_vector(f)
+            out.append((key, vec))
+    return out
