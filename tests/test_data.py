@@ -156,6 +156,73 @@ class TestEvalPipeline:
         assert len(keys) == 32
         assert len(set(keys)) == 32
 
+    def test_long_utterance_not_cropped(self, tmp_path):
+        """VERDICT r1 #2: utterances past the largest base bucket must be
+        extracted WHOLE (extended doubling buckets), matching the unpadded
+        whole-utterance forward (reference local/extract_vox.sh:31-33
+        extracts batch=1 whole utterances)."""
+        import json
+        import scipy.io.wavfile as sciwav
+
+        import jax
+        import jax.numpy as jnp
+
+        from wespeaker_hubert_tpu.models import get_speaker_model
+        from wespeaker_hubert_tpu.models.speaker_net import SpeakerNet
+        from wespeaker_hubert_tpu.models.projections import get_projection
+        from wespeaker_hubert_tpu.ops.fbank import FbankConfig
+        from wespeaker_hubert_tpu.ops.pipeline import FeaturePipelineConfig
+        from wespeaker_hubert_tpu.train import make_eval_embed
+
+        sr = 16000
+        n = 60 * sr  # 60 s > largest base bucket (32 s)
+        rng = np.random.default_rng(0)
+        wav = (rng.standard_normal(n) * 0.1).astype(np.float32)
+        path = tmp_path / "long.wav"
+        sciwav.write(path, sr, (wav * 32767).astype(np.int16))
+        lst = tmp_path / "raw.list"
+        lst.write_text(json.dumps(
+            {"key": "long0", "wav": str(path), "spk": "s0"}) + "\n")
+
+        pipe = EvalPipeline(load_data_list(str(lst)), batch_size=4)
+        batches = list(pipe)
+        assert len(batches) == 1
+        b = batches[0]
+        assert int(b["length"][0]) == n  # nothing cropped
+        assert b["wav"].shape[1] >= n
+
+        backbone = get_speaker_model("ECAPA_TDNN_c512")(
+            feat_dim=40, embed_dim=32, channels=32)
+        net = SpeakerNet(
+            backbone=backbone,
+            projection=get_projection(
+                {"project_type": "linear", "embed_dim": 32, "num_class": 2}),
+        )
+        fcfg = FeaturePipelineConfig(
+            fbank=FbankConfig(num_mel_bins=40, dither=0.0), spec_aug=False)
+        variables = net.init(
+            jax.random.key(0), jnp.zeros((1, 50, 40)),
+            jnp.zeros((1,), jnp.int32), 0.0, train=False)
+        embed_fn = make_eval_embed(net, feature_cfg=fcfg)
+        # padded+masked (pipeline) vs unpadded whole-utterance forward
+        e_pad = np.asarray(embed_fn(variables, {
+            "wav": jnp.asarray(b["wav"]),
+            "length": jnp.asarray(b["length"]),
+        }))[0]
+        e_whole = np.asarray(embed_fn(variables, {
+            "wav": jnp.asarray(wav[None]),
+        }))[0]
+        cos = float(np.dot(e_pad, e_whole) /
+                    (np.linalg.norm(e_pad) * np.linalg.norm(e_whole)))
+        assert cos > 0.999, cos
+
+    def test_extreme_length_cropped_at_cap(self, tmp_path):
+        pipe = EvalPipeline([], batch_size=4)
+        cap = pipe.max_bucket_samples
+        assert pipe._bucket_for(cap + 1) == cap  # beyond cap -> crop bucket
+        assert pipe._batch_for(pipe.bucket_samples[-1]) == 4
+        assert pipe._batch_for(pipe.bucket_samples[-1] * 2) == 2
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

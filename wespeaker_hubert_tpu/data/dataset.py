@@ -329,6 +329,15 @@ class EvalPipeline:
     (local/extract_vox.sh:31-33); here utterances are bucketed to a small
     set of padded lengths (powers-of-two frames) so XLA compiles a handful
     of shapes and pooling masks keep results exact.
+
+    Utterances longer than the largest base bucket are NOT cropped: the
+    bucket set extends by doubling (6400, 12800, ... frames) up to
+    `max_bucket_frames`, with the per-bucket batch size shrunk
+    proportionally so batch x frames stays bounded.  Each extended bucket
+    is a new compiled shape — a one-time cost paid only when the eval set
+    actually contains such utterances (matches the reference's
+    whole-utterance batch=1 semantics).  Only past `max_bucket_frames`
+    (default ~8.5 min) is audio cropped, with a warning.
     """
 
     def __init__(
@@ -340,6 +349,8 @@ class EvalPipeline:
         frame_shift_ms: float = 10.0,
         frame_length_ms: float = 25.0,
         sample_rate: int = 16000,
+        extend_buckets: bool = True,
+        max_bucket_frames: int = 51200,
     ):
         self.data_list = list(data_list)
         self.data_type = data_type
@@ -348,12 +359,29 @@ class EvalPipeline:
             chunk_samples_for_frames(b, frame_shift_ms, frame_length_ms, sample_rate)
             for b in bucket_frames
         ]
+        self.extend_buckets = extend_buckets
+        self.max_bucket_samples = chunk_samples_for_frames(
+            max_bucket_frames, frame_shift_ms, frame_length_ms, sample_rate
+        )
 
     def _bucket_for(self, n: int) -> int:
         for b in self.bucket_samples:
             if n <= b:
                 return b
-        return self.bucket_samples[-1]
+        b = self.bucket_samples[-1]
+        if not self.extend_buckets:
+            return b
+        while n > b and b < self.max_bucket_samples:
+            b = min(b * 2, self.max_bucket_samples)
+        return b
+
+    def _batch_for(self, bucket: int) -> int:
+        """Shrink batch for extended buckets so batch x samples stays
+        bounded by batch_size x largest-base-bucket."""
+        base = self.bucket_samples[-1]
+        if bucket <= base:
+            return self.batch_size
+        return max(1, self.batch_size * base // bucket)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         it = (
@@ -365,11 +393,18 @@ class EvalPipeline:
         for s in it:
             wav = s["wav"]
             b = self._bucket_for(len(wav))
-            wav = wav[:b]  # crop ultra-long tails to the largest bucket
+            if len(wav) > b:  # only past max_bucket_samples
+                import logging
+
+                logging.warning(
+                    "cropping %s from %d to %d samples (max_bucket_frames)",
+                    s["key"], len(wav), b,
+                )
+                wav = wav[:b]
             buckets.setdefault(b, []).append(
                 {"key": s["key"], "wav": wav, "length": len(wav)}
             )
-            if len(buckets[b]) == self.batch_size:
+            if len(buckets[b]) >= self._batch_for(b):
                 yield self._collate(buckets.pop(b), b)
         for b, samples in buckets.items():
             if samples:
