@@ -1,0 +1,258 @@
+"""Silero VAD port tests.
+
+Without downloadable silero weights (zero-egress env) parity is proven
+against a torch MIRROR of the published v5 graph: random weights exported
+in the official state_dict layout go through convert_silero_state_dict and
+must produce identical probabilities — validating the flax architecture
+and the converter together (same pattern as the ssl_encoder tests).
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from wespeaker_hubert_tpu.diar.silero import (
+    CONTEXT,
+    FILTER_LEN,
+    HOP,
+    N_BINS,
+    STFT_PAD,
+    WINDOW,
+    SileroVAD,
+    convert_silero_state_dict,
+    get_speech_timestamps,
+    load_silero_params,
+    save_silero_params,
+    silero_init_params,
+    silero_probs,
+)
+from wespeaker_hubert_tpu.diar.sad import system_sad
+
+
+def torch_silero_probs(sd, wav):
+    """Chunk-by-chunk torch reference implementing the published silero v5
+    graph exactly as diar/silero.py documents it (state carried in
+    Python, like the torchscript model's forward)."""
+    basis = torch.as_tensor(sd["_model.stft.forward_basis_buffer"])
+    enc = [
+        (
+            torch.as_tensor(sd[f"_model.encoder.{i}.reparam_conv.weight"]),
+            torch.as_tensor(sd[f"_model.encoder.{i}.reparam_conv.bias"]),
+            stride,
+        )
+        for i, stride in enumerate((1, 2, 2, 1))
+    ]
+    w_ih = torch.as_tensor(sd["_model.decoder.rnn.weight_ih"])
+    w_hh = torch.as_tensor(sd["_model.decoder.rnn.weight_hh"])
+    b_ih = torch.as_tensor(sd["_model.decoder.rnn.bias_ih"])
+    b_hh = torch.as_tensor(sd["_model.decoder.rnn.bias_hh"])
+    out_w = torch.as_tensor(sd["_model.decoder.decoder.2.weight"])
+    out_b = torch.as_tensor(sd["_model.decoder.decoder.2.bias"])
+
+    wav = torch.as_tensor(wav, dtype=torch.float32)
+    n_chunks = max(1, -(-len(wav) // WINDOW))
+    need = n_chunks * WINDOW
+    if len(wav) < need:
+        wav = F.pad(wav, (0, need - len(wav)))
+    h = torch.zeros(1, 128)
+    c = torch.zeros(1, 128)
+    context = torch.zeros(CONTEXT)
+    probs = []
+    for k in range(n_chunks):
+        chunk = wav[k * WINDOW : (k + 1) * WINDOW]
+        x = torch.cat([context, chunk])[None, None, :]  # (1, 1, 576)
+        context = chunk[-CONTEXT:]
+        x = F.pad(x, (STFT_PAD, 0), mode="reflect")  # (1, 1, 704)
+        spec = F.conv1d(x, basis, stride=HOP)  # (1, 258, 4)
+        mag = torch.sqrt(
+            spec[:, :N_BINS] ** 2 + spec[:, N_BINS:] ** 2 + 1e-12
+        )
+        y = mag
+        for w, b, s in enc:
+            y = F.relu(F.conv1d(y, w, b, stride=s, padding=1))
+        feat = y[:, :, 0]  # (1, 128)
+        gates = feat @ w_ih.T + h @ w_hh.T + b_ih + b_hh
+        i_g, f_g, g_g, o_g = gates.chunk(4, dim=1)
+        c = torch.sigmoid(f_g) * c + torch.sigmoid(i_g) * torch.tanh(g_g)
+        h = torch.sigmoid(o_g) * torch.tanh(c)
+        logit = F.conv1d(F.relu(h)[:, :, None], out_w, out_b)
+        probs.append(torch.sigmoid(logit)[0, 0, 0].item())
+    return np.asarray(probs, np.float32)
+
+
+def make_torch_state_dict(seed=0):
+    """Random weights in the official jit state_dict layout."""
+    rng = np.random.default_rng(seed)
+    sd = {
+        "_model.stft.forward_basis_buffer": rng.standard_normal(
+            (2 * N_BINS, 1, FILTER_LEN)
+        ).astype(np.float32)
+        * 0.1,
+    }
+    shapes = [(128, N_BINS, 3), (64, 128, 3), (64, 64, 3), (128, 64, 3)]
+    for i, sh in enumerate(shapes):
+        sd[f"_model.encoder.{i}.reparam_conv.weight"] = (
+            rng.standard_normal(sh) * (1.0 / np.sqrt(sh[1]))
+        ).astype(np.float32)
+        sd[f"_model.encoder.{i}.reparam_conv.bias"] = rng.standard_normal(
+            (sh[0],)
+        ).astype(np.float32) * 0.1
+    sd["_model.decoder.rnn.weight_ih"] = rng.standard_normal(
+        (512, 128)
+    ).astype(np.float32) * 0.08
+    sd["_model.decoder.rnn.weight_hh"] = rng.standard_normal(
+        (512, 128)
+    ).astype(np.float32) * 0.08
+    sd["_model.decoder.rnn.bias_ih"] = rng.standard_normal((512,)).astype(
+        np.float32
+    ) * 0.1
+    sd["_model.decoder.rnn.bias_hh"] = rng.standard_normal((512,)).astype(
+        np.float32
+    ) * 0.1
+    sd["_model.decoder.decoder.2.weight"] = rng.standard_normal(
+        (1, 128, 1)
+    ).astype(np.float32)
+    sd["_model.decoder.decoder.2.bias"] = rng.standard_normal((1,)).astype(
+        np.float32
+    )
+    return sd
+
+
+class TestSileroParity:
+    @pytest.mark.parametrize("n_sec", [0.5, 3.0])
+    def test_probs_match_torch_mirror(self, n_sec):
+        sd = make_torch_state_dict()
+        rng = np.random.default_rng(42)
+        wav = (rng.standard_normal(int(16000 * n_sec)) * 0.1).astype(
+            np.float32
+        )
+        ref = torch_silero_probs(sd, wav)
+        params = convert_silero_state_dict(sd)
+        got = silero_probs(params, wav)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=0, atol=2e-5)
+
+    def test_save_load_roundtrip(self, tmp_path):
+        params = convert_silero_state_dict(make_torch_state_dict())
+        path = str(tmp_path / "vad.npz")
+        save_silero_params(path, params)
+        loaded = load_silero_params(path)
+        wav = np.random.default_rng(0).standard_normal(16000).astype(
+            np.float32
+        )
+        np.testing.assert_allclose(
+            silero_probs(params, wav), silero_probs(loaded, wav), atol=1e-7
+        )
+
+    def test_init_params_shapes_match_official_layout(self):
+        """silero_init_params must be loadable targets for the converter's
+        output (same tree)."""
+        a = silero_init_params()
+        b = convert_silero_state_dict(make_torch_state_dict())
+        ta = {k: np.shape(v) for k, v in _flat(a)}
+        tb = {k: np.shape(v) for k, v in _flat(b)}
+        assert ta == tb
+
+
+def _flat(tree, prefix=""):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _flat(v, f"{prefix}{k}/")
+        else:
+            yield f"{prefix}{k}", v
+
+
+class FakeModel:
+    """Deterministic prob sequence for state-machine tests."""
+
+    def __init__(self, probs):
+        self.probs = np.asarray(probs, np.float32)
+
+    def __call__(self, wav):
+        return self.probs
+
+
+class TestSpeechTimestamps:
+    def test_basic_segmentation(self):
+        # 40 windows: silence(10) speech(15) silence(15)
+        probs = [0.0] * 10 + [0.9] * 15 + [0.0] * 15
+        wav = np.zeros(len(probs) * WINDOW, np.float32)
+        ts = get_speech_timestamps(wav, FakeModel(probs), threshold=0.5)
+        assert len(ts) == 1
+        pad = int(16000 * 30 / 1000)
+        assert ts[0]["start"] == 10 * WINDOW - pad
+        # end: silence detected at window 25, min_silence 100ms=3.125win;
+        # temp_end=25*512, end = temp_end + pad
+        assert ts[0]["end"] == 25 * WINDOW + pad
+
+    def test_short_speech_dropped(self):
+        # speech of 4 windows = 128ms < min_speech 250ms
+        probs = [0.0] * 10 + [0.9] * 4 + [0.0] * 20
+        wav = np.zeros(len(probs) * WINDOW, np.float32)
+        ts = get_speech_timestamps(wav, FakeModel(probs), threshold=0.5)
+        assert ts == []
+
+    def test_short_silence_bridged(self):
+        # 60ms silence gap < min_silence 100ms -> single segment
+        probs = [0.0] * 5 + [0.9] * 10 + [0.2] * 2 + [0.9] * 10 + [0.0] * 10
+        wav = np.zeros(len(probs) * WINDOW, np.float32)
+        ts = get_speech_timestamps(wav, FakeModel(probs), threshold=0.5)
+        assert len(ts) == 1
+
+    def test_tail_speech_kept(self):
+        probs = [0.0] * 5 + [0.9] * 20
+        wav = np.zeros(len(probs) * WINDOW, np.float32)
+        ts = get_speech_timestamps(wav, FakeModel(probs), threshold=0.5)
+        assert len(ts) == 1
+        assert ts[0]["end"] == len(wav)
+
+    def test_return_seconds(self):
+        probs = [0.0] * 10 + [0.9] * 15 + [0.0] * 15
+        wav = np.zeros(len(probs) * WINDOW, np.float32)
+        ts = get_speech_timestamps(
+            wav, FakeModel(probs), threshold=0.5, return_seconds=True
+        )
+        assert ts and isinstance(ts[0]["start"], float)
+        assert ts[0]["start"] == pytest.approx(10 * WINDOW / 16000, abs=0.1)
+
+
+class TestSystemSad:
+    def test_silero_path_with_min_duration(self):
+        probs = [0.0] * 10 + [0.9] * 20 + [0.0] * 10 + [0.9] * 5 + [0.0] * 10
+        wav = np.zeros(len(probs) * WINDOW, np.float32)
+        segs = system_sad(wav, vad_model=FakeModel(probs), threshold=0.5,
+                          min_duration=0.3)
+        # the 20-window (0.64 s) segment survives; the 5-window (0.16 s)
+        # one is dropped by min_duration
+        assert len(segs) == 1
+        assert segs[0][1] - segs[0][0] >= 0.3
+
+    def test_energy_fallback(self):
+        sr = 16000
+        rng = np.random.default_rng(0)
+        wav = np.concatenate([
+            np.zeros(sr, np.float32),
+            (rng.standard_normal(sr) * 0.3).astype(np.float32),
+            np.zeros(sr, np.float32),
+        ])
+        segs = system_sad(wav, sr, vad_model=None)
+        assert len(segs) == 1
+        b, e = segs[0]
+        assert 0.8 < b < 1.2 and 1.8 < e < 2.2
+
+    def test_sileroVAD_wrapper_end_to_end(self, tmp_path):
+        """Converted random weights through the full segment pipeline."""
+        params = convert_silero_state_dict(make_torch_state_dict())
+        path = str(tmp_path / "vad.npz")
+        save_silero_params(path, params)
+        model = SileroVAD.from_file(path)
+        wav = np.random.default_rng(1).standard_normal(16000).astype(
+            np.float32
+        )
+        segs = system_sad(wav, vad_model=model)
+        assert isinstance(segs, list)  # random weights: any outcome valid
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])

@@ -74,6 +74,8 @@ class Speaker:
             "resample_rate", 16000
         )
         self.apply_vad = False
+        self.vad_model = None
+        self.model_dir = model_dir
         self.net = build_speaker_net(config, num_class=2)
         feat_dim = self.fbank_cfg.num_mel_bins
         variables = self.net.init(
@@ -104,8 +106,29 @@ class Speaker:
         self.diar_period_secs = 0.75
 
     # ------------------------------------------------------------ basics
-    def set_vad(self, enable: bool):
+    def set_vad(self, enable: bool, model_path: str = None):
+        """Enable VAD.  model_path: converted silero weights (.npz, see
+        diar/silero.py); the model dir's vad.npz is picked up automatically.
+        Without weights the energy VAD is used (reference cli loads silero
+        from torch.hub, cli/speaker.py:129-153)."""
         self.apply_vad = enable
+        if model_path is None:
+            cand = os.path.join(self.model_dir, "vad.npz")
+            model_path = cand if os.path.exists(cand) else None
+        if enable and model_path:
+            from ..diar.silero import SileroVAD
+
+            self.vad_model = SileroVAD.from_file(model_path)
+
+    def _vad_segments(self, wav: np.ndarray):
+        """(begin_s, end_s) speech segments with the configured VAD."""
+        if self.vad_model is not None:
+            from ..diar.silero import get_speech_timestamps
+
+            ts = get_speech_timestamps(wav, self.vad_model)
+            sr = self.resample_rate
+            return [(t["start"] / sr, t["end"] / sr) for t in ts]
+        return energy_vad(wav, self.resample_rate)
 
     def set_resample_rate(self, resample_rate: int):
         """Expected input sample rate (reference cli/speaker.py:65)."""
@@ -157,7 +180,7 @@ class Speaker:
 
     def extract_embedding_from_pcm(self, wav: np.ndarray) -> np.ndarray:
         if self.apply_vad:
-            segs = energy_vad(wav, self.resample_rate)
+            segs = self._vad_segments(wav)
             if segs:
                 wav = np.concatenate(
                     [
@@ -228,7 +251,7 @@ class Speaker:
         VAD -> per-segment fbank -> 1.5s/0.75s subsegments -> batched
         embedding -> clustering -> merged segments."""
         wav = self._load_audio(audio_path)
-        vad_segments = energy_vad(wav, self.resample_rate)
+        vad_segments = self._vad_segments(wav)
         if not vad_segments:
             return []
 

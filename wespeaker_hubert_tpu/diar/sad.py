@@ -2,18 +2,20 @@
 
 Reference: wespeaker/diar/make_oracle_sad.py:31-55 (oracle SAD from RTTM
 with min-duration merge) and make_system_sad.py:44-66 (silero-vad system
-SAD).  The silero model needs a downloaded torchscript checkpoint; as the
-offline fallback this module ships an energy-based VAD with hangover
-smoothing (`energy_vad`) producing the same (utt, begin, end) segments.
+SAD, threshold 0.18).  The silero port lives in diar/silero.py (flax,
+whole-utterance jit) with an offline weight converter; `system_sad` runs
+it when params are provided.  Without weights (zero-egress environments)
+the energy-based VAD with hangover smoothing (`energy_vad`) is the
+fallback, producing the same (begin, end) segment format.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["oracle_sad", "energy_vad"]
+__all__ = ["oracle_sad", "energy_vad", "system_sad"]
 
 
 def oracle_sad(
@@ -63,3 +65,38 @@ def energy_vad(
             else:
                 segs.append([i * t, (i + 1) * t])
     return [(b, e) for b, e in segs if e - b >= min_speech]
+
+
+def system_sad(
+    wav: np.ndarray,
+    sample_rate: int = 16000,
+    vad_model: Optional[object] = None,
+    min_duration: float = 0.255,
+    threshold: float = 0.18,
+) -> List[Tuple[float, float]]:
+    """System SAD segments (begin_s, end_s), matching the reference's
+    make_system_sad.py:44-66: silero at threshold 0.18, segments shorter
+    than min_duration dropped.
+
+    vad_model: a diar.silero.SileroVAD (or param tree / any callable
+    wav -> per-window probs).  None -> energy VAD fallback.
+    """
+    if vad_model is None:
+        return [
+            (b, e)
+            for b, e in energy_vad(wav, sample_rate)
+            if e - b >= min_duration
+        ]
+    from .silero import SileroVAD, get_speech_timestamps
+
+    model = vad_model if callable(vad_model) else SileroVAD(vad_model)
+    ts = get_speech_timestamps(
+        wav, model, threshold=threshold, sampling_rate=sample_rate
+    )
+    out = []
+    for t in ts:
+        b = t["start"] / sample_rate
+        e = t["end"] / sample_rate
+        if e - b >= min_duration:
+            out.append((b, e))
+    return out
