@@ -280,6 +280,7 @@ def train(config: str | dict, **overrides):
                     s3prl_args["hf_checkpoint"])
 
     start_epoch = 0
+    start_batch = 0  # mid-epoch resume position (batches already consumed)
     full_state_path = os.path.join(exp_dir, "models", "train_state.ckpt")
     if config.get("save_optimizer", False) and os.path.exists(full_state_path):
         restored, missing, unexpected = load_partial(
@@ -300,10 +301,16 @@ def train(config: str | dict, **overrides):
         import json as _json
 
         with open(full_state_path + ".json") as f:
-            start_epoch = _json.load(f).get("epoch", 0)
+            meta = _json.load(f)
+        start_epoch = meta.get("epoch", 0)
+        # step-EXACT mid-epoch resume: the data pipeline is deterministic
+        # given (seed, epoch), so skipping the first batch_in_epoch batches
+        # reproduces the stream bit-identically (the reference restarts the
+        # epoch and replays/skips samples — SURVEY §5 "no mid-epoch resume")
+        start_batch = meta.get("batch_in_epoch", 0)
         logger.info(
-            "resumed FULL train state from %s (epoch %d, step %d)",
-            full_state_path, start_epoch, int(state.step),
+            "resumed FULL train state from %s (epoch %d, batch %d, step %d)",
+            full_state_path, start_epoch, start_batch, int(state.step),
         )
         ckpt = None
     else:
@@ -369,13 +376,45 @@ def train(config: str | dict, **overrides):
     # ---- epoch loop
     log_interval = config.get("log_batch_interval", 100)
     save_interval = config.get("save_epoch_interval", 5)
+    # mid-epoch full-state saves every N batches (0 = end-of-epoch only);
+    # stop_at_step bounds the run at a global optimizer step (full state
+    # saved so a later run resumes bit-exactly)
+    save_batch_interval = int(config.get("save_batch_interval", 0))
+    stop_at_step = config.get("stop_at_step")
+
+    def _save_full_state(epoch, batch_in_epoch):
+        save_checkpoint(
+            full_state_path,
+            {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "step": state.step,
+            },
+            meta={
+                "epoch": epoch,
+                "batch_in_epoch": batch_in_epoch,
+                "step": int(state.step),
+            },
+        )
+
     rng = jax.random.key(seed + 1)
     for epoch in range(start_epoch, num_epochs):
         pipe.set_epoch(epoch)
         t0 = time.time()
         n_iter = 0
         pending = []
-        for batch in pipe:
+        batch_iter = iter(pipe)
+        if epoch == start_epoch and start_batch:
+            # deterministic fast-forward: replay the host-side selection for
+            # already-consumed batches (IO-bound, no device work)
+            for _ in range(start_batch):
+                next(batch_iter, None)
+            n_iter = start_batch
+            logger.info("fast-forwarded %d batches (mid-epoch resume)",
+                        start_batch)
+        stopped = False
+        for batch in batch_iter:
             if loop_steps > 1:
                 pending.append(
                     {k: v for k, v in batch.items() if k != "keys"}
@@ -414,8 +453,25 @@ def train(config: str | dict, **overrides):
                     lr=metrics["lr"], margin=metrics["margin"],
                     audio_s_per_s=meter.audio_seconds_per_s,
                 )
+            if (
+                save_batch_interval
+                and config.get("save_optimizer", False)
+                and n_iter % save_batch_interval < loop_steps
+            ):
+                _save_full_state(epoch, n_iter)
+            if stop_at_step is not None and int(state.step) >= stop_at_step:
+                stopped = True
+                if config.get("save_optimizer", False):
+                    _save_full_state(epoch, n_iter)
+                logger.info(
+                    "stop_at_step %d reached (epoch %d batch %d)",
+                    stop_at_step, epoch, n_iter,
+                )
+                break
             if n_iter >= epoch_iter:
                 break
+        if stopped:
+            return state
         for tail in pending:  # flush leftover (< loop_steps) batches
             state, metrics = flush_fn(state, shard_batch(tail, mesh), rng)
             n_iter += 1
@@ -432,19 +488,10 @@ def train(config: str | dict, **overrides):
             logger.info("saved %s", path)
             if config.get("save_optimizer", False):
                 # full-state checkpoint enables EXACT step-level resume
-                # (optimizer momenta + step counter; the reference only
-                # saves model weights per epoch — SURVEY §5 notes it has
-                # no mid-epoch resume)
-                save_checkpoint(
-                    os.path.join(exp_dir, "models", "train_state.ckpt"),
-                    {
-                        "params": state.params,
-                        "batch_stats": state.batch_stats,
-                        "opt_state": state.opt_state,
-                        "step": state.step,
-                    },
-                    meta={"epoch": epoch + 1, "step": int(state.step)},
-                )
+                # (optimizer momenta + step counter + data position; the
+                # reference only saves model weights per epoch — SURVEY §5
+                # notes it has no mid-epoch resume)
+                _save_full_state(epoch + 1, 0)
     return state
 
 

@@ -203,13 +203,14 @@ def make_train_step(
         # leaves carry a leading (num_steps, ...) axis; rng is split
         # in-graph per step.
         def multi_step_fn(state: TrainState, batches, rng):
-            rngs = jax.random.split(rng, num_steps)
+            # the same key goes to every scanned step: step_fn folds in
+            # state.step, so per-step randomness is unique AND independent
+            # of scan position — a mid-epoch resume that re-aligns
+            # loop_steps groups still reproduces the exact rng stream
+            def body(carry, batch_k):
+                return step_fn(carry, batch_k, rng)
 
-            def body(carry, xs):
-                batch_k, rng_k = xs
-                return step_fn(carry, batch_k, rng_k)
-
-            return jax.lax.scan(body, state, (batches, rngs))
+            return jax.lax.scan(body, state, batches)
 
         if mesh is None:
             return jax.jit(multi_step_fn, donate_argnums=(0,))

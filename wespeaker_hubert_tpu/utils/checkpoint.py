@@ -58,6 +58,11 @@ def load_checkpoint(path: str, target: Any = None) -> Any:
 def _flatten(tree, prefix=()):
     out = {}
     if isinstance(tree, dict):
+        if not tree and prefix:
+            # structural empty node (e.g. optax EmptyState inside a chain's
+            # opt_state tuple): must survive flatten->merge->unflatten or
+            # tuple restoration fails with a length mismatch
+            out[prefix] = {}
         for k, v in tree.items():
             out.update(_flatten(v, prefix + (k,)))
     else:
@@ -90,12 +95,16 @@ def load_partial(
     missing, unexpected = [], []
     merged = dict(flat_t)
     for k, v in flat_r.items():
-        if k in flat_t and np.shape(flat_t[k]) == np.shape(v):
+        if (
+            k in flat_t
+            and isinstance(v, dict) == isinstance(flat_t[k], dict)
+            and (isinstance(v, dict) or np.shape(flat_t[k]) == np.shape(v))
+        ):
             merged[k] = v
         else:
             unexpected.append("/".join(map(str, k)))
     for k in flat_t:
-        if k not in flat_r:
+        if k not in flat_r and not isinstance(flat_t[k], dict):
             missing.append("/".join(map(str, k)))
     restored = flax.serialization.from_state_dict(target, _unflatten(merged))
     return restored, missing, unexpected
