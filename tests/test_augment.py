@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from wespeaker_hubert_tpu.ops.augment import (
     SPEEDS,
     add_reverb_noise,
+    add_reverb_noise_packed,
     speed_input_len,
     speed_perturb,
 )
@@ -139,3 +140,52 @@ def test_speed_perturb_matches_scalar_interp():
         f = (pos - lo).astype(np.float32)
         ref = wav[i, lo] * (1 - f) + wav[i, lo + 1] * f
         np.testing.assert_allclose(y[i], ref, atol=2e-6)
+
+
+class TestPackedAug:
+    def test_packed_equals_unpacked(self):
+        """Packed layout (compact rir/noise over fixed slots) must produce
+        the same waveforms as the where()-based full-batch path."""
+        rng = np.random.default_rng(0)
+        b, l, r = 12, 4000, 800
+        n_rev, n_noise = 3, 4
+        wav = rng.standard_normal((b, l)).astype(np.float32) * 0.1
+        rir_full = np.zeros((b, r), np.float32)
+        rir_full[:n_rev] = rng.standard_normal((n_rev, r)) * 0.3
+        noise_full = np.zeros((b, l), np.float32)
+        noise_full[n_rev:n_rev + n_noise] = (
+            rng.standard_normal((n_noise, l)) * 0.05)
+        snr_full = np.zeros((b,), np.float32)
+        snr_full[n_rev:n_rev + n_noise] = rng.uniform(0, 15, n_noise)
+        aug_type = np.array([1] * n_rev + [2] * n_noise
+                            + [0] * (b - n_rev - n_noise), np.int32)
+
+        ref = np.asarray(add_reverb_noise(
+            jnp.asarray(wav), jnp.asarray(rir_full), jnp.asarray(noise_full),
+            jnp.asarray(aug_type), jnp.asarray(snr_full)))
+        got = np.asarray(add_reverb_noise_packed(
+            jnp.asarray(wav), jnp.asarray(rir_full[:n_rev]),
+            jnp.asarray(noise_full[n_rev:n_rev + n_noise]),
+            jnp.asarray(snr_full[n_rev:n_rev + n_noise]), n_rev))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    def test_zero_counts_passthrough(self):
+        rng = np.random.default_rng(1)
+        wav = rng.standard_normal((4, 1000)).astype(np.float32)
+        out = add_reverb_noise_packed(
+            jnp.asarray(wav), jnp.zeros((0, 100)), jnp.zeros((0, 1000)),
+            jnp.zeros((0,)), 0)
+        np.testing.assert_allclose(np.asarray(out), wav)
+
+    def test_reverb_only(self):
+        rng = np.random.default_rng(2)
+        b, l, r = 6, 2000, 300
+        wav = rng.standard_normal((b, l)).astype(np.float32) * 0.1
+        rir = rng.standard_normal((2, r)).astype(np.float32)
+        out = np.asarray(add_reverb_noise_packed(
+            jnp.asarray(wav), jnp.asarray(rir), jnp.zeros((0, l)),
+            jnp.zeros((0,)), 2))
+        # clean rows untouched, reverb rows changed + peak-normalized
+        np.testing.assert_allclose(out[2:], wav[2:])
+        assert np.abs(out[:2]).max() <= 1.0001
+        assert not np.allclose(out[:2], wav[:2])

@@ -129,11 +129,67 @@ class TestTrainPipeline:
         chunk = chunk_samples_for_frames(100)
         assert b["wav"].shape[0] == 8
         assert b["wav"].shape[1] >= chunk  # over-long for speed perturb
-        assert b["noise"].shape == (8, chunk)
+        # packed layout (default): compact aug arrays, no aug_type field
+        n_rev, n_noise = pipe.aug_counts
+        assert (n_rev, n_noise) == (4, 4)  # round(8 * 0.9 / 2) each
+        assert "aug_type" not in b
+        assert b["rir"].shape == (n_rev, cfg.rir_max_samples)
+        assert b["noise"].shape == (n_noise, chunk)
+        assert b["snr"].shape == (n_noise,)
         assert set(np.unique(b["speed_idx"])) <= {0, 1, 2}
-        assert set(np.unique(b["aug_type"])) <= {0, 1, 2}
         # x3 label space
         assert b["label"].max() < 3 * len(corpus["spk2id"])
+
+    def test_batches_unpacked(self, corpus):
+        rng = np.random.default_rng(3)
+        noise_store = AugStore(
+            arrays={
+                "noise-a": rng.standard_normal(20000).astype(np.float32) * 0.1,
+            }
+        )
+        rir_store = AugStore(
+            arrays={"rir-1": rng.standard_normal(3000).astype(np.float32)}
+        )
+        cfg = TrainPipelineConfig(
+            num_frms=100, batch_size=8, shuffle_size=16, aug_prob=0.9,
+            packed_aug=False,
+        )
+        pipe = TrainPipeline(
+            load_data_list(corpus["raw_list"]),
+            corpus["spk2id"],
+            cfg,
+            reverb_store=rir_store,
+            noise_store=noise_store,
+        )
+        b = next(iter(pipe))
+        chunk = chunk_samples_for_frames(100)
+        assert b["noise"].shape == (8, chunk)
+        assert set(np.unique(b["aug_type"])) <= {0, 1, 2}
+
+    def test_packed_counts_missing_stores(self, corpus):
+        entries = load_data_list(corpus["raw_list"])
+        cfg = TrainPipelineConfig(batch_size=8, aug_prob=0.5)
+        rng = np.random.default_rng(0)
+        noise = AugStore(
+            arrays={"noise-x": rng.standard_normal(9000).astype(np.float32)}
+        )
+        rir = AugStore(
+            arrays={"rir-x": rng.standard_normal(900).astype(np.float32)}
+        )
+        spk2id = corpus["spk2id"]
+        assert TrainPipeline(entries, spk2id, cfg).aug_counts == (0, 0)
+        assert TrainPipeline(
+            entries, spk2id, cfg, noise_store=noise
+        ).aug_counts == (0, 4)  # reverb share falls through to noise
+        assert TrainPipeline(
+            entries, spk2id, cfg, reverb_store=rir
+        ).aug_counts == (2, 0)
+        # alignment rounding for shard-aligned slices
+        cfg8 = TrainPipelineConfig(batch_size=16, aug_prob=0.6, aug_align=8)
+        p = TrainPipeline(entries, spk2id, cfg8, reverb_store=rir,
+                          noise_store=noise)
+        n_rev, n_noise = p.aug_counts
+        assert n_rev % 8 == 0 and n_noise % 8 == 0
 
     def test_deterministic_given_epoch(self, corpus):
         cfg = TrainPipelineConfig(num_frms=100, batch_size=4, speed_perturb=False)

@@ -185,6 +185,8 @@ def train(config: str | dict, **overrides):
         aug_prob=dataset_args.get("aug_prob", 0.6),
         batch_size=batch_size,
         seed=seed,
+        packed_aug=dataset_args.get("packed_aug", True),
+        aug_align=n_data,  # keep packed slices shard-aligned under GSPMD
     )
     pipe = TrainPipeline(
         data_list, spk2id, pipe_cfg,

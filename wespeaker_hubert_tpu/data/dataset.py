@@ -181,6 +181,13 @@ class TrainPipelineConfig:
     batch_size: int = 64
     drop_last: bool = True
     seed: int = 42
+    # packed aug layout: each batch is sorted into fixed-count slots
+    # [reverb | noise | clean] so the device FFT-convolves only the reverb
+    # rows (ops/augment.add_reverb_noise_packed).  Counts are rounded to
+    # multiples of `aug_align` (set it to the data-parallel degree so
+    # GSPMD row slices stay shard-aligned).
+    packed_aug: bool = True
+    aug_align: int = 1
 
 
 class TrainPipeline:
@@ -225,6 +232,29 @@ class TrainPipeline:
             if cfg.speed_perturb
             else self.chunk_samples
         )
+        self.aug_counts = self._compute_aug_counts()
+
+    def _compute_aug_counts(self):
+        """Fixed (n_reverb, n_noise) per batch for the packed layout.
+        Expected fractions match the reference's per-sample draws
+        (processor.py: Bernoulli(aug_prob) then 50/50 reverb/noise; if a
+        store is missing its share falls through like the unpacked path)."""
+        cfg = self.cfg
+        if not cfg.packed_aug:
+            return (0, 0)
+        a = max(1, cfg.aug_align)
+
+        def rnd(x):
+            return max(0, int(round(x / a)) * a)
+
+        b, p = cfg.batch_size, cfg.aug_prob
+        if self.reverb_store and self.noise_store:
+            return (rnd(b * p / 2), rnd(b * p / 2))
+        if self.noise_store:  # reverb draws fall through to noise
+            return (0, rnd(b * p))
+        if self.reverb_store:  # noise draws are dropped (no fallthrough)
+            return (rnd(b * p / 2), 0)
+        return (0, 0)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -252,6 +282,8 @@ class TrainPipeline:
         max_samp = int(cfg.filter_max_frames * cfg.frame_shift_ms / 1000 * cfg.sample_rate)
         nprng = np.random.default_rng(cfg.seed + 1000 * self.epoch + self.rank)
 
+        n_rev, n_noise = self.aug_counts
+        pos = 0  # slot within the current batch (packed layout)
         for s in it:
             wav = s["wav"]
             if not (min_samp <= len(wav)):
@@ -271,38 +303,57 @@ class TrainPipeline:
                 label = label + len(self.spk2id) * (speed_idx if speed_idx else 0)
             chunk = _random_chunk(wav, self.input_samples, rng)
 
-            aug_type, snr = 0, 0.0
-            rir = np.zeros((cfg.rir_max_samples,), np.float32)
-            noise = np.zeros((self.chunk_samples,), np.float32)
-            if (
-                cfg.aug_prob > rng.random()
-                and (self.reverb_store or self.noise_store)
-            ):
-                aug_type = rng.randint(1, 2)
-                if aug_type == 1 and self.reverb_store is not None:
-                    _, r = self.reverb_store.random_one(nprng)
-                    r = np.asarray(r, np.float32)[: cfg.rir_max_samples]
-                    rir[: len(r)] = r
-                elif self.noise_store is not None:
-                    aug_type = 2
-                    key, nz = self.noise_store.random_one(nprng)
-                    noise = _random_chunk(
-                        np.asarray(nz, np.float32), self.chunk_samples, rng
-                    )
-                    lo, hi = snr_range_for_key(key)
-                    snr = rng.uniform(lo, hi)
-                else:
-                    aug_type = 0
-
-            yield {
+            sample = {
                 "wav": chunk.astype(np.float32),
                 "speed_idx": np.int32(speed_idx),
                 "label": np.int32(label),
-                "aug_type": np.int32(aug_type),
-                "rir": rir,
-                "noise": noise.astype(np.float32),
-                "snr": np.float32(snr),
             }
+            if cfg.packed_aug:
+                # slot decides the aug type; params drawn only when needed
+                if pos < n_rev:
+                    _, r = self.reverb_store.random_one(nprng)
+                    r = np.asarray(r, np.float32)[: cfg.rir_max_samples]
+                    rir = np.zeros((cfg.rir_max_samples,), np.float32)
+                    rir[: len(r)] = r
+                    sample["rir"] = rir
+                elif pos < n_rev + n_noise:
+                    key, nz = self.noise_store.random_one(nprng)
+                    sample["noise"] = _random_chunk(
+                        np.asarray(nz, np.float32), self.chunk_samples, rng
+                    ).astype(np.float32)
+                    lo, hi = snr_range_for_key(key)
+                    sample["snr"] = np.float32(rng.uniform(lo, hi))
+            else:
+                aug_type, snr = 0, 0.0
+                rir = np.zeros((cfg.rir_max_samples,), np.float32)
+                noise = np.zeros((self.chunk_samples,), np.float32)
+                if (
+                    cfg.aug_prob > rng.random()
+                    and (self.reverb_store or self.noise_store)
+                ):
+                    aug_type = rng.randint(1, 2)
+                    if aug_type == 1 and self.reverb_store is not None:
+                        _, r = self.reverb_store.random_one(nprng)
+                        r = np.asarray(r, np.float32)[: cfg.rir_max_samples]
+                        rir[: len(r)] = r
+                    elif self.noise_store is not None:
+                        aug_type = 2
+                        key, nz = self.noise_store.random_one(nprng)
+                        noise = _random_chunk(
+                            np.asarray(nz, np.float32), self.chunk_samples, rng
+                        )
+                        lo, hi = snr_range_for_key(key)
+                        snr = rng.uniform(lo, hi)
+                    else:
+                        aug_type = 0
+                sample.update(
+                    aug_type=np.int32(aug_type),
+                    rir=rir,
+                    noise=noise.astype(np.float32),
+                    snr=np.float32(snr),
+                )
+            yield sample
+            pos = (pos + 1) % cfg.batch_size
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         cfg = self.cfg
@@ -315,11 +366,35 @@ class TrainPipeline:
         if buf and not cfg.drop_last:
             yield self._collate(buf)
 
-    @staticmethod
-    def _collate(samples: List[dict]) -> Dict[str, np.ndarray]:
-        return {
-            k: np.stack([s[k] for s in samples]) for k in samples[0]
+    def _collate(self, samples: List[dict]) -> Dict[str, np.ndarray]:
+        if not self.cfg.packed_aug:
+            return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+        # packed layout: compact per-slot arrays (batch rows are already
+        # ordered [reverb | noise | clean] by _samples' slot counter)
+        n_rev, n_noise = self.aug_counts
+        n = len(samples)
+        n_rev = min(n_rev, n)
+        n_noise = min(n_noise, max(0, n - n_rev))
+        batch = {
+            k: np.stack([s[k] for s in samples])
+            for k in ("wav", "speed_idx", "label")
         }
+        if n_rev or n_noise:
+            batch["rir"] = (
+                np.stack([s["rir"] for s in samples[:n_rev]])
+                if n_rev
+                else np.zeros((0, self.cfg.rir_max_samples), np.float32)
+            )
+            noise_rows = samples[n_rev : n_rev + n_noise]
+            batch["noise"] = (
+                np.stack([s["noise"] for s in noise_rows])
+                if n_noise
+                else np.zeros((0, self.chunk_samples), np.float32)
+            )
+            batch["snr"] = np.asarray(
+                [s["snr"] for s in noise_rows], np.float32
+            )
+        return batch
 
 
 class EvalPipeline:

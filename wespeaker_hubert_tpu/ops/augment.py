@@ -26,7 +26,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["add_reverb_noise", "speed_perturb", "SPEEDS", "speed_input_len"]
+__all__ = [
+    "add_reverb_noise",
+    "add_reverb_noise_packed",
+    "speed_perturb",
+    "SPEEDS",
+    "speed_input_len",
+]
 
 SPEEDS = (1.0, 0.9, 1.1)
 
@@ -91,6 +97,63 @@ def add_reverb_noise(
     peak = jnp.max(jnp.abs(out), axis=1, keepdims=True) + 1e-4
     normed = out / peak
     return jnp.where((aug_type > 0)[:, None], normed, out)
+
+
+@functools.partial(jax.jit, static_argnames=("n_reverb",))
+def add_reverb_noise_packed(
+    wav: jax.Array,
+    rir: jax.Array,
+    noise: jax.Array,
+    snr: jax.Array,
+    n_reverb: int,
+) -> jax.Array:
+    """Packed-layout augmentation: the host sorts each batch into fixed
+    slots [reverb | noise | clean] so the FFT convolution runs over ONLY
+    the n_reverb rows that need it (static slice) instead of all B rows
+    discarded by a where() — the reverb FFT was the last aug hotspot
+    (docs/PERF_NOTES.md round-2 attribution: 4.0 of 24.6 ms at B=128 with
+    aug_prob-of-1 shapes).  Statistically equivalent to per-sample
+    Bernoulli(aug_prob): batch order is already shuffled, so fixed counts
+    only remove the per-batch count variance.
+
+    wav:   (B, L); rows [0, n_reverb) get reverb, the next noise.shape[0]
+           rows get additive noise at `snr`, the rest pass through.
+    rir:   (n_reverb, R)
+    noise: (n_noise, L)
+    snr:   (n_noise,) dB
+
+    Augmented rows are peak-normalized like the reference
+    (processor.py:466); clean rows are untouched.
+    """
+    b, l = wav.shape
+    n_noise = noise.shape[0]
+    parts = []
+    if n_reverb:
+        wr = wav[:n_reverb]
+        r = rir.shape[1]
+        rir_energy = jnp.sqrt(
+            jnp.sum(rir.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+        )
+        rir_n = rir / jnp.maximum(rir_energy, 1e-8)
+        nfft = _next_pow2(l + r - 1)
+        y = jnp.fft.irfft(
+            jnp.fft.rfft(wr, n=nfft, axis=-1)
+            * jnp.fft.rfft(rir_n, n=nfft, axis=-1),
+            n=nfft,
+            axis=-1,
+        )[:, :l]
+        parts.append(y)
+    if n_noise:
+        wn = wav[n_reverb : n_reverb + n_noise]
+        audio_db = 10.0 * jnp.log10(jnp.mean(wn**2, axis=1) + 1e-4)
+        noise_db = 10.0 * jnp.log10(jnp.mean(noise**2, axis=1) + 1e-4)
+        gain = jnp.sqrt(10.0 ** ((audio_db - noise_db - snr) / 10.0))
+        parts.append(wn + gain[:, None] * noise)
+    if not parts:
+        return wav
+    aug = jnp.concatenate(parts, axis=0)
+    peak = jnp.max(jnp.abs(aug), axis=1, keepdims=True) + 1e-4
+    return jnp.concatenate([aug / peak, wav[n_reverb + n_noise :]], axis=0)
 
 
 # All SPEEDS are rational with denominator 10, so resampling is polyphase:

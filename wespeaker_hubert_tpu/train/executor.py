@@ -25,7 +25,11 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..ops.augment import add_reverb_noise, speed_perturb
+from ..ops.augment import (
+    add_reverb_noise,
+    add_reverb_noise_packed,
+    speed_perturb,
+)
 from ..ops.feature_utils import apply_cmvn
 from ..ops.feature_utils import spec_aug as spec_aug_op
 from ..ops.pipeline import FeaturePipelineConfig, wav_to_features
@@ -72,6 +76,11 @@ def make_train_step(
     speed perturb + reverb/noise mixing run in-graph before fbank.
     `chunk_samples` is the post-resample chunk length (only needed when
     speed-perturbing without a noise buffer in the batch).
+
+    PACKED aug batches (data.TrainPipelineConfig.packed_aug) carry compact
+    rir (n_reverb, R) / noise (n_noise, L) / snr (n_noise,) arrays with NO
+    'aug_type' field; the first n_reverb+n_noise wav rows are the
+    augmented ones (counts are static from the array shapes).
     """
 
     use_frontend = getattr(model, "frontend", None) is not None
@@ -81,13 +90,20 @@ def make_train_step(
         wav = batch["wav"]
         if "speed_idx" in batch:
             out_len = (
-                batch["noise"].shape[1] if "noise" in batch else chunk_samples
+                batch["noise"].shape[1]
+                if "noise" in batch and "aug_type" in batch
+                else chunk_samples
             )
             wav = speed_perturb(wav, batch["speed_idx"], out_len)
         if "aug_type" in batch:
             wav = add_reverb_noise(
                 wav, batch["rir"], batch["noise"], batch["aug_type"],
                 batch["snr"], impl=reverb_impl,
+            )
+        elif "rir" in batch:  # packed layout (counts static from shapes)
+            wav = add_reverb_noise_packed(
+                wav, batch["rir"], batch["noise"], batch["snr"],
+                batch["rir"].shape[0],
             )
         return wav
 
