@@ -81,6 +81,14 @@ def build(mode, dither=1.0, spec_aug=True, loop_steps=K, model_name="ECAPA_TDNN_
             rng.standard_normal((B, in_len)) * 0.1, jnp.float32)
     if mode in ("full", "noaug"):
         b["speed_idx"] = jnp.asarray(rng.integers(0, 3, B), jnp.int32)
+    if mode == "packed":
+        b["speed_idx"] = jnp.asarray(rng.integers(0, 3, B), jnp.int32)
+        n_rev = n_noise = int(B * 0.6 / 2)  # aug_prob 0.6 split 50/50
+        b["rir"] = jnp.asarray(
+            rng.standard_normal((n_rev, 8000)), jnp.float32)
+        b["noise"] = jnp.asarray(
+            rng.standard_normal((n_noise, chunk)) * 0.05, jnp.float32)
+        b["snr"] = jnp.full((n_noise,), 10.0, jnp.float32)
     if mode == "full":
         b["aug_type"] = jnp.asarray(rng.integers(0, 3, B), jnp.int32)
         b["rir"] = jnp.asarray(rng.standard_normal((B, 8000)), jnp.float32)
@@ -112,7 +120,7 @@ def time_step(step, state, b, loop_steps=K, iters=ITERS):
 
 def cmd_stages(args):
     out = {}
-    for mode in ("full", "noaug", "nospeed", "feats"):
+    for mode in ("full", "packed", "noaug", "nospeed", "feats"):
         step, state, b = build(mode)
         ms = time_step(step, state, b)
         out[mode] = round(ms, 2)

@@ -81,7 +81,7 @@ def main():
         def body(c, _):
             return (c @ a) * (1.0 / m), None
         return jax.lax.scan(body, a, None, length=K)[0]
-    if not want("matmul"):
+    if not want("matmul4096"):
         ms = None
     else:
         ms = timed(mm, a)
@@ -124,7 +124,7 @@ def main():
             proj = get_projection({"project_type": "arc_margin", "embed_dim": 192,
                                    "num_class": 17982, "scale": 32.0})
             labels = jnp.zeros((x.shape[0],), jnp.int32)
-            logits = proj(emb.astype(jnp.float32), labels, 0.1)
+            logits, _ = proj(emb.astype(jnp.float32), labels, 0.1)
             import optax
             return optax.softmax_cross_entropy_with_integer_labels(
                 logits, labels).mean()

@@ -1,0 +1,436 @@
+"""Round-2 recipe drivers (VERDICT r1 #4), each run end-to-end on a
+synthetic corpus through the actual example scripts: voxceleb v3
+moco/simclr, cnceleb v2 + v3_finetune (DINO-init -> ArcMargin), sre v3
+(embedding-processing chain before PLDA), Whisper-PMFA two-stage, and the
+standalone PLDA CLI bins."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from wespeaker_hubert_tpu.data import write_wav
+from wespeaker_hubert_tpu.utils.config import dump_config
+
+EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
+
+
+def _spk_wav(rng, spk, n):
+    t = np.arange(n) / 16000.0
+    freqs = 380.0 + 140.0 * spk + 19.0 * np.arange(2)
+    x = sum(np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28)) for f in freqs)
+    return (x / 2 * 0.3 + rng.standard_normal(n) * 0.01).clip(-1, 1).astype(
+        np.float32
+    )
+
+
+def _make_corpus(root, dsets):
+    rng = np.random.default_rng(0)
+    for dset, spks, utts in dsets:
+        d = root / dset
+        d.mkdir(parents=True, exist_ok=True)
+        with open(d / "wav.scp", "w") as ws, open(d / "utt2spk", "w") as us:
+            for s in range(spks):
+                for u in range(utts):
+                    key = f"{dset.replace('/', '_')}-s{s}u{u}"
+                    p = str(d / f"{key}.wav")
+                    write_wav(
+                        p, _spk_wav(rng, s, int(rng.integers(17000, 25000)))
+                    )
+                    ws.write(f"{key} {p}\n")
+                    us.write(f"{key} s{s}\n")
+
+
+def _make_trials(root, dset, spks, utts):
+    keys = [f"{dset}-s{s}u{u}" for s in range(spks) for u in range(utts)]
+    path = root / "trials.txt"
+    with open(path, "w") as f:
+        for i, a in enumerate(keys):
+            for b in keys[i + 1 :]:
+                lab = (
+                    "target"
+                    if a.split("-")[1][:2] == b.split("-")[1][:2]
+                    else "nontarget"
+                )
+                f.write(f"{a} {b} {lab}\n")
+    return path
+
+
+def _run(script, argv, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, script] + argv,
+        capture_output=True, text=True, timeout=timeout, env=env,
+        cwd=os.path.dirname(script),
+    )
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out[-4000:]
+    return out
+
+
+BASE_DATASET_ARGS = {
+    "num_frms": 60, "speed_perturb": False, "aug_prob": 0.0,
+    "fbank_args": {"num_mel_bins": 40, "dither": 1.0},
+    "filter_args": {"min_num_frames": 30},
+    "shuffle_args": {"shuffle_size": 16},
+}
+
+
+@pytest.mark.parametrize("method", ["moco", "simclr"])
+def test_contrastive_recipe(method, tmp_path):
+    root = tmp_path / "data"
+    _make_corpus(root, (("vox2_dev", 3, 6), ("vox1", 3, 3)))
+    trials = _make_trials(root, "vox1", 3, 3)
+    exp_dir = str(tmp_path / "exp")
+    config = {
+        "exp_dir": exp_dir,
+        "ssl_method": method,
+        "model": "ECAPA_TDNN_c512",
+        "model_args": {"feat_dim": 40, "embed_dim": 16},
+        "data_type": "raw",
+        "train_data": str(root / "vox2_dev" / "raw.list"),
+        "dataloader_args": {"batch_size": 8},
+        "dataset_args": {
+            "chunk_len": 60, "aug_prob": 0.0,
+            "fbank_args": {"num_mel_bins": 40, "dither": 1.0},
+        },
+        "num_epochs": 1,
+        "epoch_iter": 2,
+        "save_epoch_interval": 1,
+        "num_avg": 1,
+        "moco_args": {"K": 64, "m": 0.99, "T": 0.07},
+        "simclr_args": {"T": 0.07},
+    }
+    cfg = str(tmp_path / "conf.yaml")
+    dump_config(config, cfg)
+    script = os.path.join(EXAMPLES, "voxceleb", "v3", method, "run.py")
+    out = _run(script, [
+        "--stage", "2", "--stop_stage", "6", "--config", cfg,
+        "--data_root", str(root), "--trials", str(trials),
+        "--asnorm_top_n", "4",
+    ])
+    assert os.path.exists(os.path.join(exp_dir, "avg_model.ckpt"))
+    score = os.path.join(exp_dir, "scores", "trials.txt.score")
+    assert os.path.exists(score) and os.path.exists(score + ".asnorm")
+    assert "EER" in out
+
+
+def test_cnceleb_v2_recipe(tmp_path):
+    root = tmp_path / "data"
+    _make_corpus(root, (("cnceleb_train", 3, 6), ("eval", 3, 3)))
+    trials_dir = root / "eval" / "trials"
+    trials_dir.mkdir()
+    trials = _make_trials(root, "eval", 3, 3)
+    os.rename(trials, trials_dir / "CNC-Eval-Avg.lst")
+    exp_dir = str(tmp_path / "exp")
+    config = {
+        "exp_dir": exp_dir,
+        "model": "ECAPA_TDNN_c512",
+        "model_args": {"feat_dim": 40, "embed_dim": 16},
+        "projection_args": {"project_type": "arc_margin", "scale": 32.0},
+        "data_type": "raw",
+        "train_data": str(root / "cnceleb_train" / "raw.list"),
+        "train_label": str(root / "cnceleb_train" / "utt2spk"),
+        "dataloader_args": {"batch_size": 8},
+        "dataset_args": dict(BASE_DATASET_ARGS),
+        "num_epochs": 1,
+        "epoch_iter": 2,
+        "save_epoch_interval": 1,
+        "num_avg": 1,
+        "scheduler_args": {"initial_lr": 0.05, "final_lr": 0.01,
+                           "warm_up_epoch": 1},
+        "margin_update": {"increase_start_epoch": 1, "fix_start_epoch": 2},
+    }
+    cfg = str(tmp_path / "conf.yaml")
+    dump_config(config, cfg)
+    script = os.path.join(EXAMPLES, "cnceleb", "v2", "run.py")
+    out = _run(script, [
+        "--stage", "2", "--stop_stage", "7", "--config", cfg,
+        "--data_root", str(root), "--trials", "CNC-Eval-Avg.lst",
+        "--asnorm_top_n", "4",
+    ])
+    score = os.path.join(exp_dir, "scores", "CNC-Eval-Avg.lst.score")
+    assert os.path.exists(score)
+    assert os.path.exists(score + ".asnorm")
+    assert os.path.exists(score + ".asnorm.qmf")
+    assert "EER" in out
+
+
+def test_cnceleb_v3_finetune_recipe(tmp_path):
+    """DINO-pretrain -> ArcMargin staging: a backbone-only checkpoint (the
+    shape DINO training saves) initializes supervised fine-tuning."""
+    import jax
+    import jax.numpy as jnp
+
+    from wespeaker_hubert_tpu.models import get_speaker_model
+    from wespeaker_hubert_tpu.utils.checkpoint import save_checkpoint
+
+    root = tmp_path / "data"
+    _make_corpus(root, (("cnceleb_train", 3, 6), ("eval", 3, 3)))
+    trials_dir = root / "eval" / "trials"
+    trials_dir.mkdir()
+    trials = _make_trials(root, "eval", 3, 3)
+    os.rename(trials, trials_dir / "CNC-Eval-Avg.lst")
+
+    # simulate the averaged DINO teacher: backbone-only param tree
+    backbone = get_speaker_model("ECAPA_TDNN_c512")(feat_dim=40, embed_dim=16)
+    v = backbone.init(jax.random.key(0), jnp.zeros((1, 60, 40)), train=False)
+    dino_ckpt = str(tmp_path / "dino_avg.ckpt")
+    save_checkpoint(dino_ckpt, {
+        "params": {"backbone": v["params"]},
+        "batch_stats": {"backbone": v.get("batch_stats", {})},
+    })
+
+    exp_dir = str(tmp_path / "exp")
+    config = {
+        "exp_dir": exp_dir,
+        "model": "ECAPA_TDNN_c512",
+        "model_args": {"feat_dim": 40, "embed_dim": 16},
+        "projection_args": {"project_type": "arc_margin", "scale": 32.0},
+        "data_type": "raw",
+        "train_data": str(root / "cnceleb_train" / "raw.list"),
+        "train_label": str(root / "cnceleb_train" / "utt2spk"),
+        "dataloader_args": {"batch_size": 8},
+        "dataset_args": dict(BASE_DATASET_ARGS),
+        "num_epochs": 1,
+        "epoch_iter": 2,
+        "save_epoch_interval": 1,
+        "num_avg": 1,
+        "scheduler_args": {"initial_lr": 0.01, "final_lr": 0.005,
+                           "warm_up_epoch": 1},
+        "margin_update": {"increase_start_epoch": 1, "fix_start_epoch": 2},
+    }
+    cfg = str(tmp_path / "conf.yaml")
+    dump_config(config, cfg)
+    script = os.path.join(EXAMPLES, "cnceleb", "v3_finetune", "run.py")
+    out = _run(script, [
+        "--stage", "2", "--stop_stage", "6", "--config", cfg,
+        "--model_init", dino_ckpt,
+        "--data_root", str(root), "--trials", "CNC-Eval-Avg.lst",
+        "--asnorm_top_n", "4",
+    ])
+    assert "model_init" in out or os.path.exists(
+        os.path.join(exp_dir, "avg_model.ckpt")
+    )
+    assert os.path.exists(
+        os.path.join(exp_dir, "scores", "CNC-Eval-Avg.lst.score.asnorm")
+    )
+    assert "EER" in out
+
+
+def _fake_embeddings(tmp_path, rng, n_spk=4, n_utt=10, dim=24, shift=0.0,
+                     prefix="spk"):
+    """Clustered embeddings: per-speaker mean + noise (+domain shift)."""
+    from wespeaker_hubert_tpu.utils.embeddings import save_embeddings
+
+    keys, rows = [], []
+    means = rng.standard_normal((n_spk, dim)) * 3.0
+    for s in range(n_spk):
+        for u in range(n_utt):
+            keys.append(f"{prefix}{s}-u{u}")
+            rows.append(means[s] + rng.standard_normal(dim) * 0.5 + shift)
+    return keys, np.asarray(rows, np.float32), means
+
+
+def test_sre_v3_backend_chain(tmp_path):
+    from wespeaker_hubert_tpu.utils.embeddings import save_embeddings
+
+    rng = np.random.default_rng(0)
+    dim = 24
+    # CTS training embeddings
+    keys, emb, means = _fake_embeddings(tmp_path, rng, n_spk=6, n_utt=12,
+                                        dim=dim)
+    train_npz = str(tmp_path / "cts.npz")
+    save_embeddings(train_npz, keys, emb)
+    with open(tmp_path / "cts_utt2spk", "w") as f:
+        for k in keys:
+            f.write(f"{k} {k.split('-')[0]}\n")
+
+    # eval set: same speakers, shifted domain
+    shift = 2.0
+    e_keys, e_emb, _ = _fake_embeddings(tmp_path, rng, n_spk=4, n_utt=3,
+                                        dim=dim, shift=shift, prefix="enr")
+    # re-draw from the SAME means so trials make sense
+    enr_rows, tst_rows, enr_keys, tst_keys = [], [], [], []
+    for s in range(4):
+        for u in range(3):
+            enr_keys.append(f"e{s}-u{u}")
+            enr_rows.append(means[s] + rng.standard_normal(dim) * 0.5 + shift)
+            tst_keys.append(f"t{s}-u{u}")
+            tst_rows.append(means[s] + rng.standard_normal(dim) * 0.5 + shift)
+    enroll_npz = str(tmp_path / "enroll.npz")
+    test_npz = str(tmp_path / "test.npz")
+    save_embeddings(enroll_npz, enr_keys, np.asarray(enr_rows, np.float32))
+    save_embeddings(test_npz, tst_keys, np.asarray(tst_rows, np.float32))
+    with open(tmp_path / "enr_utt2mdl", "w") as f:
+        for k in enr_keys:
+            f.write(f"{k} {k.split('-')[0]}\n")
+    with open(tmp_path / "trials", "w") as f:
+        for s in range(4):
+            for t in range(4):
+                for u in range(3):
+                    lab = "target" if s == t else "nontarget"
+                    f.write(f"e{s} t{t}-u{u} {lab}\n")
+    # unlabeled in-domain data
+    in_keys = [f"m{i}" for i in range(40)]
+    in_rows = means[rng.integers(0, 6, 40)] + \
+        rng.standard_normal((40, dim)) * 0.5 + shift
+    indomain_npz = str(tmp_path / "major.npz")
+    save_embeddings(indomain_npz, in_keys, in_rows.astype(np.float32))
+
+    script = os.path.join(EXAMPLES, "sre", "v3", "run.py")
+    exp = str(tmp_path / "exp")
+    out = _run(script, [
+        "--stage", "6", "--stop_stage", "8", "--exp_dir", exp,
+        "--train_emb", train_npz, "--train_utt2spk",
+        str(tmp_path / "cts_utt2spk"),
+        "--enroll_emb", enroll_npz, "--enroll_utt2spk",
+        str(tmp_path / "enr_utt2mdl"),
+        "--test_emb", test_npz, "--trials", str(tmp_path / "trials"),
+        "--indomain_emb", indomain_npz, "--lda_dim", "8",
+    ])
+    for tag in ("plda_ctsmean", "plda_indomainmean", "plda_adapt"):
+        assert os.path.exists(os.path.join(exp, "scores", f"{tag}.score")), tag
+    assert os.path.exists(os.path.join(exp, "embd_proc_cts.npz"))
+    assert os.path.exists(os.path.join(exp, "embd_proc_indomain.npz"))
+    assert out.count("EER") >= 3
+
+    # in-domain mean + adaptation must help on shifted-domain trials
+    def eer_of(tag):
+        for ln in out.splitlines():
+            if ln.startswith(f"{tag}.score"):
+                return float(ln.split("EER")[1].split("%")[0])
+        raise AssertionError(tag)
+
+    assert eer_of("plda_adapt") <= eer_of("plda_ctsmean") + 1e-6
+
+
+def test_whisper_pmfa_recipe(tmp_path):
+    root = tmp_path / "data"
+    _make_corpus(root, (("vox1_dev", 3, 6), ("vox1", 3, 3)))
+    trials = _make_trials(root, "vox1", 3, 3)
+    base = {
+        "model": "Whisper_PMFA_large_v2",
+        "model_args": {"embed_dim": 16},
+        "projection_args": {"project_type": "arc_margin", "scale": 32.0},
+        "data_type": "raw",
+        "train_data": str(root / "vox1_dev" / "raw.list"),
+        "train_label": str(root / "vox1_dev" / "utt2spk"),
+        "dataloader_args": {"batch_size": 8},
+        "dataset_args": {
+            "num_frms": 60, "speed_perturb": False, "aug_prob": 0.0,
+            "frontend": "whisper_encoder",
+            "whisper_encoder_args": {"variant": "tiny_test", "frozen": True},
+            "fbank_args": {"num_mel_bins": 40, "dither": 1.0},
+            "filter_args": {"min_num_frames": 30},
+            "shuffle_args": {"shuffle_size": 16},
+        },
+        "num_epochs": 1,
+        "epoch_iter": 1,
+        "save_epoch_interval": 1,
+        "num_avg": 1,
+        "scheduler_args": {"initial_lr": 0.01, "final_lr": 0.005,
+                           "warm_up_epoch": 1},
+        "margin_update": {"initial_margin": 0.2, "final_margin": 0.2,
+                          "increase_start_epoch": 0, "fix_start_epoch": 1},
+    }
+    cfg0 = dict(base)
+    cfg0["exp_dir"] = str(tmp_path / "exp0")
+    cfg1 = dict(base)
+    cfg1["exp_dir"] = str(tmp_path / "exp1")
+    cfg1["dataset_args"] = dict(base["dataset_args"])
+    cfg1["dataset_args"]["whisper_encoder_args"] = {
+        "variant": "tiny_test", "frozen": False,
+    }
+    p0, p1 = str(tmp_path / "s0.yaml"), str(tmp_path / "s1.yaml")
+    dump_config(cfg0, p0)
+    dump_config(cfg1, p1)
+    script = os.path.join(EXAMPLES, "voxceleb", "v1", "Whisper-PMFA", "run.py")
+    out = _run(script, [
+        "--stage", "2", "--stop_stage", "7",
+        "--stage0_config", p0, "--stage1_config", p1,
+        "--data_root", str(root), "--trials", str(trials),
+        "--asnorm_top_n", "4",
+    ], timeout=900)
+    assert os.path.exists(os.path.join(cfg1["exp_dir"], "avg_model.ckpt"))
+    assert os.path.exists(os.path.join(
+        cfg1["exp_dir"], "scores", "trials.txt.score.asnorm"))
+    assert "EER" in out
+
+
+def test_plda_cli_bins(tmp_path):
+    """python -m wespeaker_hubert_tpu.bin.{train,eval,adapt}_plda."""
+    from wespeaker_hubert_tpu.utils.embeddings import save_embeddings
+
+    rng = np.random.default_rng(1)
+    dim = 16
+    means = rng.standard_normal((5, dim)) * 3
+    keys, rows = [], []
+    for s in range(5):
+        for u in range(10):
+            keys.append(f"s{s}-u{u}")
+            rows.append(means[s] + rng.standard_normal(dim) * 0.4)
+    train_npz = str(tmp_path / "train.npz")
+    save_embeddings(train_npz, keys, np.asarray(rows, np.float32))
+    u2s = str(tmp_path / "utt2spk")
+    with open(u2s, "w") as f:
+        for k in keys:
+            f.write(f"{k} {k.split('-')[0]}\n")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    def run_mod(mod, argv):
+        proc = subprocess.run(
+            [sys.executable, "-m", f"wespeaker_hubert_tpu.bin.{mod}"] + argv,
+            capture_output=True, text=True, timeout=300, env=env,
+            cwd=os.path.join(os.path.dirname(__file__), ".."),
+        )
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        return proc.stdout
+
+    model = str(tmp_path / "plda.npz")
+    run_mod("train_plda", ["--emb", train_npz, "--utt2spk", u2s,
+                           "--out", model, "--iter", "3"])
+    assert os.path.exists(model)
+
+    # enroll/test from the same speakers
+    e_keys = [f"s{s}-e" for s in range(5)]
+    e_rows = means + rng.standard_normal((5, dim)) * 0.4
+    t_keys = [f"s{s}-t" for s in range(5)]
+    t_rows = means + rng.standard_normal((5, dim)) * 0.4
+    enroll_npz = str(tmp_path / "enroll.npz")
+    test_npz = str(tmp_path / "test.npz")
+    save_embeddings(enroll_npz, e_keys, e_rows.astype(np.float32))
+    save_embeddings(test_npz, t_keys, t_rows.astype(np.float32))
+    trials = str(tmp_path / "trials")
+    with open(trials, "w") as f:
+        for a in range(5):
+            for b in range(5):
+                lab = "target" if a == b else "nontarget"
+                f.write(f"s{a}-e s{b}-t {lab}\n")
+    score = str(tmp_path / "plda.score")
+    out = run_mod("eval_plda", [
+        "--model_path", model, "--enroll_emb", enroll_npz,
+        "--test_emb", test_npz, "--trials", trials, "--score_path", score,
+    ])
+    assert os.path.exists(score) and "EER" in out
+    # separable toy data: PLDA must rank targets above nontargets
+    scores = {}
+    for ln in open(score):
+        e, t, s, lab = ln.split()
+        scores.setdefault(lab, []).append(float(s))
+    assert min(scores["target"]) > np.median(scores["nontarget"])
+
+    adapted = str(tmp_path / "plda_adapt.npz")
+    run_mod("adapt_plda", ["--mdl_org", model, "--adp_emb", test_npz,
+                           "--mdl_adp", adapted])
+    assert os.path.exists(adapted)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])

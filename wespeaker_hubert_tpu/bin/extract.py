@@ -59,7 +59,16 @@ def extract(
     # num_class doesn't matter for inference; build with 2 to keep the
     # projection tiny, then partial-load only backbone params.
     net = build_speaker_net(config, num_class=2)
-    feat_dim = feature_cfg.fbank.num_mel_bins
+    if net.frontend is not None:
+        # frontend nets (s3prl / whisper): the backbone consumes the
+        # frontend's output features, and the frontend params come from
+        # tracing the `features` method (train/state.py:97-103)
+        feat_dim = getattr(
+            net.backbone, "feat_dim",
+            getattr(net.backbone, "output_size", None),
+        )
+    else:
+        feat_dim = feature_cfg.fbank.num_mel_bins
     variables = net.init(
         jax.random.key(0),
         jnp.zeros((1, 100, feat_dim)),
@@ -67,10 +76,16 @@ def extract(
         0.0,
         train=False,
     )
-    target = {
-        "params": variables["params"],
-        "batch_stats": variables.get("batch_stats", {}),
-    }
+    params = dict(variables["params"])
+    batch_stats = dict(variables.get("batch_stats", {}))
+    if net.frontend is not None:
+        fvars = net.init(
+            jax.random.key(1), jnp.zeros((1, 16000)), train=False,
+            method=net.features,
+        )
+        params.update(fvars["params"])
+        batch_stats.update(fvars.get("batch_stats", {}))
+    target = {"params": params, "batch_stats": batch_stats}
     restored, missing, unexpected = load_partial(checkpoint, target)
     if missing:
         logger.info("missing keys in checkpoint: %d", len(missing))

@@ -86,7 +86,7 @@ def build_speaker_net(config: dict, num_class: int) -> SpeakerNet:
         wcfg = getattr(
             WhisperEncoderConfig, wargs.get("variant", "large_v2")
         )()
-        frontend = WhisperEncoder(wcfg)
+        frontend = WhisperEncoder(wcfg, frozen=wargs.get("frozen", False))
         model_args["feat_dim"] = wcfg.output_size
     backbone = get_speaker_model(config["model"])(**model_args)
     proj_conf = dict(config.get("projection_args", {}))
@@ -226,7 +226,12 @@ def train(config: str | dict, **overrides):
     opt_args = config.get("optimizer_args", {})
     freeze_paths = ()
     if net.frontend is not None and getattr(net.frontend, "frozen", False):
-        freeze_paths = (("frontend", "upstream"),)
+        # s3prl frontends nest the pretrained weights under 'upstream';
+        # the whisper encoder's params live directly under 'frontend'
+        if hasattr(getattr(net.frontend, "cfg", None), "conv_kernel"):
+            freeze_paths = (("frontend", "upstream"),)
+        else:
+            freeze_paths = (("frontend",),)
     tx = make_optimizer(
         lr_schedule,
         config.get("optimizer", "SGD"),
@@ -280,6 +285,26 @@ def train(config: str | dict, **overrides):
         state = state.replace(params=params)
         logger.info("imported SSL frontend weights from %s",
                     s3prl_args["hf_checkpoint"])
+
+    # Whisper weight import (reference conf model_path: whisper_hub/*.pt,
+    # converted offline to an npz state dict — frontend/whisper.py)
+    wargs = dataset_args.get("whisper_encoder_args", {})
+    if (
+        net.frontend is not None
+        and dataset_args.get("frontend") == "whisper_encoder"
+        and wargs.get("checkpoint")
+    ):
+        import numpy as _np
+
+        from ..frontend import convert_whisper_state_dict
+
+        sd = _np.load(wargs["checkpoint"], allow_pickle=True)
+        sd = dict(sd.item()) if hasattr(sd, "item") else dict(sd)
+        params = dict(state.params)
+        params["frontend"] = convert_whisper_state_dict(sd, net.frontend.cfg)
+        state = state.replace(params=params)
+        logger.info("imported whisper encoder weights from %s",
+                    wargs["checkpoint"])
 
     start_epoch = 0
     start_batch = 0  # mid-epoch resume position (batches already consumed)

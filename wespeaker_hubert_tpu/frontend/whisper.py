@@ -107,6 +107,10 @@ class _Block(nn.Module):
 
 class WhisperEncoder(nn.Module):
     cfg: WhisperEncoderConfig
+    # frozen=True: the train driver zeroes updates for the whole frontend
+    # subtree (reference Whisper-PMFA stage0 conf: frozen: True, unfrozen
+    # in stage1 — examples/voxceleb/v1/Whisper-PMFA/conf)
+    frozen: bool = False
 
     @nn.compact
     def __call__(

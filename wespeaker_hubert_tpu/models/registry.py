@@ -88,10 +88,17 @@ def get_speaker_model(model_name: str) -> Callable:
     try:
         return MODEL_REGISTRY[model_name]
     except KeyError:
-        raise ValueError(
-            f"unknown model {model_name!r}; available: "
-            + ", ".join(sorted(MODEL_REGISTRY))
-        ) from None
+        pass
+    # Case-insensitive fallback: reference configs are not consistent about
+    # casing (e.g. conf/whisper_PMFA_stage0.yaml says 'Whisper_PMFA_large_v2'
+    # while wespeaker/models/whisper_PMFA.py exports 'whisper_PMFA_large_v2').
+    lowered = {k.lower(): v for k, v in MODEL_REGISTRY.items()}
+    if model_name.lower() in lowered:
+        return lowered[model_name.lower()]
+    raise ValueError(
+        f"unknown model {model_name!r}; available: "
+        + ", ".join(sorted(MODEL_REGISTRY))
+    ) from None
 
 
 def embedding_from_outputs(outputs):
