@@ -117,7 +117,6 @@ def test_train_extract_score_eer(corpus):
         pipe.set_epoch(epoch)
         for batch in pipe:
             if state is None:
-                chunk = batch["noise"].shape[1]
                 feats_ex = jnp.zeros((14, 100, 40))
                 state = create_train_state(
                     net, tx, jax.random.key(0), feats_ex, jnp.asarray(batch["label"])

@@ -619,6 +619,59 @@ def test_import_torch_cli_roundtrip(ref_models, tmp_path):
         extract(config_bad, lst, bad, str(tmp_path / "b.npz"), batch_size=2)
 
 
+def test_hub_alias_loads_published_torch_bundle(ref_models, tmp_path,
+                                                monkeypatch):
+    """Reference-hub UX offline (cli/hub.py): a published bundle
+    (config.yaml + torch avg_model.pt, the modelscope tar layout) dropped
+    into the hub root loads by alias, auto-converting on first use, and
+    produces the same embedding as the torch model."""
+    sys.path.insert(0, REF)
+    import wespeaker.models.tdnn as ref_tdnn
+
+    from wespeaker_hubert_tpu.cli.speaker import load_model
+    from wespeaker_hubert_tpu.data import write_wav
+    from wespeaker_hubert_tpu.utils.config import dump_config
+
+    monkeypatch.setenv("WESPEAKER_TPU_HUB", str(tmp_path / "hub"))
+    bundle = tmp_path / "hub" / "english"
+    bundle.mkdir(parents=True)
+    torch.manual_seed(3)
+    ref = ref_tdnn.XVEC(feat_dim=40, embed_dim=32)
+    ref.eval()
+    torch.save(ref.state_dict(), str(bundle / "avg_model.pt"))
+    dump_config(
+        {
+            "model": "XVEC",
+            "model_args": {"feat_dim": 40, "embed_dim": 32},
+            "dataset_args": {"fbank_args": {"num_mel_bins": 40}},
+        },
+        str(bundle / "config.yaml"),
+    )
+
+    speaker = load_model("english")
+    assert os.path.exists(bundle / "avg_model.ckpt")
+    rng = np.random.default_rng(3)
+    wav_path = str(tmp_path / "u.wav")
+    write_wav(wav_path, (rng.standard_normal(24000) * 0.1).clip(-1, 1))
+    emb = speaker.extract_embedding(wav_path)
+
+    from wespeaker_hubert_tpu.ops.fbank import FbankConfig, fbank
+    from wespeaker_hubert_tpu.data import read_wav
+
+    wav, _ = read_wav(wav_path)
+    feats, _ = fbank(
+        jnp.asarray(wav)[None] * 32768.0,
+        FbankConfig(num_mel_bins=40, dither=0.0),
+    )
+    feats = feats - feats.mean(axis=1, keepdims=True)
+    with torch.no_grad():
+        ref_emb = ref(torch.from_numpy(np.asarray(feats)))
+    if isinstance(ref_emb, tuple):
+        ref_emb = ref_emb[-1]
+    cos = _cos_rows(emb[None], ref_emb.numpy())
+    assert cos.min() > 0.999, cos
+
+
 def test_redimnet_b3_fwse_embedding_parity(ref_models):
     """B3: basic_resnet_fwse blocks — covers the fwSE + grouped-conv
     pointwise converter path."""

@@ -9,11 +9,10 @@ main:325 with tasks embedding / embedding_kaldi / similarity /
 diarization / diarization_list (cli/utils.py:19).
 
 Model loading is from a local model directory (config.yaml +
-avg_model.ckpt as produced by bin/train + bin/average_model); the
-reference's modelscope Hub download (cli/hub.py) has no offline
-equivalent — `load_model(<alias>)` raises with instructions unless the
-alias is a directory path.  VAD uses the offline energy VAD (diar/sad.py)
-instead of silero.
+avg_model.ckpt as produced by bin/train + bin/average_model) or a hub
+alias resolved offline by cli/hub.py ('chinese', 'english', ... — the
+reference's modelscope aliases), including automatic conversion of a
+published torch avg_model.pt bundle.
 """
 
 from __future__ import annotations
@@ -324,15 +323,14 @@ class Speaker:
 
 
 def load_model(model_dir_or_alias: str) -> Speaker:
-    """Load from a local model directory (reference load_model:300
-    additionally resolves modelscope aliases — unavailable offline)."""
+    """Load from a local model directory or a hub alias (reference
+    load_model:300 + cli/hub.py Hub.get_model — here resolved offline
+    via cli/hub.py, with automatic torch-bundle conversion)."""
+    from .hub import Hub, ensure_native_checkpoint
+
     if os.path.isdir(model_dir_or_alias):
-        return Speaker(model_dir_or_alias)
-    raise ValueError(
-        f"{model_dir_or_alias!r} is not a local model directory. "
-        "Pretrained-model download (reference cli/hub.py) requires network "
-        "access; pass a directory containing config.yaml + a checkpoint."
-    )
+        return Speaker(ensure_native_checkpoint(model_dir_or_alias))
+    return Speaker(Hub.get_model(model_dir_or_alias))
 
 
 def main():
@@ -346,7 +344,7 @@ def main():
         default="embedding",
     )
     parser.add_argument("-p", "--pretrain", required=True,
-                        help="model directory")
+                        help="model directory or hub alias (cli/hub.py)")
     parser.add_argument("--audio_file", default=None)
     parser.add_argument("--audio_file2", default=None)
     parser.add_argument("--wav_scp", default=None)

@@ -305,9 +305,14 @@ class TrainPipeline:
 
             sample = {
                 "wav": chunk.astype(np.float32),
-                "speed_idx": np.int32(speed_idx),
                 "label": np.int32(label),
             }
+            if cfg.speed_perturb:
+                # only present when enabled: its presence is what routes
+                # the batch through the device resampler (train/executor
+                # prepare_wav), and disabled batches are already exactly
+                # chunk_samples long
+                sample["speed_idx"] = np.int32(speed_idx)
             if cfg.packed_aug:
                 # slot decides the aug type; params drawn only when needed
                 if pos < n_rev:
@@ -378,6 +383,7 @@ class TrainPipeline:
         batch = {
             k: np.stack([s[k] for s in samples])
             for k in ("wav", "speed_idx", "label")
+            if k in samples[0]
         }
         if n_rev or n_noise:
             batch["rir"] = (

@@ -89,11 +89,17 @@ def make_train_step(
         """Device-side waveform augmentation (speed + reverb/noise)."""
         wav = batch["wav"]
         if "speed_idx" in batch:
+            # noise rows (packed or unpacked) are exactly chunk_samples wide
             out_len = (
                 batch["noise"].shape[1]
-                if "noise" in batch and "aug_type" in batch
+                if "noise" in batch and batch["noise"].shape[0]
                 else chunk_samples
             )
+            if out_len is None:
+                raise ValueError(
+                    "speed-perturbed batch without noise rows: pass "
+                    "chunk_samples to make_train_step"
+                )
             wav = speed_perturb(wav, batch["speed_idx"], out_len)
         if "aug_type" in batch:
             wav = add_reverb_noise(
