@@ -79,12 +79,36 @@ def trial_cosine_scores(
 
 
 def cohort_mean_std(
-    emb: jax.Array, cohort: jax.Array, top_n: int
+    emb: jax.Array, cohort: jax.Array, top_n: int, mesh=None
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-embedding mean/std of its top-N cohort cosine scores
     (reference score_norm.py:26-36).  S-Norm = top_n == len(cohort);
-    top_n is clamped to the cohort size."""
-    return _cohort_mean_std(emb, cohort, min(top_n, cohort.shape[0]))
+    top_n is clamped to the cohort size.
+
+    With a mesh, embedding rows are sharded over the 'data' axis and the
+    cohort is replicated, so the (N, M) score matmul and top-k run
+    data-parallel across chips (the multi-GPU fan-out of the reference's
+    tools/extract_embedding.sh applied to scoring)."""
+    top_n = min(top_n, cohort.shape[0])
+    if mesh is None:
+        return _cohort_mean_std(emb, cohort, top_n)
+    from ..parallel.mesh import DATA_AXIS, batch_sharding, replicated
+
+    emb = jnp.asarray(emb)
+    n = emb.shape[0]
+    d = mesh.shape[DATA_AXIS]
+    pad = (-n) % d
+    if pad:
+        emb = jnp.concatenate(
+            [emb, jnp.zeros((pad, emb.shape[1]), emb.dtype)]
+        )
+    fn = jax.jit(
+        functools.partial(_cohort_mean_std.__wrapped__, top_n=top_n),
+        in_shardings=(batch_sharding(mesh), replicated(mesh)),
+        out_shardings=replicated(mesh),
+    )
+    mean, std = fn(emb, jnp.asarray(cohort))
+    return mean[:n], std[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("top_n",))

@@ -34,10 +34,16 @@ def extract(
     checkpoint: str,
     output: str,
     batch_size: int = 32,
+    sharded: bool = False,
     **overrides,
 ):
     """Extract embeddings for every utterance in `data_list` (raw JSONL)
-    -> save to `output` (.npz).  Returns (keys, embeddings)."""
+    -> save to `output` (.npz).  Returns (keys, embeddings).
+
+    sharded=True fans each batch over every device on a ('data',) mesh —
+    the TPU equivalent of the reference's nj x GPU extraction fan-out
+    (tools/extract_embedding.sh:40-66), with one process driving all
+    chips instead of nj processes."""
     if isinstance(config, str):
         config = parse_config_or_kwargs(config, **overrides)
     logger = logging.getLogger("extract")
@@ -107,7 +113,15 @@ def extract(
         "batch_stats": restored["batch_stats"],
     }
 
-    embed_fn = make_eval_embed(net, feature_cfg=feature_cfg)
+    mesh = None
+    if sharded and len(jax.devices()) > 1:
+        from ..parallel.mesh import DATA_AXIS, make_mesh, shard_tree
+
+        mesh = make_mesh(model_parallel=1)
+        variables = shard_tree(variables, mesh)  # replicate onto the mesh
+        n_shards = mesh.shape[DATA_AXIS]
+        logger.info("sharded extraction over %d devices", n_shards)
+    embed_fn = make_eval_embed(net, feature_cfg=feature_cfg, mesh=mesh)
 
     from ..data import load_data_list
 
@@ -133,25 +147,33 @@ def extract(
     keys, embs = [], []
     audio_seconds = 0.0
     t0 = time.time()
-    pending = None  # device result in flight
+    pending = None  # (device result, real row count) in flight
     while True:
         batch = q.get()
         if batch is None:
             break
+        wav, length = batch["wav"], batch["length"]
+        n_real = len(wav)
+        if mesh is not None:
+            # pad rows (repeat the last) to a multiple of the data axis;
+            # padded embeddings are trimmed after fetch
+            pad = (-n_real) % n_shards
+            if pad:
+                wav = np.concatenate([wav, np.repeat(wav[-1:], pad, 0)])
+                length = np.concatenate(
+                    [length, np.repeat(length[-1:], pad, 0)]
+                )
         e = embed_fn(
             variables,
-            {
-                "wav": jnp.asarray(batch["wav"]),
-                "length": jnp.asarray(batch["length"]),
-            },
+            {"wav": jnp.asarray(wav), "length": jnp.asarray(length)},
         )
         if pending is not None:
-            embs.append(np.asarray(pending))
-        pending = e
+            embs.append(np.asarray(pending[0])[: pending[1]])
+        pending = (e, n_real)
         keys += batch["keys"]
         audio_seconds += float(batch["length"].sum()) / 16000.0
     if pending is not None:
-        embs.append(np.asarray(pending))
+        embs.append(np.asarray(pending[0])[: pending[1]])
     producer.join()
     dt = time.time() - t0
     emb = np.concatenate(embs) if embs else np.zeros((0, 0), np.float32)
@@ -189,10 +211,12 @@ def main():
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--sharded", action="store_true",
+                   help="fan batches over all devices (data-parallel)")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
     extract(args.config, args.data_list, args.checkpoint, args.output,
-            args.batch_size)
+            args.batch_size, sharded=args.sharded)
 
 
 if __name__ == "__main__":

@@ -88,10 +88,14 @@ def score_norm(
     method: str = "asnorm",
     top_n: int = 300,
     mean_vec_path: Optional[str] = None,
+    sharded: bool = False,
 ) -> str:
     """AS-Norm / S-Norm a score file (reference bin/score_norm.py:54).
     The output keeps the reference's extended format with embedding
-    magnitudes + cohort means for QMF calibration (:108-115)."""
+    magnitudes + cohort means for QMF calibration (:108-115).
+
+    sharded=True runs the cohort-statistics matmul data-parallel over all
+    devices (backend/score.cohort_mean_std with a mesh)."""
     keys, emb = load_embeddings(eval_emb_path)
     ckeys, cohort = load_embeddings(cohort_emb_path)
     mean_vec = np.load(mean_vec_path) if mean_vec_path else 0.0
@@ -113,7 +117,15 @@ def score_norm(
     sel = np.asarray([key2row[k] for k in uniq])
     sel_emb = emb[sel]
     n = len(cohort) if method == "snorm" else top_n
-    mean, std = cohort_mean_std(sel_emb, cohort, n)
+    mesh = None
+    if sharded:
+        import jax
+
+        from ..parallel.mesh import make_mesh
+
+        if len(jax.devices()) > 1:
+            mesh = make_mesh(model_parallel=1)
+    mean, std = cohort_mean_std(sel_emb, cohort, n, mesh=mesh)
     mean, std = np.asarray(mean), np.asarray(std)
     uniq2i = {k: i for i, k in enumerate(uniq)}
     e_i = np.asarray([uniq2i[k] for k in enroll])
@@ -175,6 +187,8 @@ def main():
     s.add_argument("--cohort_emb", required=True)
     s.add_argument("--method", default="asnorm")
     s.add_argument("--top_n", type=int, default=300)
+    s.add_argument("--sharded", action="store_true",
+                   help="data-parallel cohort statistics over all devices")
 
     s = sub.add_parser("metrics")
     s.add_argument("--p_target", type=float, default=0.01)
@@ -187,7 +201,7 @@ def main():
     elif args.cmd == "norm":
         score_norm(
             args.score_file, args.output, args.eval_emb, args.cohort_emb,
-            args.method, args.top_n,
+            args.method, args.top_n, sharded=args.sharded,
         )
     else:
         for sf in args.scores:
