@@ -1,0 +1,232 @@
+"""Pinned quality regression gates (VERDICT r1 #9).
+
+No speech corpus exists in this environment, so quality is gated on a
+FIXED, seeded pseudo-VoxCeleb: speaker identity comes from a per-speaker
+formant envelope over a harmonic glottal source; utterance variability
+from pitch vibrato, random phases, gain and a noise floor.  The FULL v2
+protocol runs end-to-end through the actual recipe driver
+(train -> average -> extract -> cosine+mean-sub -> AS-Norm -> QMF ->
+metrics) and the resulting EERs are pinned as regression bands, replacing
+the loose `< 0.25` e2e threshold.  A constructed two-speaker conversation
+with known ground truth pins DER the same way.
+
+The pinned numbers were measured on this corpus (deterministic seeds,
+CPU) and given headroom for cross-version numeric drift; a real
+regression (loss of speaker information anywhere in the pipeline) blows
+far past the bands.
+"""
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from wespeaker_hubert_tpu.data import write_wav
+from wespeaker_hubert_tpu.utils.config import dump_config
+
+EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
+
+# ---- pinned bands (measured on first pin, with headroom for numeric
+# drift; a real regression lands far outside)
+MAX_EER_COSINE = 10.0  # measured 6.93%
+MAX_EER_ASNORM = 10.0  # measured 6.93%
+MAX_EER_QMF = 7.0      # measured 3.73%
+MAX_MEAN_DER = 10.0    # measured 0.00% over the three pinned pairs
+
+
+def _utt(rng, spk, n, sr=16000):
+    """One pseudo-utterance: speaker-specific formant envelope (fixed per
+    speaker), utterance-specific pitch/phase/gain/noise."""
+    srng = np.random.default_rng(1000 + spk)
+    f0 = 90.0 + 70.0 * srng.random()
+    formants = 250.0 + 2800.0 * srng.random(4)
+    widths = 120.0 * (0.5 + srng.random(4))
+    t = np.arange(n) / sr
+    vib = 1.0 + 0.015 * np.sin(
+        2 * np.pi * rng.uniform(3.0, 6.0) * t + rng.uniform(0, 6.28)
+    )
+    x = np.zeros(n)
+    for h in range(1, 28):
+        fh = f0 * h
+        if fh > 3800:
+            break
+        amp = float(
+            sum(
+                np.exp(-((fh - fm) ** 2) / (2 * w**2))
+                for fm, w in zip(formants, widths)
+            )
+        )
+        if amp < 1e-3:
+            continue
+        phase = np.cumsum(2 * np.pi * fh * vib / sr) + rng.uniform(0, 6.28)
+        x += amp * np.sin(phase)
+    x /= np.abs(x).max() + 1e-9
+    x *= 0.18 + 0.1 * rng.random()
+    x += rng.standard_normal(n) * 0.02
+    return x.clip(-1, 1).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def protocol(tmp_path_factory):
+    """Run the full v2 recipe (stages 2-7) once; return parsed metrics."""
+    root = tmp_path_factory.mktemp("qgate")
+    data = root / "data"
+    rng = np.random.default_rng(0)
+    for dset, spk0, spks, utts in (
+        ("vox2_dev", 0, 32, 6),
+        ("vox1", 100, 6, 5),
+    ):
+        d = data / dset
+        d.mkdir(parents=True)
+        with open(d / "wav.scp", "w") as ws, open(d / "utt2spk", "w") as us:
+            for s in range(spk0, spk0 + spks):
+                for u in range(utts):
+                    key = f"{dset}-s{s}u{u}"
+                    p = str(d / f"{key}.wav")
+                    write_wav(
+                        p, _utt(rng, s, int(rng.integers(22000, 30000)))
+                    )
+                    ws.write(f"{key} {p}\n")
+                    us.write(f"{key} s{s}\n")
+    # all-pairs trials on the eval set
+    keys = [f"vox1-s{s}u{u}" for s in range(100, 106) for u in range(5)]
+    trials = data / "trials.txt"
+    with open(trials, "w") as f:
+        for i, a in enumerate(keys):
+            for b in keys[i + 1 :]:
+                lab = (
+                    "target"
+                    if a.split("-s")[1].split("u")[0]
+                    == b.split("-s")[1].split("u")[0]
+                    else "nontarget"
+                )
+                f.write(f"{a} {b} {lab}\n")
+
+    exp_dir = str(root / "exp")
+    config = {
+        "exp_dir": exp_dir,
+        "model": "ECAPA_TDNN_c512",
+        "model_args": {"feat_dim": 40, "embed_dim": 32},
+        "projection_args": {"project_type": "arc_margin", "scale": 32.0},
+        "data_type": "raw",
+        "train_data": str(data / "vox2_dev" / "raw.list"),
+        "train_label": str(data / "vox2_dev" / "utt2spk"),
+        "dataloader_args": {"batch_size": 16},
+        "dataset_args": {
+            "num_frms": 100, "speed_perturb": False, "aug_prob": 0.0,
+            "fbank_args": {"num_mel_bins": 40, "dither": 1.0},
+            "filter_args": {"min_num_frames": 50},
+            "shuffle_args": {"shuffle_size": 64},
+        },
+        "num_epochs": 10,
+        "epoch_iter": 12,
+        "save_epoch_interval": 2,
+        "num_avg": 2,
+        "seed": 42,
+        "scheduler_args": {"initial_lr": 0.1, "final_lr": 0.02,
+                           "warm_up_epoch": 1},
+        "margin_update": {"initial_margin": 0.0, "final_margin": 0.2,
+                          "increase_start_epoch": 2, "fix_start_epoch": 5},
+    }
+    cfg = str(root / "conf.yaml")
+    dump_config(config, cfg)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    script = os.path.join(EXAMPLES, "voxceleb", "v2", "run.py")
+    proc = subprocess.run(
+        [sys.executable, script, "--stage", "2", "--stop_stage", "7",
+         "--config", cfg, "--data_root", str(data),
+         "--trials", str(trials), "--asnorm_top_n", "40"],
+        capture_output=True, text=True, timeout=1800, env=env,
+        cwd=os.path.dirname(script),
+    )
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out[-4000:]
+
+    # parse "<name>: EER x% minDCF y" lines, keyed by score-file suffix
+    metrics = {}
+    for ln in out.splitlines():
+        m = re.match(r"(\S+): EER ([\d.]+)% minDCF ([\d.]+)", ln.strip())
+        if m:
+            metrics[m.group(1)] = (float(m.group(2)), float(m.group(3)))
+    return {
+        "root": root, "exp": exp_dir, "metrics": metrics, "out": out,
+        "data": data,
+    }
+
+
+def test_full_protocol_eer_gates(protocol):
+    m = protocol["metrics"]
+    cos = m.get("trials.txt.score")
+    asn = m.get("trials.txt.score.asnorm")
+    qmf = m.get("trials.txt.score.asnorm.qmf")
+    assert cos and asn and qmf, sorted(m)
+    print(f"pinned-protocol EERs: cosine={cos[0]:.3f}% asnorm={asn[0]:.3f}% "
+          f"qmf={qmf[0]:.3f}% (minDCF {cos[1]:.4f}/{asn[1]:.4f}/{qmf[1]:.4f})")
+    assert cos[0] <= MAX_EER_COSINE, cos
+    assert asn[0] <= MAX_EER_ASNORM, asn
+    assert qmf[0] <= MAX_EER_QMF, qmf
+    assert cos[1] <= 0.9 and asn[1] <= 0.9  # minDCF sanity
+
+
+def test_det_curve_written(protocol):
+    """DET points from the pinned protocol's score file (bin/compute_det)."""
+    score = os.path.join(protocol["exp"], "scores", "trials.txt.score")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "-m", "wespeaker_hubert_tpu.bin.compute_det",
+         score, "--output_prefix", score + ".det"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    det = score + ".det.det.txt"
+    assert os.path.exists(det), os.listdir(os.path.dirname(score))
+    pts = np.loadtxt(det)
+    assert pts.ndim == 2 and pts.shape[0] > 10
+
+
+def test_diarization_der_gate(protocol):
+    """Mean DER over three constructed 2-speaker conversations with exact
+    ground truth, diarized by the model the pinned protocol trained.
+    Window/period are set to the training chunk length (1.0s/0.5s): this
+    tiny model is only robust at its training receptive field, which is a
+    property of the 60-step fixture model, not the pipeline."""
+    from wespeaker_hubert_tpu.cli.speaker import load_model
+    from wespeaker_hubert_tpu.diar.der import der
+
+    speaker = load_model(protocol["exp"])
+    speaker.set_diarization_params(1.0, 0.5)
+    sr = 16000
+    ders = []
+    for k, pair in enumerate([(0, 5), (1, 9), (3, 25)]):
+        rng = np.random.default_rng(11)
+        turns, parts, cur = [], [], 0.0
+        for i in range(8):
+            spk = pair[i % 2]
+            dur = float(rng.uniform(1.6, 2.4))
+            n = int(dur * sr)
+            parts.append(_utt(rng, spk, n))
+            turns.append((cur, cur + dur, f"spk{spk}"))
+            cur += dur
+            gap = float(rng.uniform(0.4, 0.8))
+            parts.append(np.zeros(int(gap * sr), np.float32))
+            cur += gap
+        path = str(protocol["root"] / f"conv{k}.wav")
+        write_wav(path, np.concatenate(parts))
+        segs = speaker.diarize(path, utt="conv", clusterer="spectral")
+        hyp = [(b, e, str(lab)) for (_u, b, e, lab) in segs]
+        d = der({"conv": turns}, {"conv": hyp}, collar=0.25)
+        ders.append(d * 100)
+    print(f"pinned-protocol DERs: {[round(d, 2) for d in ders]} "
+          f"mean {np.mean(ders):.2f}%")
+    assert np.mean(ders) <= MAX_MEAN_DER, ders
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q", "-s"])
