@@ -74,7 +74,8 @@ def bench_extract(model_name, batch, seconds, dtype, iters=10):
 
 
 def bench_train_step(model_name, batch, num_frms=200, num_class=17982,
-                     iters=10, compute_dtype=None, loop_steps=1):
+                     iters=10, compute_dtype=None, loop_steps=1,
+                     packed=True):
     """Supervised train-step throughput (audio-seconds/s) with the full
     in-graph pipeline: speed perturb + reverb/noise + fbank + backbone +
     class-sharded-capable ArcMargin head + SGD."""
@@ -127,13 +128,24 @@ def bench_train_step(model_name, batch, num_frms=200, num_class=17982,
         ),
         "speed_idx": jnp.asarray(rng.integers(0, 3, batch), jnp.int32),
         "label": jnp.asarray(rng.integers(0, num_class, batch)),
-        "aug_type": jnp.asarray(rng.integers(0, 3, batch), jnp.int32),
-        "rir": jnp.asarray(rng.standard_normal((batch, 8000)), jnp.float32),
-        "noise": jnp.asarray(
-            rng.standard_normal((batch, chunk)) * 0.05, jnp.float32
-        ),
-        "snr": jnp.full((batch,), 10.0, jnp.float32),
     }
+    if packed:
+        # production layout (dataset packed_aug=True, aug_prob 0.6 split
+        # 50/50 reverb/noise): fixed-count slots, FFT reverb on reverb
+        # rows only (ops/augment.add_reverb_noise_packed)
+        n_rev = n_noise = int(batch * 0.6 / 2)
+        b["rir"] = jnp.asarray(
+            rng.standard_normal((n_rev, 8000)), jnp.float32)
+        b["noise"] = jnp.asarray(
+            rng.standard_normal((n_noise, chunk)) * 0.05, jnp.float32)
+        b["snr"] = jnp.full((n_noise,), 10.0, jnp.float32)
+    else:
+        b["aug_type"] = jnp.asarray(rng.integers(0, 3, batch), jnp.int32)
+        b["rir"] = jnp.asarray(
+            rng.standard_normal((batch, 8000)), jnp.float32)
+        b["noise"] = jnp.asarray(
+            rng.standard_normal((batch, chunk)) * 0.05, jnp.float32)
+        b["snr"] = jnp.full((batch,), 10.0, jnp.float32)
     key = jax.random.key(1)
     if loop_steps > 1:
         b = {k: jnp.broadcast_to(v, (loop_steps,) + v.shape) for k, v in b.items()}
@@ -161,6 +173,8 @@ def main():
     p.add_argument("--train_bf16", action="store_true")
     p.add_argument("--loop_steps", type=int, default=1,
                    help="scan this many optimizer steps per dispatch")
+    p.add_argument("--unpacked", action="store_true",
+                   help="legacy per-row aug_type layout (production uses packed)")
     args = p.parse_args()
 
     results = []
@@ -185,7 +199,7 @@ def main():
         cd = jnp.bfloat16 if args.train_bf16 else None
         tp, utts = bench_train_step(
             args.train_model, args.train_batch, compute_dtype=cd,
-            loop_steps=args.loop_steps,
+            loop_steps=args.loop_steps, packed=not args.unpacked,
         )
         tag = "_bf16" if args.train_bf16 else ""
         row = {

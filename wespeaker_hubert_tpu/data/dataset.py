@@ -286,11 +286,13 @@ class TrainPipeline:
         pos = 0  # slot within the current batch (packed layout)
         for s in it:
             wav = s["wav"]
-            if not (min_samp <= len(wav)):
+            # both bounds enforced like the reference filter
+            # (processor.py:filter) so the sampling distribution matches:
+            # the reference drops > max_num_frames utterances entirely
+            # (there to bound CPU fbank cost; kept here for parity —
+            # set filter_max_frames very large to chunk instead of drop)
+            if not (min_samp <= len(wav) <= max_samp):
                 continue
-            # over-long utterances are fine: we chunk anyway (the reference
-            # filter drops > max_num_frames to bound CPU fbank cost; here
-            # we keep them and just crop)
             spk = s["spk"]
             if spk not in self.spk2id:
                 continue
