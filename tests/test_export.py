@@ -61,3 +61,54 @@ def test_stablehlo_roundtrip(tmp_path):
     # symbolic dims: different batch and time must work
     out2 = np.asarray(revived.call(jnp.asarray(feats[:1, :97])))
     assert out2.shape == (1, 32)
+
+
+def test_infer_export_wav(tmp_path):
+    """bin/infer_export (the reference infer_onnx.py role): wav -> fbank
+    + CMN -> deserialized StableHLO graph -> embedding, and the result
+    matches the in-framework feats->embed apply."""
+    from wespeaker_hubert_tpu.bin.infer_export import compute_fbank, infer
+    from wespeaker_hubert_tpu.data import write_wav
+
+    config = {
+        "model": "ECAPA_TDNN_c512",
+        "model_args": {"feat_dim": 40, "embed_dim": 32},
+    }
+    net = build_speaker_net(config, num_class=2)
+    variables = net.init(
+        jax.random.key(1),
+        jnp.zeros((1, 100, 40)),
+        jnp.zeros((1,), jnp.int32),
+        0.0,
+        train=False,
+    )
+    ckpt = str(tmp_path / "m.ckpt")
+    save_checkpoint(
+        ckpt,
+        {
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+        },
+    )
+    path = export_stablehlo(config, ckpt, str(tmp_path / "m.stablehlo"))
+
+    rng = np.random.default_rng(7)
+    wav_path = str(tmp_path / "a.wav")
+    write_wav(wav_path, (rng.standard_normal(24000) * 0.1).astype(np.float32))
+
+    feats = compute_fbank(wav_path, num_mel_bins=40)
+    emb = infer(path, feats)
+    assert emb.shape == (1, 32)
+    assert np.isfinite(emb).all()
+
+    direct = np.asarray(
+        net.apply(
+            {
+                "params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {}),
+            },
+            jnp.asarray(feats),
+            method=net.embed,
+        )
+    )
+    np.testing.assert_allclose(emb, direct, rtol=1e-5, atol=1e-6)
