@@ -43,7 +43,12 @@ def main():
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         variables,
     )
-    cfg = FeaturePipelineConfig(fbank=FbankConfig(dither=0.0), spec_aug=False)
+    # spectrum_impl='pallas': the on-chip Pallas spectrum kernel beats the
+    # XLA matmul-DFT by ~7% end-to-end (62.7k -> 67.4k audio-s/s sustained);
+    # off-TPU the dispatch falls back to the matmul path automatically.
+    cfg = FeaturePipelineConfig(
+        fbank=FbankConfig(dither=0.0, spectrum_impl="pallas"), spec_aug=False
+    )
 
     def extract_one(wav):
         feats, _ = wav_to_features(wav, cfg, train=False)
