@@ -52,7 +52,10 @@ def bench_extract(model_name, batch, seconds, dtype, iters=10):
             else x,
             variables,
         )
-    cfg = FeaturePipelineConfig(fbank=FbankConfig(dither=0.0), spec_aug=False)
+    # pallas spectrum: +7% end-to-end vs matmul-DFT (falls back off-TPU)
+    cfg = FeaturePipelineConfig(
+        fbank=FbankConfig(dither=0.0, spectrum_impl="pallas"), spec_aug=False
+    )
 
     @jax.jit
     def run(wav):
