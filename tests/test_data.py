@@ -282,3 +282,127 @@ class TestEvalPipeline:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestParallelLoaders:
+    """Round-2 host-feed path: PrefetchPipeline (python threads,
+    round-robin determinism) and NativeTrainPipeline (C++ worker pool,
+    reorder-window determinism)."""
+
+    @pytest.fixture
+    def big_corpus(self, tmp_path):
+        rng = np.random.default_rng(5)
+        entries = []
+        wav_dir = tmp_path / "wavs"
+        wav_dir.mkdir()
+        for spk in range(6):
+            for u in range(20):
+                n = int(rng.integers(17000, 30000))
+                wav = (rng.standard_normal(n) * 0.1).clip(-1, 1)
+                key = f"s{spk}u{u}"
+                path = str(wav_dir / f"{key}.wav")
+                write_wav(path, wav)
+                entries.append({"key": key, "wav": path, "spk": f"s{spk}"})
+        # one over-long utterance the [min,max] filter must drop
+        path = str(wav_dir / "toolong.wav")
+        write_wav(path, np.zeros(16000 * 30, np.float32))
+        entries.append({"key": "toolong", "wav": path, "spk": "s0"})
+        raw_list = tmp_path / "raw.list"
+        with open(raw_list, "w") as f:
+            for e in entries:
+                f.write(json.dumps(e) + "\n")
+        return {
+            "raw_list": str(raw_list),
+            "spk2id": {f"s{i}": i for i in range(6)},
+        }
+
+    def _cfg(self, **kw):
+        base = dict(num_frms=100, batch_size=8, shuffle_size=32,
+                    speed_perturb=True, aug_prob=0.0, packed_aug=True,
+                    filter_min_frames=50, filter_max_frames=800)
+        base.update(kw)
+        return TrainPipelineConfig(**base)
+
+    def test_prefetch_deterministic_and_complete(self, big_corpus):
+        from wespeaker_hubert_tpu.data import PrefetchPipeline
+
+        lst = load_data_list(big_corpus["raw_list"])
+        p = PrefetchPipeline(lst, big_corpus["spk2id"], self._cfg(),
+                             num_workers=3)
+        p.set_epoch(1)
+        a = list(p)
+        b = list(p)
+        assert len(a) == len(b) > 0
+        for x, y in zip(a, b):
+            assert set(x) == set(y)
+            for k in x:
+                np.testing.assert_array_equal(x[k], y[k])
+        # every batch full-sized with x3-expanded labels
+        for x in a:
+            assert x["wav"].shape[0] == 8
+            assert x["label"].max() < 6 * 3
+
+    def test_native_pipeline_thread_count_invariant(self, big_corpus):
+        from wespeaker_hubert_tpu.data import NativeTrainPipeline
+        from wespeaker_hubert_tpu.data.native_loader import native_available
+
+        if not native_available():
+            pytest.skip("no native loader")
+        lst = load_data_list(big_corpus["raw_list"])
+        p1 = NativeTrainPipeline(lst, big_corpus["spk2id"], self._cfg(),
+                                 num_threads=1)
+        p4 = NativeTrainPipeline(lst, big_corpus["spk2id"], self._cfg(),
+                                 num_threads=4)
+        p1.set_epoch(2)
+        p4.set_epoch(2)
+        a, b = list(p1), list(p4)
+        assert len(a) == len(b) > 0
+        for x, y in zip(a, b):
+            for k in x:
+                np.testing.assert_array_equal(x[k], y[k])
+        # epochs reshuffle; the over-long utterance never appears
+        p4.set_epoch(3)
+        c = list(p4)
+        assert any(
+            not np.array_equal(x["wav"], y["wav"]) for x, y in zip(a, c)
+        )
+
+    def test_native_pipeline_aug_rows(self, big_corpus):
+        from wespeaker_hubert_tpu.data import NativeTrainPipeline
+        from wespeaker_hubert_tpu.data.native_loader import native_available
+
+        if not native_available():
+            pytest.skip("no native loader")
+        rng = np.random.default_rng(3)
+        noise_store = AugStore(arrays={
+            "noise-a": rng.standard_normal(20000).astype(np.float32) * 0.1})
+        rir_store = AugStore(arrays={
+            "rir-1": rng.standard_normal(3000).astype(np.float32)})
+        lst = load_data_list(big_corpus["raw_list"])
+        cfg = self._cfg(aug_prob=0.5, aug_align=2)
+        p = NativeTrainPipeline(lst, big_corpus["spk2id"], cfg,
+                                reverb_store=rir_store,
+                                noise_store=noise_store, num_threads=2)
+        p.set_epoch(0)
+        n_rev, n_noise = p.aug_counts
+        assert n_rev > 0 and n_noise > 0
+        b = next(iter(p))
+        assert b["rir"].shape == (n_rev, cfg.rir_max_samples)
+        assert b["noise"].shape == (n_noise, p.chunk_samples)
+        assert b["snr"].shape == (n_noise,)
+        assert np.abs(b["rir"]).sum() > 0
+        assert np.abs(b["noise"]).sum() > 0
+
+    def test_native_decode_matches_python(self, big_corpus):
+        from wespeaker_hubert_tpu.data.native_loader import (
+            decode_wav_native_sr,
+            native_available,
+        )
+
+        if not native_available():
+            pytest.skip("no native loader")
+        obj = json.loads(open(big_corpus["raw_list"]).readline())
+        a, sr_a = decode_wav_native_sr(obj["wav"])
+        b, sr_b = read_wav(obj["wav"])
+        assert sr_a == sr_b
+        np.testing.assert_array_equal(a, b)

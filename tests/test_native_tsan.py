@@ -61,6 +61,7 @@ def test_loader_race_free(tmp_path):
     assert proc.returncode == 0, report
     assert "WARNING: ThreadSanitizer" not in report, report
     assert "consumed" in proc.stdout
+    assert "consumed2" in proc.stdout
 
 
 if __name__ == "__main__":

@@ -125,3 +125,19 @@ def test_resume_across_epoch_boundary(tmp_path):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_resume_with_native_loader(tmp_path):
+    """Step-exact resume must hold with the parallel C++ host loader
+    (dataloader_args.num_workers > 0): batch order is deterministic by
+    construction (reorder-window emission, data/native/loader.cc)."""
+    root = tmp_path
+    _make_corpus(root, np.random.default_rng(4))
+    dl = {"batch_size": 8, "num_workers": 2}
+    state_a = train(_config(root, str(root / "expA"), dataloader_args=dl))
+    train(_config(root, str(root / "expB"), dataloader_args=dl,
+                  stop_at_step=3))
+    state_b = train(_config(root, str(root / "expB"), dataloader_args=dl))
+    assert int(state_a.step) == int(state_b.step)
+    for la, lb in zip(_leaves(state_a), _leaves(state_b)):
+        np.testing.assert_array_equal(la, lb)

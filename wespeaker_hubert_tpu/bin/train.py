@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 import numpy as np
 
-from ..data import AugStore, TrainPipeline, TrainPipelineConfig
+from ..data import (AugStore, PrefetchPipeline, TrainPipeline,
+                    TrainPipelineConfig)
 from ..models import get_projection, get_speaker_model
 from ..models.speaker_net import SpeakerNet
 from ..ops.fbank import FbankConfig
@@ -188,11 +189,40 @@ def train(config: str | dict, **overrides):
         packed_aug=dataset_args.get("packed_aug", True),
         aug_align=n_data,  # keep packed slices shard-aligned under GSPMD
     )
-    pipe = TrainPipeline(
-        data_list, spk2id, pipe_cfg,
-        reverb_store=reverb_store, noise_store=noise_store,
-        rank=rank, world_size=world,
-    )
+    num_workers = int(dataloader_args.get("num_workers", 0))
+    pipe = None
+    if num_workers > 0:
+        # reference DataLoader(num_workers=N) role.  Preferred realization:
+        # the C++ loader's worker pool (decode/filter/chunk/speed/batch with
+        # no GIL, deterministic reorder-window emission).  Falls back to the
+        # python thread pipeline for shard lists / VAD entries / no g++.
+        try:
+            from ..data import NativeTrainPipeline
+
+            pipe = NativeTrainPipeline(
+                data_list, spk2id, pipe_cfg,
+                reverb_store=reverb_store, noise_store=noise_store,
+                rank=rank, world_size=world,
+                num_threads=num_workers,
+            )
+            logger.info("data: native C++ loader, %d threads", num_workers)
+        except Exception as e:
+            logger.info(
+                "native loader unavailable (%s); python thread pipeline", e
+            )
+            pipe = PrefetchPipeline(
+                data_list, spk2id, pipe_cfg,
+                reverb_store=reverb_store, noise_store=noise_store,
+                rank=rank, world_size=world,
+                num_workers=num_workers,
+                prefetch=int(dataloader_args.get("prefetch_factor", 4)),
+            )
+    if pipe is None:
+        pipe = TrainPipeline(
+            data_list, spk2id, pipe_cfg,
+            reverb_store=reverb_store, noise_store=noise_store,
+            rank=rank, world_size=world,
+        )
 
     # ---- model
     net = build_speaker_net(config, num_class)

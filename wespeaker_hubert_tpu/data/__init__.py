@@ -1,6 +1,8 @@
 from .aug_store import AugStore, snr_range_for_key
 from .dataset import (
     EvalPipeline,
+    NativeTrainPipeline,
+    PrefetchPipeline,
     TrainPipeline,
     TrainPipelineConfig,
     buffer_shuffle,
@@ -16,6 +18,8 @@ __all__ = [
     "AugStore",
     "snr_range_for_key",
     "EvalPipeline",
+    "NativeTrainPipeline",
+    "PrefetchPipeline",
     "TrainPipeline",
     "TrainPipelineConfig",
     "buffer_shuffle",

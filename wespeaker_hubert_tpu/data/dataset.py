@@ -41,6 +41,8 @@ __all__ = [
     "iter_tar_shards",
     "buffer_shuffle",
     "TrainPipeline",
+    "PrefetchPipeline",
+    "NativeTrainPipeline",
     "EvalPipeline",
     "chunk_samples_for_frames",
 ]
@@ -83,13 +85,35 @@ def load_data_list(path: str) -> List[str]:
         return [ln.strip() for ln in f if ln.strip()]
 
 
+def _read_wav_fast(path: str):
+    """Native C decode when available (releases the GIL -> worker threads
+    scale; bit-identical to wav_io.read_wav), python fallback otherwise."""
+    global _NATIVE_DECODE
+    if _NATIVE_DECODE is None:
+        try:
+            from .native_loader import decode_wav_native_sr, native_available
+
+            _NATIVE_DECODE = decode_wav_native_sr if native_available() else False
+        except Exception:
+            _NATIVE_DECODE = False
+    if _NATIVE_DECODE:
+        try:
+            return _NATIVE_DECODE(path)
+        except Exception:
+            pass  # unusual container (e.g. 8-bit PCM): python reader
+    return read_wav(path)
+
+
+_NATIVE_DECODE = None
+
+
 def iter_raw_list(entries: Iterable[str]) -> Iterator[dict]:
     """JSON entry lines -> {key, wav(float32), sample_rate, spk}
     (reference parse_raw processor.py:119)."""
     for line in entries:
         try:
             obj = json.loads(line)
-            wav, sr = read_wav(obj["wav"])
+            wav, sr = _read_wav_fast(obj["wav"])
             if "vad" in obj:
                 parts = [
                     wav[int(float(s) * sr) : int(float(e) * sr)]
@@ -215,6 +239,8 @@ class TrainPipeline:
         noise_store: Optional[AugStore] = None,
         rank: int = 0,
         world_size: int = 1,
+        worker: int = 0,
+        num_workers: int = 1,
     ):
         self.data_list = list(data_list)
         self.spk2id = spk2id
@@ -223,6 +249,8 @@ class TrainPipeline:
         self.noise_store = noise_store
         self.rank = rank
         self.world_size = world_size
+        self.worker = worker
+        self.num_workers = max(1, num_workers)
         self.epoch = 0
         self.chunk_samples = chunk_samples_for_frames(
             cfg.num_frms, cfg.frame_shift_ms, cfg.frame_length_ms, cfg.sample_rate
@@ -266,6 +294,8 @@ class TrainPipeline:
             self.epoch,
             self.rank,
             self.world_size,
+            worker=self.worker,
+            num_workers=self.num_workers,
             shuffle=cfg.shuffle,
             seed=cfg.seed,
         )
@@ -274,13 +304,17 @@ class TrainPipeline:
             if cfg.data_type == "shard"
             else iter_raw_list(shards)
         )
-        rng = random.Random(cfg.seed + 77 * self.epoch + self.rank)
+        rng = random.Random(
+            cfg.seed + 77 * self.epoch + self.rank + 10007 * self.worker
+        )
         if cfg.shuffle:
             it = buffer_shuffle(it, cfg.shuffle_size, rng)
 
         min_samp = int(cfg.filter_min_frames * cfg.frame_shift_ms / 1000 * cfg.sample_rate)
         max_samp = int(cfg.filter_max_frames * cfg.frame_shift_ms / 1000 * cfg.sample_rate)
-        nprng = np.random.default_rng(cfg.seed + 1000 * self.epoch + self.rank)
+        nprng = np.random.default_rng(
+            cfg.seed + 1000 * self.epoch + self.rank + 10007 * self.worker
+        )
 
         n_rev, n_noise = self.aug_counts
         pos = 0  # slot within the current batch (packed layout)
@@ -403,6 +437,240 @@ class TrainPipeline:
                 [s["snr"] for s in noise_rows], np.float32
             )
         return batch
+
+
+class PrefetchPipeline:
+    """Multi-worker prefetching train loader (the reference's
+    `DataLoader(num_workers=N, prefetch_factor=...)` role,
+    reference bin/train.py dataloader_args).
+
+    N worker threads each run a TrainPipeline over the `[worker::N]`
+    stripe of this rank's list (shard_list_for_rank, identical striping
+    to the reference DistributedSampler+worker split) and fill their own
+    bounded queue; consumption is ROUND-ROBIN over workers, so the batch
+    order is a pure function of (seed, epoch, N) — deterministic and
+    resume-exact regardless of thread timing.  Wav decode runs in the
+    native C decoder (GIL released), so threads scale on real cores.
+    """
+
+    _END = object()
+
+    def __init__(
+        self,
+        data_list: Sequence[str],
+        spk2id: Dict[str, int],
+        cfg: TrainPipelineConfig = TrainPipelineConfig(),
+        reverb_store: Optional[AugStore] = None,
+        noise_store: Optional[AugStore] = None,
+        rank: int = 0,
+        world_size: int = 1,
+        num_workers: int = 4,
+        prefetch: int = 4,
+    ):
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.workers = [
+            TrainPipeline(
+                data_list, spk2id, cfg, reverb_store, noise_store,
+                rank=rank, world_size=world_size,
+                worker=w, num_workers=self.num_workers,
+            )
+            for w in range(self.num_workers)
+        ]
+        # uniform surface with TrainPipeline for bin/train
+        w0 = self.workers[0]
+        self.cfg = w0.cfg
+        self.spk2id = w0.spk2id
+        self.chunk_samples = w0.chunk_samples
+        self.input_samples = w0.input_samples
+        self.aug_counts = w0.aug_counts
+
+    def set_epoch(self, epoch: int) -> None:
+        for w in self.workers:
+            w.set_epoch(epoch)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        import queue as queue_mod
+        import threading
+
+        # bind exception classes locally: during interpreter shutdown the
+        # queue module globals may already be cleared when a suspended
+        # generator's finally-block runs
+        QueueFull, QueueEmpty = queue_mod.Full, queue_mod.Empty
+        qs = [queue_mod.Queue(maxsize=self.prefetch) for _ in self.workers]
+        stop = threading.Event()
+
+        def feed(pipe, q):
+            try:
+                for b in pipe:
+                    while not stop.is_set():
+                        try:
+                            q.put(b, timeout=0.2)
+                            break
+                        except QueueFull:
+                            continue
+                    if stop.is_set():
+                        return
+            finally:
+                q.put(self._END)
+
+        threads = [
+            threading.Thread(target=feed, args=(p, q), daemon=True)
+            for p, q in zip(self.workers, qs)
+        ]
+        for t in threads:
+            t.start()
+        try:
+            from collections import deque
+
+            live = deque(range(self.num_workers))
+            while live:
+                w = live[0]
+                b = qs[w].get()
+                if b is self._END:
+                    live.popleft()  # exhausted: next worker keeps the turn
+                    continue
+                yield b
+                live.rotate(-1)
+        finally:
+            stop.set()
+            # drain so feeders blocked on put() can observe stop and exit
+            for q in qs:
+                try:
+                    while True:
+                        q.get_nowait()
+                except QueueEmpty:
+                    pass
+            for t in threads:
+                t.join(timeout=5)
+
+
+class NativeTrainPipeline:
+    """TrainPipeline surface over the deterministic C++ loader.
+
+    Decode + filter + chunk + speed-draw + batch assembly run in C++
+    threads (no GIL), the reference's FeaturePipeline/ThreadPool role
+    (runtime/core/frontend); python only draws the small packed-aug rows
+    (rir/noise/snr) per batch.  Batch composition is deterministic for
+    any thread count (reorder-window emission, data/native/loader.cc
+    Loader2), so step-exact resume holds.  Sample ORDER differs from the
+    python TrainPipeline (full-permutation shuffle vs bounded-buffer
+    streaming shuffle; a strictly stronger shuffle) — both are valid
+    realizations of the reference's sampling distribution.
+
+    Raw JSONL lists only; entries with VAD crops or 'shard' data need the
+    python pipeline (bin/train falls back automatically).
+    """
+
+    def __init__(
+        self,
+        data_list: Sequence[str],
+        spk2id: Dict[str, int],
+        cfg: TrainPipelineConfig = TrainPipelineConfig(),
+        reverb_store: Optional[AugStore] = None,
+        noise_store: Optional[AugStore] = None,
+        rank: int = 0,
+        world_size: int = 1,
+        num_threads: int = 8,
+    ):
+        from .native_loader import DeterministicNativeLoader
+
+        if cfg.data_type != "raw":
+            raise ValueError("native pipeline supports raw lists only")
+        self.cfg = cfg
+        self.spk2id = spk2id
+        self.reverb_store = reverb_store
+        self.noise_store = noise_store
+        self.rank = rank
+        self.epoch = 0
+        self.chunk_samples = chunk_samples_for_frames(
+            cfg.num_frms, cfg.frame_shift_ms, cfg.frame_length_ms,
+            cfg.sample_rate,
+        )
+        self.input_samples = (
+            speed_input_len(self.chunk_samples)
+            if cfg.speed_perturb
+            else self.chunk_samples
+        )
+        self.aug_counts = TrainPipeline._compute_aug_counts(self)
+
+        paths, labels = [], []
+        for line in data_list:
+            obj = json.loads(line)
+            if "vad" in obj:
+                raise ValueError(
+                    "VAD-cropped entries need the python pipeline"
+                )
+            spk = obj.get("spk", "")
+            if spk not in spk2id:
+                continue
+            paths.append(obj["wav"])
+            labels.append(spk2id[spk])
+        min_samp = int(
+            cfg.filter_min_frames * cfg.frame_shift_ms / 1000 * cfg.sample_rate
+        )
+        max_samp = int(
+            cfg.filter_max_frames * cfg.frame_shift_ms / 1000 * cfg.sample_rate
+        )
+        self._loader = DeterministicNativeLoader(
+            paths, labels,
+            chunk_samples=self.input_samples,
+            batch_size=cfg.batch_size,
+            num_spks=len(spk2id) if cfg.speed_perturb else 0,
+            min_samples=min_samp,
+            max_samples=max_samp,
+            seed=cfg.seed,
+            num_threads=num_threads,
+            rank=rank,
+            world_size=world_size,
+        )
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        cfg = self.cfg
+        n_rev, n_noise = self.aug_counts
+        nprng = np.random.default_rng(
+            cfg.seed + 1000 * self.epoch + self.rank
+        )
+        rng = random.Random(cfg.seed + 77 * self.epoch + self.rank)
+        for wav, label, speed in self._loader.epoch(self.epoch):
+            batch = {"wav": wav, "label": label}
+            if cfg.speed_perturb:
+                batch["speed_idx"] = speed
+            if n_rev:
+                rir = np.zeros((n_rev, cfg.rir_max_samples), np.float32)
+                for i in range(n_rev):
+                    _, r = self.reverb_store.random_one(nprng)
+                    r = np.asarray(r, np.float32)[: cfg.rir_max_samples]
+                    rir[i, : len(r)] = r
+                batch["rir"] = rir
+            elif n_noise:
+                batch["rir"] = np.zeros(
+                    (0, cfg.rir_max_samples), np.float32
+                )
+            if n_noise:
+                noise = np.empty((n_noise, self.chunk_samples), np.float32)
+                snr = np.empty((n_noise,), np.float32)
+                for i in range(n_noise):
+                    key, nz = self.noise_store.random_one(nprng)
+                    noise[i] = _random_chunk(
+                        np.asarray(nz, np.float32), self.chunk_samples, rng
+                    )
+                    lo, hi = snr_range_for_key(key)
+                    snr[i] = rng.uniform(lo, hi)
+                batch["noise"] = noise
+                batch["snr"] = snr
+            elif n_rev:
+                batch["noise"] = np.zeros(
+                    (0, self.chunk_samples), np.float32
+                )
+                batch["snr"] = np.zeros((0,), np.float32)
+            yield batch
+
+    def close(self):
+        self._loader.close()
 
 
 class EvalPipeline:

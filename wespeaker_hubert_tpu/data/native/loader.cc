@@ -34,7 +34,8 @@ struct Sample {
 };
 
 // ---------------------------------------------------------------- wav io
-bool ReadWavMono(const std::string& path, std::vector<float>* out) {
+bool ReadWavMono(const std::string& path, std::vector<float>* out,
+                 int* sr_out = nullptr) {
   FILE* f = fopen(path.c_str(), "rb");
   if (!f) return false;
   fseek(f, 0, SEEK_END);
@@ -63,6 +64,11 @@ bool ReadWavMono(const std::string& path, std::vector<float>* out) {
       memcpy(&audio_fmt, body, 2);
       memcpy(&nchan, body + 2, 2);
       memcpy(&bits, body + 14, 2);
+      if (sr_out) {
+        uint32_t sr;
+        memcpy(&sr, body + 4, 4);
+        *sr_out = static_cast<int>(sr);
+      }
     } else if (!memcmp(cid, "data", 4) && audio_fmt) {
       size_t n = 0;
       std::vector<float> mono;
@@ -233,6 +239,154 @@ struct Loader {
   }
 };
 
+// ------------------------------------------------- deterministic loader v2
+//
+// Production train-feed path (bin/train dataloader_args.num_workers): the
+// v1 Loader emits samples in thread-completion order, so batch COMPOSITION
+// depends on timing.  v2 adds a sequence-numbered reorder window: workers
+// claim epoch positions, decode concurrently, and insert results keyed by
+// position; the consumer emits strictly in position order.  Batches are
+// therefore a pure function of (seed, epoch, rank, world) — identical for
+// any thread count, which is what makes step-exact mid-epoch resume hold
+// with a parallel host loader (the torch DataLoader gives the reference
+// the same property via per-worker round-robin).
+//
+// Also handles the supervised-chunk policy details the python
+// TrainPipeline applies: [min,max] sample filtering (reference
+// processor.py filter), speed-perturb index draw + label-space expansion
+// (reference processor.py:286), and over-long chunks sized for the
+// device resampler.
+struct Sample2 {
+  std::vector<float> wav;
+  int32_t label = 0;
+  int32_t speed = 0;
+  bool ok = false;
+};
+
+struct Loader2 {
+  std::vector<std::string> paths;
+  std::vector<int32_t> labels;  // base speaker ids
+  int num_spks = 0;             // >0 enables speed perturb (x3 labels)
+  int chunk_samples;
+  int batch_size;
+  int min_samples;
+  int max_samples;
+  unsigned seed;
+  int num_threads;
+  int rank = 0, world = 1;
+  size_t window;
+
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable cv_insert, cv_emit;
+  std::vector<Sample2> ring;      // window-sized reorder buffer
+  std::vector<bool> present;
+  size_t next_emit = 0;           // consumer cursor (epoch position)
+  std::atomic<size_t> next_claim{0};
+  std::atomic<int> epoch{0};
+  std::atomic<bool> stop{false};
+  std::vector<size_t> order;      // this rank's epoch order
+
+  void Shuffle() {
+    std::vector<size_t> perm(paths.size());
+    for (size_t i = 0; i < perm.size(); ++i) perm[i] = i;
+    std::mt19937 rng(seed + 1000003u * epoch.load());
+    std::shuffle(perm.begin(), perm.end(), rng);
+    order.clear();
+    for (size_t i = rank; i < perm.size(); i += world)
+      order.push_back(perm[i]);
+    next_claim = 0;
+    next_emit = 0;
+  }
+
+  void Worker() {
+    while (!stop.load()) {
+      size_t pos = next_claim.fetch_add(1);
+      if (pos >= order.size()) break;
+      size_t id = order[pos];
+      Sample2 s;
+      s.label = labels[id];
+      std::vector<float> wav;
+      s.ok = ReadWavMono(paths[id], &wav) &&
+             wav.size() >= static_cast<size_t>(min_samples) &&
+             wav.size() <= static_cast<size_t>(max_samples);
+      if (s.ok) {
+        // per-(epoch, sample) RNG: chunk + speed draws are functions of
+        // the sample identity, independent of worker/thread timing
+        std::mt19937 rng(seed + 104729u * epoch.load() +
+                         2654435761u * static_cast<unsigned>(id));
+        if (num_spks > 0) {
+          s.speed = static_cast<int32_t>(rng() % 3);
+          s.label += static_cast<int32_t>(num_spks) * s.speed;
+        }
+        s.wav.resize(chunk_samples);
+        RandomChunk(wav, chunk_samples, &rng, s.wav.data());
+      }
+      {
+        std::unique_lock<std::mutex> lock(mu);
+        cv_insert.wait(lock, [this, pos] {
+          return pos < next_emit + window || stop.load();
+        });
+        if (stop.load()) break;
+        size_t slot = pos % window;
+        ring[slot] = std::move(s);
+        present[slot] = true;
+      }
+      cv_emit.notify_one();
+    }
+    cv_emit.notify_all();
+  }
+
+  void StartEpoch(int e) {
+    JoinWorkers();
+    epoch = e;
+    Shuffle();
+    ring.assign(window, Sample2{});
+    present.assign(window, false);
+    stop = false;
+    workers.clear();
+    for (int i = 0; i < num_threads; ++i)
+      workers.emplace_back(&Loader2::Worker, this);
+  }
+
+  void JoinWorkers() {
+    stop = true;
+    cv_insert.notify_all();
+    cv_emit.notify_all();
+    for (auto& t : workers)
+      if (t.joinable()) t.join();
+    workers.clear();
+    stop = false;
+  }
+
+  // fills up to batch_size rows; returns rows filled (epoch ends on < batch)
+  int NextBatch(float* wav_out, int32_t* label_out, int32_t* speed_out) {
+    int filled = 0;
+    while (filled < batch_size && next_emit < order.size()) {
+      Sample2 s;
+      {
+        std::unique_lock<std::mutex> lock(mu);
+        size_t slot = next_emit % window;
+        cv_emit.wait(lock, [this, slot] {
+          return present[slot] || stop.load();
+        });
+        if (stop.load() && !present[slot]) break;
+        s = std::move(ring[slot]);
+        present[slot] = false;
+        ++next_emit;
+      }
+      cv_insert.notify_all();
+      if (!s.ok) continue;
+      memcpy(wav_out + static_cast<size_t>(filled) * chunk_samples,
+             s.wav.data(), sizeof(float) * chunk_samples);
+      label_out[filled] = s.label;
+      if (speed_out) speed_out[filled] = s.speed;
+      ++filled;
+    }
+    return filled;
+  }
+};
+
 }  // namespace
 
 extern "C" {
@@ -266,10 +420,58 @@ void loader_destroy(void* h) {
   delete l;
 }
 
+void* loader2_create(const char** paths, const int32_t* labels, int n,
+                     int num_spks, int chunk_samples, int batch_size,
+                     int min_samples, int max_samples, unsigned seed,
+                     int num_threads, int window, int rank, int world) {
+  auto* l = new Loader2();
+  l->paths.assign(paths, paths + n);
+  l->labels.assign(labels, labels + n);
+  l->num_spks = num_spks;
+  l->chunk_samples = chunk_samples;
+  l->batch_size = batch_size;
+  l->min_samples = min_samples;
+  l->max_samples = max_samples > 0 ? max_samples : INT32_MAX;
+  l->seed = seed;
+  l->num_threads = num_threads > 0 ? num_threads : 4;
+  l->window = window > 0 ? window : 4 * batch_size;
+  l->rank = rank;
+  l->world = world > 0 ? world : 1;
+  return l;
+}
+
+void loader2_start_epoch(void* h, int epoch) {
+  static_cast<Loader2*>(h)->StartEpoch(epoch);
+}
+
+int loader2_next(void* h, float* wav_out, int32_t* label_out,
+                 int32_t* speed_out) {
+  return static_cast<Loader2*>(h)->NextBatch(wav_out, label_out, speed_out);
+}
+
+void loader2_destroy(void* h) {
+  auto* l = static_cast<Loader2*>(h);
+  l->JoinWorkers();
+  delete l;
+}
+
 // standalone wav decode for tests / tools
 int decode_wav(const char* path, float* out, int max_samples) {
   std::vector<float> wav;
   if (!ReadWavMono(path, &wav)) return -1;
+  int n = std::min<int>(wav.size(), max_samples);
+  memcpy(out, wav.data(), sizeof(float) * n);
+  return static_cast<int>(wav.size());
+}
+
+// decode + report the sample rate (drives the python raw-list pipeline;
+// the ctypes call releases the GIL so decode threads scale)
+int decode_wav_sr(const char* path, float* out, int max_samples,
+                  int32_t* sr_out) {
+  std::vector<float> wav;
+  int sr = 0;
+  if (!ReadWavMono(path, &wav, &sr)) return -1;
+  *sr_out = sr;
   int n = std::min<int>(wav.size(), max_samples);
   memcpy(out, wav.data(), sizeof(float) * n);
   return static_cast<int>(wav.size());

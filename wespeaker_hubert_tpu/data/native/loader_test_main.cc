@@ -19,6 +19,13 @@ void* loader_create(const char** paths, const int* labels, int n,
 void loader_start_epoch(void* h, int epoch);
 int loader_next(void* h, float* wav_out, int* label_out);
 void loader_destroy(void* h);
+void* loader2_create(const char** paths, const int* labels, int n,
+                     int num_spks, int chunk_samples, int batch_size,
+                     int min_samples, int max_samples, unsigned seed,
+                     int num_threads, int window, int rank, int world);
+void loader2_start_epoch(void* h, int epoch);
+int loader2_next(void* h, float* wav_out, int* label_out, int* speed_out);
+void loader2_destroy(void* h);
 }
 
 int main(int argc, char** argv) {
@@ -61,5 +68,25 @@ int main(int argc, char** argv) {
   }
   loader_destroy(h);
   printf("consumed %ld samples over %d epochs\n", total, epochs);
+
+  // v2 deterministic loader: stress the reorder window (small window to
+  // force insert-side waits) and an early teardown mid-epoch
+  void* h2 = loader2_create(cpaths.data(), labels.data(),
+                            static_cast<int>(cpaths.size()), 3, chunk, batch,
+                            1000, 1 << 28, 7u, 6, 2 * batch, 0, 1);
+  std::vector<int> speed(batch);
+  long total2 = 0;
+  for (int e = 0; e < epochs; ++e) {
+    loader2_start_epoch(h2, e);
+    int n;
+    while ((n = loader2_next(h2, wav.data(), lab.data(), speed.data())) ==
+           batch)
+      total2 += n;
+    total2 += n;
+  }
+  loader2_start_epoch(h2, 99);                       // abandon mid-epoch
+  loader2_next(h2, wav.data(), lab.data(), nullptr);  // consume one batch
+  loader2_destroy(h2);                                // teardown w/ live workers
+  printf("consumed2 %ld samples over %d epochs\n", total2, epochs);
   return 0;
 }

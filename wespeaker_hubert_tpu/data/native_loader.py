@@ -18,7 +18,13 @@ from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["NativeLoader", "native_available", "decode_wav_native"]
+__all__ = [
+    "DeterministicNativeLoader",
+    "NativeLoader",
+    "native_available",
+    "decode_wav_native",
+    "decode_wav_native_sr",
+]
 
 _LIB = None
 _SRC = os.path.join(os.path.dirname(__file__), "native", "loader.cc")
@@ -65,6 +71,27 @@ def _lib():
     lib.decode_wav.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int
     ]
+    lib.decode_wav_sr.restype = ctypes.c_int
+    lib.decode_wav_sr.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.loader2_create.restype = ctypes.c_void_p
+    lib.loader2_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_uint, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.loader2_start_epoch.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.loader2_next.restype = ctypes.c_int
+    lib.loader2_next.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.loader2_destroy.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
 
@@ -84,6 +111,94 @@ def decode_wav_native(path: str, max_samples: int = 16000 * 600) -> np.ndarray:
     if n < 0:
         raise IOError(f"failed to decode {path}")
     return buf[: min(n, max_samples)].copy()
+
+
+def decode_wav_native_sr(
+    path: str, max_samples: int = 16000 * 600
+) -> Tuple[np.ndarray, int]:
+    """(mono float32 [-1,1], sample_rate) via the C decoder.  The ctypes
+    call releases the GIL, so concurrent decode threads scale — this is
+    the raw-list pipeline's fast path (wav_io.read_wav is the fallback)."""
+    lib = _lib()
+    assert lib is not None, "native loader unavailable"
+    buf = np.empty(max_samples, np.float32)
+    sr = ctypes.c_int32(0)
+    n = lib.decode_wav_sr(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_samples, ctypes.byref(sr),
+    )
+    if n < 0:
+        raise IOError(f"failed to decode {path}")
+    return buf[: min(n, max_samples)].copy(), int(sr.value)
+
+
+class DeterministicNativeLoader:
+    """Deterministic multi-threaded (wav, label, speed_idx) batches.
+
+    C++ v2 loader: reorder-window emission makes batch composition a pure
+    function of (seed, epoch, rank, world) for ANY thread count — the
+    property that keeps step-exact mid-epoch resume valid with a parallel
+    host loader.  num_spks > 0 enables the speed-perturb draw and x3
+    label-space expansion in C++ (reference processor.py:263-286)."""
+
+    def __init__(
+        self,
+        paths: List[str],
+        labels: List[int],
+        chunk_samples: int,
+        batch_size: int,
+        num_spks: int = 0,
+        min_samples: int = 16000,
+        max_samples: int = 0,
+        seed: int = 42,
+        num_threads: int = 8,
+        window: int = 0,
+        rank: int = 0,
+        world_size: int = 1,
+    ):
+        lib = _lib()
+        assert lib is not None, "native loader unavailable (no g++?)"
+        self._lib = lib
+        self.batch_size = batch_size
+        self.chunk_samples = chunk_samples
+        self.speed = num_spks > 0
+        self._paths_keepalive = [p.encode() for p in paths]
+        arr = (ctypes.c_char_p * len(paths))(*self._paths_keepalive)
+        lab = np.ascontiguousarray(labels, np.int32)
+        self._h = lib.loader2_create(
+            arr, lab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(paths), num_spks, chunk_samples, batch_size, min_samples,
+            max_samples, seed, num_threads, window, rank, world_size,
+        )
+
+    def epoch(
+        self, epoch: int
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        self._lib.loader2_start_epoch(self._h, epoch)
+        while True:
+            wav = np.empty((self.batch_size, self.chunk_samples), np.float32)
+            label = np.empty((self.batch_size,), np.int32)
+            speed = np.zeros((self.batch_size,), np.int32)
+            n = self._lib.loader2_next(
+                self._h,
+                wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                label.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                speed.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+            if n < self.batch_size:
+                break  # drop last partial batch (training semantics)
+            yield wav, label, speed
+
+    def close(self):
+        if self._h:
+            self._lib.loader2_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class NativeLoader:
