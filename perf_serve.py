@@ -73,7 +73,7 @@ def main():
     from wespeaker_hubert_tpu.bin.serve import EmbeddingService, _make_handler
 
     root = make_model_dir("/tmp/serve_bench_model")
-    service = EmbeddingService(root, max_batch=32, batch_window_ms=2.0)
+    service = EmbeddingService(root, max_batch=32, batch_window_ms=25.0)
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(service))
     port = httpd.server_address[1]
     threading.Thread(target=httpd.serve_forever, daemon=True).start()

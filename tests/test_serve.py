@@ -168,13 +168,16 @@ def test_kserve_v2_protocol(server):
     assert emb_t["shape"] == [1, 16]
     v2_emb = np.asarray(emb_t["data"], np.float32)
 
-    # must match the plain /embed path on the same audio (that path
-    # round-trips through int16 WAV encoding, hence the loose atol)
+    # must match the plain /embed path on the same audio.  That path
+    # round-trips through int16 WAV encoding and the service computes in
+    # bf16 by default, so compare as embeddings are consumed: cosine.
     legacy = _post(server + "/embed", _wav_bytes(wav))
-    np.testing.assert_allclose(
-        v2_emb, np.asarray(legacy["embedding"], np.float32),
-        rtol=1e-3, atol=1e-2,
+    le = np.asarray(legacy["embedding"], np.float32)
+    cos = float(
+        v2_emb @ le / (np.linalg.norm(v2_emb) * np.linalg.norm(le))
     )
+    assert cos > 0.999, cos
+    np.testing.assert_allclose(v2_emb, le, rtol=0.05, atol=0.3)
 
     # malformed: missing WAV tensor -> 400 with an error message
     bad = json.dumps({"inputs": []}).encode()

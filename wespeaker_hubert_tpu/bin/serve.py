@@ -53,7 +53,10 @@ class EmbeddingService:
         batch_window_ms: float = 5.0,
         max_seconds: float = 30.0,
         chunk_frames: int = 198,
+        bf16: bool = True,
     ):
+        import jax.numpy as jnp
+
         from ..cli.speaker import Speaker
         from ..train.chunked import make_chunked_embed
         from ..utils.observability import ThroughputMeter
@@ -62,8 +65,31 @@ class EmbeddingService:
         self.max_batch = max_batch
         self.window = batch_window_ms / 1000.0
         self.max_samples = int(max_seconds * self.speaker.resample_rate)
+        # length buckets: each batch pads to the smallest bucket covering
+        # its longest utterance, so host->device transfer and compute
+        # scale with actual audio length instead of max_seconds (one
+        # compiled shape per bucket, same policy as EvalPipeline)
+        sr = self.speaker.resample_rate
+        self.buckets = []
+        s = 2.0
+        while s < max_seconds:
+            self.buckets.append(int(s * sr))
+            s *= 2
+        self.buckets.append(self.max_samples)
+        self._compute_dtype = jnp.bfloat16 if bf16 else None
+        self._variables = self.speaker.variables
+        if bf16:
+            import jax
+
+            self._variables = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                self._variables,
+            )
         self._embed = make_chunked_embed(
-            self.speaker.net, self.speaker.fbank_cfg, chunk_frames
+            self.speaker.net, self.speaker.fbank_cfg, chunk_frames,
+            compute_dtype=self._compute_dtype,
         )
         self.meter = ThroughputMeter()
         self.embed_dim = int(
@@ -79,7 +105,7 @@ class EmbeddingService:
     def _loop(self):
         import jax.numpy as jnp
 
-        variables = self.speaker.variables
+        variables = self._variables
         while not self._stop:
             try:
                 first = self._q.get(timeout=0.1)
@@ -97,7 +123,11 @@ class EmbeddingService:
                     break
 
             n = len(batch)
-            wav = np.zeros((self.max_batch, self.max_samples), np.float32)
+            longest = max(len(w) for w, _ in batch)
+            bucket = next(
+                b for b in self.buckets if b >= min(longest, self.max_samples)
+            )
+            wav = np.zeros((self.max_batch, bucket), np.float32)
             lengths = np.zeros((self.max_batch,), np.int32)
             for i, (w, _) in enumerate(batch):
                 w = w[: self.max_samples]
@@ -228,8 +258,11 @@ def main():
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8501)
     p.add_argument("--max_batch", type=int, default=16)
+    p.add_argument("--f32", action="store_true",
+                   help="disable bf16 inference (default: bf16 on)")
     args = p.parse_args()
-    serve(args.model_dir, args.host, args.port, max_batch=args.max_batch)
+    serve(args.model_dir, args.host, args.port, max_batch=args.max_batch,
+          bf16=not args.f32)
 
 
 if __name__ == "__main__":

@@ -46,12 +46,15 @@ def make_chunked_embed(
     fbank_cfg: FbankConfig = FbankConfig(),
     chunk_frames: int = 198,
     mesh=None,
+    compute_dtype=None,
 ) -> Callable:
-    """Returns fn(variables, wav (B, W), lengths (B,)) -> (B, D).
+    """Returns fn(variables, wav (B, W), lengths (B,)) -> (B, D) float32.
 
     Per utterance: fbank -> split into ceil(T/chunk) chunks (tail
     re-read) -> per-chunk CMN -> model -> masked average of chunk
-    embeddings."""
+    embeddings.  `compute_dtype=jnp.bfloat16` runs the backbone in bf16
+    (embeddings cosine > 0.9999 vs f32, docs/BENCH_LOCAL.md); pass
+    variables already cast to the same dtype."""
 
     shift = fbank_cfg.frame_shift
 
@@ -69,6 +72,8 @@ def make_chunked_embed(
         )(feats, feat_lens)  # (B, C, chunk, F)
         flat = chunks.reshape(b * max_chunks, chunk_frames, f)
         flat = apply_cmvn(flat)  # per-chunk CMN (speaker_engine.cc:63-75)
+        if compute_dtype is not None:
+            flat = flat.astype(compute_dtype)
         if hasattr(model, "embed"):  # SpeakerNet
             emb = model.apply(
                 variables, flat, train=False, method=model.embed
@@ -87,9 +92,10 @@ def make_chunked_embed(
         mask = (
             jnp.arange(max_chunks)[None, :] < n_chunks[:, None]
         ).astype(emb.dtype)
-        return jnp.sum(emb * mask[:, :, None], axis=1) / jnp.maximum(
+        out = jnp.sum(emb * mask[:, :, None], axis=1) / jnp.maximum(
             jnp.sum(mask, axis=1, keepdims=True), 1.0
         )
+        return out.astype(jnp.float32)
 
     if mesh is None:
         return jax.jit(embed_fn)
