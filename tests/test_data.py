@@ -406,3 +406,45 @@ class TestParallelLoaders:
         b, sr_b = read_wav(obj["wav"])
         assert sr_a == sr_b
         np.testing.assert_array_equal(a, b)
+
+    def test_native_pipeline_rejects_unsupported_configs(self, big_corpus):
+        from wespeaker_hubert_tpu.data import NativeTrainPipeline
+        from wespeaker_hubert_tpu.data.native_loader import native_available
+
+        if not native_available():
+            pytest.skip("no native loader")
+        lst = load_data_list(big_corpus["raw_list"])
+        store = AugStore(arrays={"rir-1": np.ones(100, np.float32)})
+        # unpacked aug would silently train without reverb/noise
+        with pytest.raises(ValueError):
+            NativeTrainPipeline(
+                lst, big_corpus["spk2id"],
+                self._cfg(packed_aug=False, aug_prob=0.5),
+                reverb_store=store,
+            )
+        with pytest.raises(ValueError):
+            NativeTrainPipeline(lst, big_corpus["spk2id"],
+                                self._cfg(shuffle=False))
+        with pytest.raises(ValueError):
+            NativeTrainPipeline(lst, big_corpus["spk2id"],
+                                self._cfg(drop_last=False))
+
+    def test_prefetch_propagates_worker_errors(self, big_corpus):
+        from wespeaker_hubert_tpu.data import PrefetchPipeline
+
+        lst = load_data_list(big_corpus["raw_list"])
+        p = PrefetchPipeline(lst, big_corpus["spk2id"], self._cfg(),
+                             num_workers=2)
+
+        class Boom(RuntimeError):
+            pass
+
+        def explode():
+            raise Boom("worker crash")
+            yield  # pragma: no cover
+
+        # a crashed feeder must fail the epoch, not silently shrink it
+        p.workers[1] = type("X", (), {"__iter__": lambda s: explode(),
+                                      "set_epoch": lambda s, e: None})()
+        with pytest.raises(RuntimeError, match="prefetch worker 1 failed"):
+            list(p)

@@ -91,6 +91,17 @@ class EmbeddingService:
             self.speaker.net, self.speaker.fbank_cfg, chunk_frames,
             compute_dtype=self._compute_dtype,
         )
+        # compile every bucket shape up front: a lazily-compiled bucket
+        # would stall the single batch thread (and every queued client)
+        # for the whole XLA compile the first time that length appears
+        for b in self.buckets:
+            self._embed(
+                self._variables,
+                {
+                    "wav": jnp.zeros((self.max_batch, b), jnp.float32),
+                    "length": jnp.full((self.max_batch,), b, jnp.int32),
+                },
+            ).block_until_ready()
         self.meter = ThroughputMeter()
         self.embed_dim = int(
             self.speaker.net.backbone.embed_dim

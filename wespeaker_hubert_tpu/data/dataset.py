@@ -501,6 +501,7 @@ class PrefetchPipeline:
         stop = threading.Event()
 
         def feed(pipe, q):
+            err = None
             try:
                 for b in pipe:
                     while not stop.is_set():
@@ -511,8 +512,18 @@ class PrefetchPipeline:
                             continue
                     if stop.is_set():
                         return
+            except BaseException as e:  # surfaced in the consumer
+                err = e
             finally:
-                q.put(self._END)
+                # non-blocking end marker: during teardown the consumer no
+                # longer drains, and a blocking put here would wedge the
+                # thread (and join) forever
+                while not stop.is_set():
+                    try:
+                        q.put((self._END, err), timeout=0.2)
+                        break
+                    except QueueFull:
+                        continue
 
         threads = [
             threading.Thread(target=feed, args=(p, q), daemon=True)
@@ -527,22 +538,32 @@ class PrefetchPipeline:
             while live:
                 w = live[0]
                 b = qs[w].get()
-                if b is self._END:
+                if isinstance(b, tuple) and len(b) == 2 and b[0] is self._END:
+                    if b[1] is not None:
+                        # a crashed feeder must fail the epoch loudly, not
+                        # silently shrink the dataset by 1/num_workers
+                        raise RuntimeError(
+                            f"prefetch worker {w} failed"
+                        ) from b[1]
                     live.popleft()  # exhausted: next worker keeps the turn
                     continue
                 yield b
                 live.rotate(-1)
         finally:
             stop.set()
-            # drain so feeders blocked on put() can observe stop and exit
-            for q in qs:
-                try:
-                    while True:
-                        q.get_nowait()
-                except QueueEmpty:
-                    pass
-            for t in threads:
-                t.join(timeout=5)
+            # drain so feeders blocked on put() can observe stop and exit;
+            # keep draining until each thread is gone (a feeder may re-fill
+            # the queue once between a single drain and its stop check)
+            for q, t in zip(qs, threads):
+                deadline = 50  # x0.1s = 5s per worker max
+                while t.is_alive() and deadline > 0:
+                    try:
+                        while True:
+                            q.get_nowait()
+                    except QueueEmpty:
+                        pass
+                    t.join(timeout=0.1)
+                    deadline -= 1
 
 
 class NativeTrainPipeline:
@@ -577,6 +598,22 @@ class NativeTrainPipeline:
 
         if cfg.data_type != "raw":
             raise ValueError("native pipeline supports raw lists only")
+        if not cfg.packed_aug and (reverb_store or noise_store):
+            # the unpacked per-row aug layout is python-pipeline only;
+            # proceeding would silently train WITHOUT reverb/noise
+            raise ValueError(
+                "native pipeline requires packed_aug with aug stores"
+            )
+        if not cfg.shuffle:
+            raise ValueError(
+                "native pipeline always shuffles (full permutation); "
+                "shuffle=false needs the python pipeline"
+            )
+        if not cfg.drop_last:
+            raise ValueError(
+                "native pipeline drops the last partial batch; "
+                "drop_last=false needs the python pipeline"
+            )
         self.cfg = cfg
         self.spk2id = spk2id
         self.reverb_store = reverb_store
@@ -668,6 +705,15 @@ class NativeTrainPipeline:
                 )
                 batch["snr"] = np.zeros((0,), np.float32)
             yield batch
+        failures = self._loader.decode_failures()
+        if failures:
+            import logging
+
+            logging.getLogger("data").warning(
+                "native loader: %d wav(s) not decodable by the C parser "
+                "were skipped this run (unusual formats need the python "
+                "pipeline: set num_workers: 0)", failures,
+            )
 
     def close(self):
         self._loader.close()

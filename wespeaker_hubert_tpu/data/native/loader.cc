@@ -206,7 +206,13 @@ struct Loader {
   }
 
   void JoinWorkers() {
-    stop = true;
+    {
+      // hold mu while setting stop: a worker between evaluating its wait
+      // predicate and blocking would otherwise miss the notify forever
+      // (lost wakeup) and JoinWorkers would hang
+      std::lock_guard<std::mutex> lock(mu);
+      stop = true;
+    }
     cv_push.notify_all();
     cv_pop.notify_all();
     for (auto& t : workers)
@@ -285,6 +291,7 @@ struct Loader2 {
   std::atomic<size_t> next_claim{0};
   std::atomic<int> epoch{0};
   std::atomic<bool> stop{false};
+  std::atomic<long> decode_failures{0};  // unparseable wavs (see loader2_failures)
   std::vector<size_t> order;      // this rank's epoch order
 
   void Shuffle() {
@@ -307,7 +314,9 @@ struct Loader2 {
       Sample2 s;
       s.label = labels[id];
       std::vector<float> wav;
-      s.ok = ReadWavMono(paths[id], &wav) &&
+      bool decoded = ReadWavMono(paths[id], &wav);
+      if (!decoded) ++decode_failures;  // format v1-reader can't parse
+      s.ok = decoded &&
              wav.size() >= static_cast<size_t>(min_samples) &&
              wav.size() <= static_cast<size_t>(max_samples);
       if (s.ok) {
@@ -350,7 +359,10 @@ struct Loader2 {
   }
 
   void JoinWorkers() {
-    stop = true;
+    {
+      std::lock_guard<std::mutex> lock(mu);  // see v1: lost-wakeup guard
+      stop = true;
+    }
     cv_insert.notify_all();
     cv_emit.notify_all();
     for (auto& t : workers)
@@ -453,6 +465,10 @@ void loader2_destroy(void* h) {
   auto* l = static_cast<Loader2*>(h);
   l->JoinWorkers();
   delete l;
+}
+
+long loader2_failures(void* h) {
+  return static_cast<Loader2*>(h)->decode_failures.load();
 }
 
 // standalone wav decode for tests / tools

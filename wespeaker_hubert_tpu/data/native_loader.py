@@ -14,6 +14,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -31,18 +32,32 @@ _SRC = os.path.join(os.path.dirname(__file__), "native", "loader.cc")
 _SO = os.path.join(os.path.dirname(__file__), "native", "libloader.so")
 
 
+_BUILD_LOCK = threading.Lock()
+
+
 def _build() -> Optional[str]:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-             _SRC, "-o", _SO],
-            check=True, capture_output=True,
-        )
-        return _SO
-    except (OSError, subprocess.CalledProcessError):
-        return None
+    with _BUILD_LOCK:
+        if (os.path.exists(_SO)
+                and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+            return _SO
+        # compile to a temp path + atomic rename: concurrent processes
+        # (multi-rank launch on one host) must never dlopen a half-written
+        # .so
+        tmp = _SO + f".tmp.{os.getpid()}"
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+                 _SRC, "-o", tmp],
+                check=True, capture_output=True,
+            )
+            os.replace(tmp, _SO)
+            return _SO
+        except (OSError, subprocess.CalledProcessError):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            return None
 
 
 def _lib():
@@ -92,6 +107,8 @@ def _lib():
         ctypes.POINTER(ctypes.c_int32),
     ]
     lib.loader2_destroy.argtypes = [ctypes.c_void_p]
+    lib.loader2_failures.restype = ctypes.c_long
+    lib.loader2_failures.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
 
@@ -114,11 +131,14 @@ def decode_wav_native(path: str, max_samples: int = 16000 * 600) -> np.ndarray:
 
 
 def decode_wav_native_sr(
-    path: str, max_samples: int = 16000 * 600
+    path: str, max_samples: int = 16000 * 120
 ) -> Tuple[np.ndarray, int]:
     """(mono float32 [-1,1], sample_rate) via the C decoder.  The ctypes
     call releases the GIL, so concurrent decode threads scale — this is
-    the raw-list pipeline's fast path (wav_io.read_wav is the fallback)."""
+    the raw-list pipeline's fast path (wav_io.read_wav is the fallback).
+
+    Files longer than max_samples are decoded in full via a second call
+    with an exact-size buffer — NEVER silently truncated."""
     lib = _lib()
     assert lib is not None, "native loader unavailable"
     buf = np.empty(max_samples, np.float32)
@@ -129,7 +149,16 @@ def decode_wav_native_sr(
     )
     if n < 0:
         raise IOError(f"failed to decode {path}")
-    return buf[: min(n, max_samples)].copy(), int(sr.value)
+    if n > max_samples:  # rare long file: re-decode at exact size
+        buf = np.empty(n, np.float32)
+        n = lib.decode_wav_sr(
+            path.encode(),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n, ctypes.byref(sr),
+        )
+        if n < 0:
+            raise IOError(f"failed to decode {path}")
+    return buf[:n].copy(), int(sr.value)
 
 
 class DeterministicNativeLoader:
@@ -188,6 +217,12 @@ class DeterministicNativeLoader:
             if n < self.batch_size:
                 break  # drop last partial batch (training semantics)
             yield wav, label, speed
+
+    def decode_failures(self) -> int:
+        """Count of wavs the C parser could not decode (formats the
+        python reader may support, e.g. 8-bit PCM) — callers should warn
+        when nonzero so data loss is never silent."""
+        return int(self._lib.loader2_failures(self._h))
 
     def close(self):
         if self._h:
