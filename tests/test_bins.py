@@ -125,6 +125,17 @@ def test_full_workflow(setup):
     assert len(keys) == N_SPK * 2
     assert emb.shape[1] == 32
 
+    # bf16 inference knob: same embeddings up to bf16 noise (cosine)
+    _, emb_bf16 = extract(
+        config, str(root / "eval.list"), avg,
+        os.path.join(exp_dir, "embeddings", "eval_bf16.npz"),
+        batch_size=4, compute_dtype="bf16",
+    )
+    cos = np.sum(emb * emb_bf16, axis=1) / (
+        np.linalg.norm(emb, axis=1) * np.linalg.norm(emb_bf16, axis=1)
+    )
+    assert cos.min() > 0.99, cos.min()
+
     # resume path: config.yaml was dumped
     assert os.path.exists(os.path.join(exp_dir, "config.yaml"))
 

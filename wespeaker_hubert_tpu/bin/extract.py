@@ -113,6 +113,20 @@ def extract(
         "batch_stats": restored["batch_stats"],
     }
 
+    # optional bf16 inference (config key compute_dtype: bf16): +37%
+    # extraction throughput, embeddings cosine > 0.9999 vs f32
+    # (docs/BENCH_LOCAL.md); default stays f32 for bit-stable eval
+    compute_dtype = None
+    if str(config.get("compute_dtype", "")).lower() in ("bf16", "bfloat16"):
+        compute_dtype = jnp.bfloat16
+        variables = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            variables,
+        )
+        logger.info("bf16 inference enabled")
+
     mesh = None
     if sharded and len(jax.devices()) > 1:
         from ..parallel.mesh import DATA_AXIS, make_mesh, shard_tree
@@ -121,7 +135,8 @@ def extract(
         variables = shard_tree(variables, mesh)  # replicate onto the mesh
         n_shards = mesh.shape[DATA_AXIS]
         logger.info("sharded extraction over %d devices", n_shards)
-    embed_fn = make_eval_embed(net, feature_cfg=feature_cfg, mesh=mesh)
+    embed_fn = make_eval_embed(net, feature_cfg=feature_cfg, mesh=mesh,
+                               compute_dtype=compute_dtype)
 
     from ..data import load_data_list
 

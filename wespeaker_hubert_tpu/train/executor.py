@@ -272,11 +272,15 @@ def make_eval_embed(
     model,
     feature_cfg: Optional[FeaturePipelineConfig] = None,
     mesh=None,
+    compute_dtype=None,
 ) -> Callable:
     """Jitted embedding extraction: batch -> (B, emb_dim) float32.
 
     Batch: {'wav': (B, W), 'length': (B,)} or {'feat': ..., 'feat_length'}.
     Equivalent of reference bin/extract.py:90-120 but batched + masked.
+    `compute_dtype=jnp.bfloat16` runs the backbone in bf16 (+37% on
+    ECAPA extraction; embeddings cosine > 0.9999 vs f32) — pass
+    variables cast to the same dtype.
     """
 
     use_frontend = getattr(model, "frontend", None) is not None
@@ -316,9 +320,12 @@ def make_eval_embed(
                 lengths=batch.get("length"),
                 train=False,
             )
-        return model.apply(
+        if compute_dtype is not None:
+            feats = feats.astype(compute_dtype)
+        out = model.apply(
             variables, feats, mask=mask, train=False, method=model.embed
         )
+        return out.astype(jnp.float32)
 
     if mesh is None:
         return jax.jit(embed_fn)
