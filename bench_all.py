@@ -165,6 +165,96 @@ def bench_train_step(model_name, batch, num_frms=200, num_class=17982,
     return audio_s / dt, batch * iters * loop_steps / dt
 
 
+def bench_dino_step(model_name="ECAPA_TDNN_c512", batch=64, iters=10,
+                    n_global=2, n_local=4, out_dim=65536):
+    """DINO SSL train-step throughput: multi-crop aug + fbank + student/
+    teacher forward + EMA + centering, one jitted step (ssl/dino.py)."""
+    import optax
+
+    from wespeaker_hubert_tpu.data.dataset import chunk_samples_for_frames
+    from wespeaker_hubert_tpu.models import get_speaker_model
+    from wespeaker_hubert_tpu.ops.augment import add_reverb_noise
+    from wespeaker_hubert_tpu.ops.fbank import FbankConfig
+    from wespeaker_hubert_tpu.ops.pipeline import (
+        FeaturePipelineConfig,
+        wav_to_features,
+    )
+    from wespeaker_hubert_tpu.ssl.dino import (
+        DINOHead,
+        DINONet,
+        cosine_schedule,
+        create_dino_state,
+        make_dino_train_step,
+    )
+
+    backbone = get_speaker_model(model_name)(feat_dim=80, embed_dim=192)
+    head = DINOHead(in_dim=192, out_dim=out_dim, hidden_dim=2048,
+                    bottleneck_dim=256)
+    net = DINONet(backbone=backbone, head=head)
+    fcfg = FeaturePipelineConfig(fbank=FbankConfig(dither=1.0),
+                                 spec_aug=False)
+
+    def preprocess(batch, rng):
+        def group(prefix, key):
+            wav = batch[f"{prefix}_wav"]
+            b, n, l = wav.shape
+            flat = add_reverb_noise(
+                wav.reshape(b * n, l),
+                batch[f"{prefix}_rir"].reshape(b * n, -1),
+                batch[f"{prefix}_noise"].reshape(b * n, l),
+                batch[f"{prefix}_aug_type"].reshape(-1),
+                batch[f"{prefix}_snr"].reshape(-1),
+            )
+            feats, _ = wav_to_features(flat, fcfg, rng=key, train=True)
+            return feats.reshape(b, n, feats.shape[1], feats.shape[2])
+
+        k1, k2 = jax.random.split(rng)
+        return group("global", k1), group("local", k2)
+
+    total = 150 * 1000
+    step = make_dino_train_step(
+        net, optax.trace(decay=0.9),
+        lr_schedule=cosine_schedule(0.2 * batch / 256.0, 1e-5, total),
+        wd_schedule=cosine_schedule(1e-4, 1e-4, total),
+        momentum_schedule=cosine_schedule(0.996, 1.0, total),
+        teacher_temp_schedule=cosine_schedule(0.04, 0.07, total // 5),
+        n_global=n_global, n_local=n_local,
+        preprocess_fn=preprocess,
+    )
+
+    rng_np = np.random.default_rng(0)
+    lg = chunk_samples_for_frames(200)
+    ll = chunk_samples_for_frames(100)
+    b = {}
+    for prefix, n, l in (("global", n_global, lg), ("local", n_local, ll)):
+        b[f"{prefix}_wav"] = jnp.asarray(
+            rng_np.standard_normal((batch, n, l)) * 0.1, jnp.float32)
+        b[f"{prefix}_rir"] = jnp.asarray(
+            rng_np.standard_normal((batch, n, 8000)), jnp.float32)
+        b[f"{prefix}_noise"] = jnp.asarray(
+            rng_np.standard_normal((batch, n, l)) * 0.05, jnp.float32)
+        b[f"{prefix}_aug_type"] = jnp.asarray(
+            rng_np.integers(0, 3, (batch, n)), jnp.int32)
+        b[f"{prefix}_snr"] = jnp.full((batch, n), 10.0, jnp.float32)
+
+    g, _ = preprocess(b, jax.random.key(0))
+    crops_ex = jnp.asarray(g.reshape((-1,) + g.shape[2:]))
+    state = create_dino_state(net, optax.trace(decay=0.9),
+                              jax.random.key(0), crops_ex, out_dim)
+    key = jax.random.key(1)
+    state, m = step(state, b, key)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, b, key)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+    # audio seconds actually consumed per step (crops overlap-sample the
+    # utterance; count crop audio like the reference's epoch accounting)
+    audio_s = batch * (n_global * 2.0 + n_local * 1.0) * iters
+    return audio_s / dt, batch * iters / dt
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--models", default="ECAPA_TDNN_c512,ResNet34")
@@ -178,6 +268,8 @@ def main():
                    help="scan this many optimizer steps per dispatch")
     p.add_argument("--unpacked", action="store_true",
                    help="legacy per-row aug_type layout (production uses packed)")
+    p.add_argument("--dino", action="store_true",
+                   help="benchmark the DINO SSL train step")
     args = p.parse_args()
 
     results = []
@@ -207,6 +299,17 @@ def main():
         tag = "_bf16" if args.train_bf16 else ""
         row = {
             "metric": f"{args.train_model}_train_step{tag}",
+            "value": round(tp, 1),
+            "unit": "audio_s/s/chip",
+            "utts_per_s": round(utts, 1),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    if args.dino:
+        tp, utts = bench_dino_step()
+        row = {
+            "metric": "DINO_ECAPA_c512_ssl_train_step",
             "value": round(tp, 1),
             "unit": "audio_s/s/chip",
             "utts_per_s": round(utts, 1),

@@ -448,3 +448,41 @@ class TestParallelLoaders:
                                       "set_epoch": lambda s, e: None})()
         with pytest.raises(RuntimeError, match="prefetch worker 1 failed"):
             list(p)
+
+    def test_prefetch_early_break_teardown(self, big_corpus):
+        """Abandoning iteration mid-epoch (stop_at_step, epoch_iter cap)
+        must tear the feed threads down promptly — no wedged join."""
+        import threading
+        import time
+
+        from wespeaker_hubert_tpu.data import PrefetchPipeline
+
+        lst = load_data_list(big_corpus["raw_list"])
+        p = PrefetchPipeline(lst, big_corpus["spk2id"], self._cfg(),
+                             num_workers=3, prefetch=1)
+        before = threading.active_count()
+        it = iter(p)
+        next(it)
+        t0 = time.perf_counter()
+        it.close()  # generator finally: stop + drain + join
+        assert time.perf_counter() - t0 < 5
+        deadline = time.time() + 5
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before
+
+    def test_native_pipeline_mid_epoch_abandon(self, big_corpus):
+        """set_epoch mid-epoch (resume fast-forward path) restarts the
+        C++ workers without hanging in JoinWorkers."""
+        from wespeaker_hubert_tpu.data import NativeTrainPipeline
+        from wespeaker_hubert_tpu.data.native_loader import native_available
+
+        if not native_available():
+            pytest.skip("no native loader")
+        lst = load_data_list(big_corpus["raw_list"])
+        p = NativeTrainPipeline(lst, big_corpus["spk2id"], self._cfg(),
+                                num_threads=4)
+        for e in range(5):
+            p.set_epoch(e)
+            next(iter(p))  # abandon after one batch every epoch
+        p.close()
