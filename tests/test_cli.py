@@ -118,6 +118,24 @@ class TestSpeakerAPI:
         with pytest.raises(ValueError):
             load_model("english")
 
+    def test_segment_fbanks_match_per_segment(self, model_dir):
+        """The bucketed/batched segment fbank (compile-count fix) must be
+        bit-identical to the naive one-fbank-call-per-segment path."""
+        import jax.numpy as jnp
+
+        from wespeaker_hubert_tpu.ops.fbank import fbank
+
+        model = load_model(model_dir["exp"])
+        rng = np.random.default_rng(11)
+        wav = (rng.standard_normal(16000 * 12) * 0.1).astype(np.float32)
+        vad = [(0.1, 1.73), (2.0, 2.61), (3.0, 7.5), (8.0, 11.9)]
+        batched = model._segment_fbanks(wav, vad)
+        assert len(batched) == len(vad)
+        for (b, e), got in zip(vad, batched):
+            seg = wav[int(b * 16000):int(e * 16000)]
+            ref, _ = fbank(jnp.asarray(seg[None]), model.fbank_cfg)
+            np.testing.assert_array_equal(got, np.asarray(ref[0]))
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

@@ -254,13 +254,9 @@ class Speaker:
         if not vad_segments:
             return []
 
+        seg_feats = self._segment_fbanks(wav, vad_segments)
         subsegs, fbanks = [], []
-        for begin, end in vad_segments:
-            b_idx = int(begin * self.resample_rate)
-            e_idx = int(end * self.resample_rate)
-            seg = wav[b_idx:e_idx]
-            feats, _ = fbank(jnp.asarray(seg[None]), self.fbank_cfg)
-            feats = np.asarray(feats[0])
+        for (begin, end), feats in zip(vad_segments, seg_feats):
             seg_id = f"{utt}-{int(begin * 1000):08d}-{int(end * 1000):08d}"
             s, m = subsegment_fbank(
                 feats, seg_id,
@@ -287,6 +283,54 @@ class Speaker:
         items.sort()
         merged = merge_segments({utt: items})
         return [(u, b, e, int(lab)) for (u, b, e, lab) in merged]
+
+    def _segment_fbanks(self, wav, vad_segments):
+        """Per-VAD-segment fbank, batched by length bucket.
+
+        Each segment is an independent waveform (reference
+        diar/make_fbank.py semantics — frames never cross a segment
+        boundary), but naive per-segment calls compile one XLA program
+        PER DISTINCT LENGTH.  Segments are padded to power-of-two sample
+        buckets and batched through `fbank(..., lengths=...)`, whose
+        frame masking makes the valid frames bit-identical to a
+        per-segment call: a handful of compiled shapes total."""
+        segs = []
+        for begin, end in vad_segments:
+            b_idx = int(begin * self.resample_rate)
+            e_idx = int(end * self.resample_rate)
+            segs.append(wav[b_idx:e_idx])
+        order = sorted(range(len(segs)), key=lambda i: len(segs[i]))
+        out: Dict[int, np.ndarray] = {}
+        min_bucket = 1 << 14  # 1 s floor keeps the shape count small
+        i = 0
+        while i < len(order):
+            bucket = max(
+                min_bucket, 1 << (max(len(segs[order[i]]), 2) - 1).bit_length()
+            )
+            idx = []
+            while (
+                i < len(order)
+                and len(segs[order[i]]) <= bucket
+                and len(idx) < 32
+            ):
+                idx.append(order[i])
+                i += 1
+            # batch dim fixed at 32 too — a varying row count would be
+            # one more compiled shape per count
+            wavs = np.zeros((32, bucket), np.float32)
+            lens = np.zeros((32,), np.int32)
+            for row, j in enumerate(idx):
+                wavs[row, : len(segs[j])] = segs[j]
+                lens[row] = len(segs[j])
+            feats, feat_lens = fbank(
+                jnp.asarray(wavs), self.fbank_cfg,
+                lengths=jnp.asarray(lens),
+            )
+            feats = np.asarray(feats)
+            feat_lens = np.asarray(feat_lens)
+            for row, j in enumerate(idx):
+                out[j] = feats[row, : feat_lens[row]]
+        return [out[j] for j in range(len(segs))]
 
     def _extract_embedding_feats(
         self, fbanks: np.ndarray, batch_size: int = 32
