@@ -339,12 +339,21 @@ class Speaker:
         CMN (reference :106-121)."""
         out = []
         for s in range(0, len(fbanks), batch_size):
-            chunk = jnp.asarray(fbanks[s : s + batch_size])
-            chunk = apply_cmvn(chunk)
+            chunk = fbanks[s : s + batch_size]
+            k = len(chunk)
+            if k < batch_size:
+                # pad the tail batch to the fixed size: a varying batch
+                # dim would compile one extra XLA program per remainder
+                chunk = np.concatenate(
+                    [chunk,
+                     np.zeros((batch_size - k,) + chunk.shape[1:],
+                              chunk.dtype)]
+                )
+            chunk = apply_cmvn(jnp.asarray(chunk))
             emb = self.net.apply(
                 self.variables, chunk, train=False, method=self.net.embed
             )
-            out.append(np.asarray(emb))
+            out.append(np.asarray(emb)[:k])
         return np.concatenate(out)
 
     def diarize_list(self, scp_path: str):
