@@ -165,6 +165,55 @@ def bench_train_step(model_name, batch, num_frms=200, num_class=17982,
     return audio_s / dt, batch * iters * loop_steps / dt
 
 
+def bench_ssl_frontend_extract(batch=16, seconds=10.0, iters=5,
+                               upstream="wavlm_large"):
+    """WavLM-Large frontend + ECAPA c512 extraction throughput, bf16
+    (the reference's run_wavlm.sh deployment path; weights random — the
+    graph/throughput is identical to converted checkpoints)."""
+    import jax
+
+    from wespeaker_hubert_tpu.frontend import SSLEncoderConfig, SSLFrontend
+    from wespeaker_hubert_tpu.models import get_speaker_model
+    from wespeaker_hubert_tpu.models.speaker_net import SpeakerNet
+    from wespeaker_hubert_tpu.train import make_eval_embed
+
+    enc_cfg = getattr(SSLEncoderConfig, upstream)()
+    frontend = SSLFrontend(enc_cfg, frozen=True, multilayer_feature=True)
+    backbone = get_speaker_model("ECAPA_TDNN_c512")(
+        feat_dim=enc_cfg.hidden_size, embed_dim=192)
+    net = SpeakerNet(backbone=backbone, projection=None, frontend=frontend)
+
+    n = int(seconds * SR)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((batch, n)) * 0.1, jnp.float32)
+
+    fvars = net.init(jax.random.key(0), wav[:1], train=False,
+                     method=net.features)
+    feats, _ = net.apply(fvars, wav[:1], train=False, method=net.features)
+    bvars = backbone.init(jax.random.key(1), feats, train=False)
+    variables = {
+        "params": {**fvars["params"], "backbone": bvars["params"]},
+        "batch_stats": {
+            **fvars.get("batch_stats", {}),
+            "backbone": bvars.get("batch_stats", {}),
+        },
+    }
+    variables = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        variables,
+    )
+    embed_fn = make_eval_embed(net, compute_dtype=jnp.bfloat16)
+    out = embed_fn(variables, {"wav": wav})
+    _ = np.asarray(out[:1, :1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = embed_fn(variables, {"wav": wav})
+    _ = np.asarray(out[:1, :1])
+    dt = time.perf_counter() - t0
+    return batch * seconds * iters / dt
+
+
 def bench_dino_step(model_name="ECAPA_TDNN_c512", batch=64, iters=10,
                     n_global=2, n_local=4, out_dim=65536):
     """DINO SSL train-step throughput: multi-crop aug + fbank + student/
