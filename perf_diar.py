@@ -1,0 +1,68 @@
+"""Diarization pipeline RTF on TPU: VAD -> bucketed segment fbank ->
+sliding-window embeddings -> spectral clustering -> merge.
+
+The reference publishes DER only; this measures wall-clock real-time
+factor of the full `Speaker.diarize` CLI path (the role of its
+voxconverse runtime).  Two passes over different files: the first pays
+XLA compiles for the shape buckets, the second is steady state.
+
+Run: python perf_diar.py [minutes]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_conversation(rng, seconds, sr=16000):
+    """Alternating synthetic speakers with pauses."""
+    parts = []
+    t = 0.0
+    spk = 0
+    while t < seconds:
+        dur = float(rng.uniform(2.0, 8.0))
+        n = int(dur * sr)
+        tt = np.arange(n) / sr
+        f0 = 120 + 80 * spk
+        x = np.sin(2 * np.pi * f0 * tt) * 0.25
+        x += np.sin(2 * np.pi * 2.3 * f0 * tt) * 0.1
+        x *= 0.6 + 0.4 * np.sin(2 * np.pi * 2.0 * tt)
+        parts.append((x + rng.standard_normal(n) * 0.01).astype(np.float32))
+        gap = int(rng.uniform(0.3, 1.2) * sr)
+        parts.append(np.zeros(gap, np.float32))
+        t += dur + gap / sr
+        spk = 1 - spk
+    return np.concatenate(parts)[: int(seconds * sr)]
+
+
+def main():
+    minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 2.0
+    seconds = minutes * 60
+
+    from perf_serve import make_model_dir
+    from wespeaker_hubert_tpu.cli.speaker import Speaker
+    from wespeaker_hubert_tpu.data import write_wav
+
+    root = make_model_dir("/tmp/diar_bench_model")
+    model = Speaker(root)
+
+    rng = np.random.default_rng(0)
+    for i, tag in enumerate(("warm (compiles)", "steady")):
+        wav = make_conversation(rng, seconds)
+        path = f"/tmp/diar_bench_{i}.wav"
+        write_wav(path, wav)
+        t0 = time.perf_counter()
+        segs = model.diarize(path, utt=f"conv{i}", clusterer="spectral")
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "pass": tag, "audio_s": seconds, "wall_s": round(dt, 2),
+            "rtf": round(dt / seconds, 4),
+            "audio_s_per_s": round(seconds / dt, 1),
+            "n_segments": len(segs),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -99,6 +99,14 @@ class Speaker:
                 fbank=self.fbank_cfg, spec_aug=False
             ),
         )
+        # jitted window-features -> embedding path for diarization (an
+        # unjitted net.apply executes op-by-op — catastrophic over a
+        # remote-device link)
+        self._embed_feats_fn = jax.jit(
+            lambda v, f: self.net.apply(
+                v, apply_cmvn(f), train=False, method=self.net.embed
+            )
+        )
         self.table: Dict[str, np.ndarray] = {}
         # diarization params (reference cli defaults)
         self.diar_window_secs = 1.5
@@ -349,10 +357,7 @@ class Speaker:
                      np.zeros((batch_size - k,) + chunk.shape[1:],
                               chunk.dtype)]
                 )
-            chunk = apply_cmvn(jnp.asarray(chunk))
-            emb = self.net.apply(
-                self.variables, chunk, train=False, method=self.net.embed
-            )
+            emb = self._embed_feats_fn(self.variables, jnp.asarray(chunk))
             out.append(np.asarray(emb)[:k])
         return np.concatenate(out)
 
