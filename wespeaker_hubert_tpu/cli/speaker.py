@@ -195,11 +195,18 @@ class Speaker:
                         for b, e in segs
                     ]
                 )
+        # pad to a power-of-two bucket: mask-aware pooling makes the
+        # embedding identical to the exact-length forward, and the CLI
+        # compiles a handful of XLA shapes instead of one per file length
+        n = len(wav)
+        bucket = max(1 << 14, 1 << (max(n, 2) - 1).bit_length())
+        padded = np.zeros(bucket, np.float32)
+        padded[:n] = wav
         emb = self._embed_fn(
             self.variables,
             {
-                "wav": jnp.asarray(wav[None]),
-                "length": jnp.asarray([len(wav)]),
+                "wav": jnp.asarray(padded[None]),
+                "length": jnp.asarray([n]),
             },
         )
         return np.asarray(emb[0])
