@@ -486,3 +486,80 @@ class TestParallelLoaders:
             p.set_epoch(e)
             next(iter(p))  # abandon after one batch every epoch
         p.close()
+
+    @pytest.fixture
+    def shard_corpus(self, tmp_path):
+        import tarfile as _tar
+
+        rng = np.random.default_rng(8)
+        wav_dir = tmp_path / "wavs"
+        wav_dir.mkdir()
+        shards = []
+        k = 0
+        for s in range(4):
+            tp = str(tmp_path / f"shard{s}.tar")
+            with _tar.open(tp, "w") as tf:
+                for u in range(15):
+                    spk = f"s{k % 5}"
+                    key = f"{spk}u{k}"
+                    wp = str(wav_dir / f"{key}.wav")
+                    n = int(rng.integers(17000, 30000))
+                    write_wav(wp, (rng.standard_normal(n) * 0.1)
+                              .clip(-1, 1).astype(np.float32))
+                    tf.add(wp, arcname=key + ".wav")
+                    sp = str(wav_dir / f"{key}.spk")
+                    with open(sp, "w") as f:
+                        f.write(spk + "\n")
+                    tf.add(sp, arcname=key + ".spk")
+                    k += 1
+            shards.append(tp)
+        return {"shards": shards, "spk2id": {f"s{i}": i for i in range(5)}}
+
+    def test_native_shard_pipeline(self, shard_corpus):
+        from wespeaker_hubert_tpu.data import NativeTrainPipeline
+        from wespeaker_hubert_tpu.data.native_loader import native_available
+
+        if not native_available():
+            pytest.skip("no native loader")
+        cfg = self._cfg(data_type="shard", shuffle_size=16)
+        p = NativeTrainPipeline(shard_corpus["shards"],
+                                shard_corpus["spk2id"], cfg, num_threads=2)
+        p.set_epoch(0)
+        a = list(p)
+        assert len(a) > 0
+        assert p._loader.decode_failures() == 0
+        for x in a:
+            assert x["wav"].shape == (8, p.input_samples)
+            assert 0 <= x["label"].min() and x["label"].max() < 5 * 3
+            assert np.abs(x["wav"]).sum() > 0
+        # deterministic for a fixed thread count
+        b = list(p)
+        for x, y in zip(a, b):
+            for kk in x:
+                np.testing.assert_array_equal(x[kk], y[kk])
+        # epochs reshuffle
+        p.set_epoch(1)
+        c = list(p)
+        assert any(not np.array_equal(x["wav"], y["wav"])
+                   for x, y in zip(a, c))
+
+    def test_native_shard_counts_compressed_as_failure(self, shard_corpus,
+                                                       tmp_path):
+        import gzip as _gzip
+
+        from wespeaker_hubert_tpu.data import NativeTrainPipeline
+        from wespeaker_hubert_tpu.data.native_loader import native_available
+
+        if not native_available():
+            pytest.skip("no native loader")
+        gz = str(tmp_path / "bad.tar.gz")
+        with open(shard_corpus["shards"][0], "rb") as f:
+            data = f.read()
+        with _gzip.open(gz, "wb") as f:
+            f.write(data)
+        cfg = self._cfg(data_type="shard", shuffle_size=16)
+        p = NativeTrainPipeline([gz], shard_corpus["spk2id"], cfg,
+                                num_threads=1)
+        p.set_epoch(0)
+        assert list(p) == []
+        assert p._loader.decode_failures() == 1

@@ -54,14 +54,34 @@ def test_loader_race_free(tmp_path):
     with open(lst, "w") as f:
         f.write("\n".join(paths) + "\n")
 
+    # tar shards for the v3 loader stress
+    import tarfile
+
+    shard_paths = []
+    for s in range(3):
+        tp = str(tmp_path / f"shard{s}.tar")
+        with tarfile.open(tp, "w") as tf:
+            for i, p in enumerate(paths[s::3]):
+                key = f"s{i % 3}u{s}_{i}"
+                tf.add(p, arcname=key + ".wav")
+                spk = tmp_path / "x.spk"
+                spk.write_text(f"s{i % 3}")
+                tf.add(str(spk), arcname=key + ".spk")
+        shard_paths.append(tp)
+    tlst = str(tmp_path / "shards.txt")
+    with open(tlst, "w") as f:
+        f.write("\n".join(shard_paths) + "\n")
+
     proc = subprocess.run(
-        [binary, lst, "5"], capture_output=True, text=True, timeout=120
+        [binary, lst, "5", tlst], capture_output=True, text=True,
+        timeout=120,
     )
     report = proc.stdout + proc.stderr
     assert proc.returncode == 0, report
     assert "WARNING: ThreadSanitizer" not in report, report
     assert "consumed" in proc.stdout
     assert "consumed2" in proc.stdout
+    assert "consumed3" in proc.stdout
 
 
 if __name__ == "__main__":

@@ -579,8 +579,12 @@ class NativeTrainPipeline:
     streaming shuffle; a strictly stronger shuffle) — both are valid
     realizations of the reference's sampling distribution.
 
-    Raw JSONL lists only; entries with VAD crops or 'shard' data need the
-    python pipeline (bin/train falls back automatically).
+    Raw JSONL lists use the reorder-window Loader2; tar-shard lists use
+    the shard-striped Loader3 (per-worker bounded-buffer shuffle,
+    round-robin batch emission — also deterministic).  Entries with VAD
+    crops, compressed shards, or unpacked-aug/unshuffled/keep-last
+    configs need the python pipeline (bin/train falls back
+    automatically).
     """
 
     def __init__(
@@ -594,10 +598,13 @@ class NativeTrainPipeline:
         world_size: int = 1,
         num_threads: int = 8,
     ):
-        from .native_loader import DeterministicNativeLoader
+        from .native_loader import (
+            DeterministicNativeLoader,
+            DeterministicNativeShardLoader,
+        )
 
-        if cfg.data_type != "raw":
-            raise ValueError("native pipeline supports raw lists only")
+        if cfg.data_type not in ("raw", "shard"):
+            raise ValueError(f"unknown data_type {cfg.data_type!r}")
         if not cfg.packed_aug and (reverb_store or noise_store):
             # the unpacked per-row aug layout is python-pipeline only;
             # proceeding would silently train WITHOUT reverb/noise
@@ -631,36 +638,54 @@ class NativeTrainPipeline:
         )
         self.aug_counts = TrainPipeline._compute_aug_counts(self)
 
-        paths, labels = [], []
-        for line in data_list:
-            obj = json.loads(line)
-            if "vad" in obj:
-                raise ValueError(
-                    "VAD-cropped entries need the python pipeline"
-                )
-            spk = obj.get("spk", "")
-            if spk not in spk2id:
-                continue
-            paths.append(obj["wav"])
-            labels.append(spk2id[spk])
         min_samp = int(
             cfg.filter_min_frames * cfg.frame_shift_ms / 1000 * cfg.sample_rate
         )
         max_samp = int(
             cfg.filter_max_frames * cfg.frame_shift_ms / 1000 * cfg.sample_rate
         )
-        self._loader = DeterministicNativeLoader(
-            paths, labels,
-            chunk_samples=self.input_samples,
-            batch_size=cfg.batch_size,
-            num_spks=len(spk2id) if cfg.speed_perturb else 0,
-            min_samples=min_samp,
-            max_samples=max_samp,
-            seed=cfg.seed,
-            num_threads=num_threads,
-            rank=rank,
-            world_size=world_size,
-        )
+        num_spks = len(spk2id) if cfg.speed_perturb else 0
+        if cfg.data_type == "shard":
+            # tar shards: shard-striped C++ worker pool + per-worker
+            # bounded-buffer shuffle, round-robin batch emission (Loader3)
+            self._loader = DeterministicNativeShardLoader(
+                list(data_list), spk2id,
+                chunk_samples=self.input_samples,
+                batch_size=cfg.batch_size,
+                num_spks=num_spks,
+                min_samples=min_samp,
+                max_samples=max_samp,
+                shuffle_size=cfg.shuffle_size,
+                seed=cfg.seed,
+                num_threads=num_threads,
+                rank=rank,
+                world_size=world_size,
+            )
+        else:
+            paths, labels = [], []
+            for line in data_list:
+                obj = json.loads(line)
+                if "vad" in obj:
+                    raise ValueError(
+                        "VAD-cropped entries need the python pipeline"
+                    )
+                spk = obj.get("spk", "")
+                if spk not in spk2id:
+                    continue
+                paths.append(obj["wav"])
+                labels.append(spk2id[spk])
+            self._loader = DeterministicNativeLoader(
+                paths, labels,
+                chunk_samples=self.input_samples,
+                batch_size=cfg.batch_size,
+                num_spks=num_spks,
+                min_samples=min_samp,
+                max_samples=max_samp,
+                seed=cfg.seed,
+                num_threads=num_threads,
+                rank=rank,
+                world_size=world_size,
+            )
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -710,9 +735,10 @@ class NativeTrainPipeline:
             import logging
 
             logging.getLogger("data").warning(
-                "native loader: %d wav(s) not decodable by the C parser "
-                "were skipped this run (unusual formats need the python "
-                "pipeline: set num_workers: 0)", failures,
+                "native loader: %d item(s) skipped (wavs the C parser "
+                "cannot decode, or compressed/unreadable shards) — "
+                "unusual formats need the python pipeline "
+                "(num_workers: 0)", failures,
             )
 
     def close(self):

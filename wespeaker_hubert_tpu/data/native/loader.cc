@@ -22,7 +22,9 @@
 #include <queue>
 #include <random>
 #include <string>
+#include <deque>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -34,21 +36,9 @@ struct Sample {
 };
 
 // ---------------------------------------------------------------- wav io
-bool ReadWavMono(const std::string& path, std::vector<float>* out,
-                 int* sr_out = nullptr) {
-  FILE* f = fopen(path.c_str(), "rb");
-  if (!f) return false;
-  fseek(f, 0, SEEK_END);
-  long size = ftell(f);
-  fseek(f, 0, SEEK_SET);
-  if (size < 44) { fclose(f); return false; }
-  std::vector<uint8_t> buf(size);
-  if (fread(buf.data(), 1, size, f) != static_cast<size_t>(size)) {
-    fclose(f);
-    return false;
-  }
-  fclose(f);
-
+bool DecodeWavBytes(const std::vector<uint8_t>& buf, std::vector<float>* out,
+                    int* sr_out = nullptr) {
+  if (buf.size() < 44) return false;
   if (memcmp(buf.data(), "RIFF", 4) || memcmp(buf.data() + 8, "WAVE", 4))
     return false;
 
@@ -105,6 +95,23 @@ bool ReadWavMono(const std::string& path, std::vector<float>* out,
     pos += 8 + csize + (csize & 1);
   }
   return false;
+}
+
+bool ReadWavMono(const std::string& path, std::vector<float>* out,
+                 int* sr_out = nullptr) {
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  if (size < 44) { fclose(f); return false; }
+  std::vector<uint8_t> buf(size);
+  if (fread(buf.data(), 1, size, f) != static_cast<size_t>(size)) {
+    fclose(f);
+    return false;
+  }
+  fclose(f);
+  return DecodeWavBytes(buf, out, sr_out);
 }
 
 // ------------------------------------------------------------ chunk policy
@@ -399,6 +406,326 @@ struct Loader2 {
   }
 };
 
+// --------------------------------------------------- shard (tar) loader v3
+//
+// The reference's primary training input is webdataset-style tar shards
+// (KEY.wav + KEY.spk members, tools/make_shard_list.py).  Tars are
+// sequential by nature, so parallelism here is ACROSS shards: each worker
+// thread streams its `[worker::num_workers]` stripe of this rank's
+// shard list, applies the same per-sample policy as Loader2 (filter,
+// chunk, speed draw + label expansion) plus a bounded-buffer shuffle
+// (reference processor.py:198), and assembles full batches; the consumer
+// emits batches ROUND-ROBIN over workers.  Batch composition is a pure
+// function of (seed, epoch, rank, world, num_workers) — deterministic
+// for any thread timing, like the python PrefetchPipeline but off-GIL.
+//
+// Plain (uncompressed) POSIX/GNU tar only — compressed shards fall back
+// to the python pipeline (decode_failures counts skipped shards).
+
+struct TarEntry {
+  std::string name;
+  std::vector<uint8_t> data;
+};
+
+// streams regular-file entries from an uncompressed tar
+struct TarReader {
+  FILE* f = nullptr;
+  bool ok = false;
+
+  explicit TarReader(const std::string& path) {
+    f = fopen(path.c_str(), "rb");
+    if (!f) return;
+    // compressed shards (gzip 1f 8b, zstd 28 b5, xz fd 37) unsupported
+    uint8_t magic[2];
+    if (fread(magic, 1, 2, f) != 2 ||
+        (magic[0] == 0x1f && magic[1] == 0x8b) ||
+        (magic[0] == 0x28 && magic[1] == 0xb5) ||
+        (magic[0] == 0xfd && magic[1] == 0x37)) {
+      fclose(f);
+      f = nullptr;
+      return;
+    }
+    fseek(f, 0, SEEK_SET);
+    ok = true;
+  }
+
+  ~TarReader() {
+    if (f) fclose(f);
+  }
+
+  bool Next(TarEntry* e) {
+    if (!f) return false;
+    uint8_t hdr[512];
+    std::string longname;
+    while (true) {
+      if (fread(hdr, 1, 512, f) != 512) return false;
+      bool empty = true;
+      for (int i = 0; i < 512; ++i)
+        if (hdr[i]) { empty = false; break; }
+      if (empty) return false;  // end-of-archive blocks
+      char size_field[13];
+      memcpy(size_field, hdr + 124, 12);
+      size_field[12] = 0;
+      long size = strtol(size_field, nullptr, 8);
+      if (size < 0) return false;
+      long padded = (size + 511) & ~511L;
+      char type = static_cast<char>(hdr[156]);
+      if (type == 'L') {  // GNU long name: payload is the next entry's name
+        std::vector<char> nm(size + 1, 0);
+        if (fread(nm.data(), 1, size, f) != static_cast<size_t>(size))
+          return false;
+        fseek(f, padded - size, SEEK_CUR);
+        longname.assign(nm.data());
+        continue;
+      }
+      if (type != '0' && type != 0) {  // not a regular file: skip payload
+        fseek(f, padded, SEEK_CUR);
+        continue;
+      }
+      std::string name;
+      if (!longname.empty()) {
+        name = longname;
+      } else {
+        char nm[101];
+        memcpy(nm, hdr, 100);
+        nm[100] = 0;
+        char pre[156];
+        memcpy(pre, hdr + 345, 155);
+        pre[155] = 0;
+        name = pre[0] ? std::string(pre) + "/" + nm : std::string(nm);
+      }
+      e->name = std::move(name);
+      e->data.resize(size);
+      if (size &&
+          fread(e->data.data(), 1, size, f) != static_cast<size_t>(size))
+        return false;
+      fseek(f, padded - size, SEEK_CUR);
+      return true;
+    }
+  }
+};
+
+struct Batch3 {
+  std::vector<float> wav;
+  std::vector<int32_t> label;
+  std::vector<int32_t> speed;
+};
+
+struct Loader3 {
+  std::vector<std::string> shards;
+  std::unordered_map<std::string, int32_t> spk2id;
+  int num_spks = 0;  // >0: speed perturb + x3 labels
+  int chunk_samples;
+  int batch_size;
+  int min_samples;
+  int max_samples;
+  int shuffle_size;
+  unsigned seed;
+  int num_threads;
+  int rank = 0, world = 1;
+  size_t queue_cap = 4;
+
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable cv_push, cv_pop;
+  std::vector<std::deque<Batch3>> queues;   // one per worker
+  std::vector<bool> done;
+  std::atomic<int> epoch{0};
+  std::atomic<bool> stop{false};
+  std::atomic<long> decode_failures{0};
+  size_t turn = 0;  // round-robin cursor over live workers
+
+  void Worker(int w) {
+    // this worker's shard stripe of this rank's epoch order
+    std::vector<size_t> order(shards.size());
+    for (size_t i = 0; i < order.size(); ++i) order[i] = i;
+    std::mt19937 shard_rng(seed + 1000003u * epoch.load());
+    std::shuffle(order.begin(), order.end(), shard_rng);
+    std::vector<size_t> mine;
+    for (size_t i = rank; i < order.size(); i += world)
+      mine.push_back(order[i]);
+    // worker stripe
+    std::vector<size_t> stripe;
+    for (size_t i = w; i < mine.size(); i += num_threads)
+      stripe.push_back(mine[i]);
+
+    std::mt19937 shuffle_rng(seed + 77u * epoch.load() + 7919u * w);
+    struct Pending {
+      std::vector<float> wav;
+      int32_t label, speed;
+    };
+    std::vector<Pending> buf;
+    Batch3 cur;
+    cur.wav.reserve(static_cast<size_t>(batch_size) * chunk_samples);
+
+    auto emit_sample = [&](Pending&& p) {
+      cur.wav.insert(cur.wav.end(), p.wav.begin(), p.wav.end());
+      cur.label.push_back(p.label);
+      cur.speed.push_back(p.speed);
+      if (static_cast<int>(cur.label.size()) == batch_size) {
+        std::unique_lock<std::mutex> lock(mu);
+        cv_push.wait(lock, [this, w] {
+          return queues[w].size() < queue_cap || stop.load();
+        });
+        if (stop.load()) return false;
+        queues[w].push_back(std::move(cur));
+        lock.unlock();
+        cv_pop.notify_all();
+        cur = Batch3();
+        cur.wav.reserve(static_cast<size_t>(batch_size) * chunk_samples);
+      }
+      return true;
+    };
+
+    auto push_shuffled = [&](Pending&& p) {
+      // bounded-buffer streaming shuffle (reference processor.py:198)
+      buf.push_back(std::move(p));
+      if (static_cast<int>(buf.size()) >= shuffle_size) {
+        size_t idx = std::uniform_int_distribution<size_t>(
+            0, buf.size() - 1)(shuffle_rng);
+        std::swap(buf[idx], buf.back());
+        Pending out = std::move(buf.back());
+        buf.pop_back();
+        return emit_sample(std::move(out));
+      }
+      return true;
+    };
+
+    bool alive = true;
+    for (size_t si : stripe) {
+      if (!alive || stop.load()) break;
+      TarReader tr(shards[si]);
+      if (!tr.ok) {
+        ++decode_failures;  // unreadable/compressed shard
+        continue;
+      }
+      TarEntry e;
+      std::string cur_key, cur_spk;
+      std::vector<uint8_t> cur_wav;
+      long sample_idx = 0;
+      auto flush_group = [&]() {
+        if (cur_key.empty() || cur_wav.empty()) return true;
+        auto it = spk2id.find(cur_spk);
+        if (it == spk2id.end()) return true;
+        std::vector<float> wav;
+        if (!DecodeWavBytes(cur_wav, &wav)) {
+          ++decode_failures;
+          return true;
+        }
+        if (wav.size() < static_cast<size_t>(min_samples) ||
+            wav.size() > static_cast<size_t>(max_samples))
+          return true;
+        Pending p;
+        p.label = it->second;
+        p.speed = 0;
+        std::mt19937 rng(seed + 104729u * epoch.load() +
+                         2654435761u * static_cast<unsigned>(
+                             std::hash<std::string>{}(cur_key) ^
+                             static_cast<size_t>(si * 131 + sample_idx)));
+        if (num_spks > 0) {
+          p.speed = static_cast<int32_t>(rng() % 3);
+          p.label += static_cast<int32_t>(num_spks) * p.speed;
+        }
+        p.wav.resize(chunk_samples);
+        RandomChunk(wav, chunk_samples, &rng, p.wav.data());
+        ++sample_idx;
+        return push_shuffled(std::move(p));
+      };
+      while (alive && !stop.load() && tr.Next(&e)) {
+        auto dot = e.name.rfind('.');
+        if (dot == std::string::npos) continue;
+        std::string base = e.name.substr(0, dot);
+        std::string ext = e.name.substr(dot + 1);
+        if (base != cur_key) {
+          alive = flush_group();
+          cur_key = base;
+          cur_spk.clear();
+          cur_wav.clear();
+        }
+        if (ext == "wav") {
+          cur_wav = std::move(e.data);
+        } else if (ext == "spk" || ext == "txt") {
+          cur_spk.assign(e.data.begin(), e.data.end());
+          while (!cur_spk.empty() &&
+                 (cur_spk.back() == '\n' || cur_spk.back() == '\r' ||
+                  cur_spk.back() == ' '))
+            cur_spk.pop_back();
+        }
+      }
+      if (alive) alive = flush_group();
+    }
+    // drain the shuffle buffer (reference: final buffer is shuffled whole)
+    if (alive && !stop.load()) {
+      std::shuffle(buf.begin(), buf.end(), shuffle_rng);
+      for (auto& p : buf) {
+        if (!emit_sample(std::move(p))) break;
+      }
+    }
+    {
+      std::lock_guard<std::mutex> lock(mu);
+      done[w] = true;  // partial `cur` batch is dropped (training drop_last)
+    }
+    cv_pop.notify_all();
+  }
+
+  void StartEpoch(int e) {
+    JoinWorkers();
+    epoch = e;
+    queues.assign(num_threads, {});
+    done.assign(num_threads, false);
+    turn = 0;
+    stop = false;
+    for (int i = 0; i < num_threads; ++i)
+      workers.emplace_back(&Loader3::Worker, this, i);
+  }
+
+  void JoinWorkers() {
+    {
+      std::lock_guard<std::mutex> lock(mu);
+      stop = true;
+    }
+    cv_push.notify_all();
+    cv_pop.notify_all();
+    for (auto& t : workers)
+      if (t.joinable()) t.join();
+    workers.clear();
+    stop = false;
+  }
+
+  int NextBatch(float* wav_out, int32_t* label_out, int32_t* speed_out) {
+    std::unique_lock<std::mutex> lock(mu);
+    while (true) {
+      // advance the round-robin turn past finished-and-empty workers
+      int live = 0;
+      for (int i = 0; i < num_threads; ++i)
+        if (!done[i] || !queues[i].empty()) ++live;
+      if (live == 0) return 0;
+      size_t w = turn % num_threads;
+      while (done[w] && queues[w].empty()) {
+        turn = (turn + 1) % num_threads;
+        w = turn % num_threads;
+      }
+      if (!queues[w].empty()) {
+        Batch3 b = std::move(queues[w].front());
+        queues[w].pop_front();
+        turn = (turn + 1) % num_threads;
+        lock.unlock();
+        cv_push.notify_all();
+        int n = static_cast<int>(b.label.size());
+        memcpy(wav_out, b.wav.data(), sizeof(float) * b.wav.size());
+        memcpy(label_out, b.label.data(), sizeof(int32_t) * n);
+        if (speed_out)
+          memcpy(speed_out, b.speed.data(), sizeof(int32_t) * n);
+        return n;
+      }
+      cv_pop.wait(lock, [this, w] {
+        return !queues[w].empty() || done[w] || stop.load();
+      });
+      if (stop.load()) return 0;
+    }
+  }
+};
+
 }  // namespace
 
 extern "C" {
@@ -469,6 +796,48 @@ void loader2_destroy(void* h) {
 
 long loader2_failures(void* h) {
   return static_cast<Loader2*>(h)->decode_failures.load();
+}
+
+void* loader3_create(const char** shards, int n_shards,
+                     const char** spk_names, const int32_t* spk_ids,
+                     int n_spks_map, int num_spks, int chunk_samples,
+                     int batch_size, int min_samples, int max_samples,
+                     int shuffle_size, unsigned seed, int num_threads,
+                     int rank, int world) {
+  auto* l = new Loader3();
+  l->shards.assign(shards, shards + n_shards);
+  for (int i = 0; i < n_spks_map; ++i)
+    l->spk2id.emplace(spk_names[i], spk_ids[i]);
+  l->num_spks = num_spks;
+  l->chunk_samples = chunk_samples;
+  l->batch_size = batch_size;
+  l->min_samples = min_samples;
+  l->max_samples = max_samples > 0 ? max_samples : INT32_MAX;
+  l->shuffle_size = shuffle_size > 1 ? shuffle_size : 2;
+  l->seed = seed;
+  l->num_threads = num_threads > 0 ? num_threads : 4;
+  l->rank = rank;
+  l->world = world > 0 ? world : 1;
+  return l;
+}
+
+void loader3_start_epoch(void* h, int epoch) {
+  static_cast<Loader3*>(h)->StartEpoch(epoch);
+}
+
+int loader3_next(void* h, float* wav_out, int32_t* label_out,
+                 int32_t* speed_out) {
+  return static_cast<Loader3*>(h)->NextBatch(wav_out, label_out, speed_out);
+}
+
+long loader3_failures(void* h) {
+  return static_cast<Loader3*>(h)->decode_failures.load();
+}
+
+void loader3_destroy(void* h) {
+  auto* l = static_cast<Loader3*>(h);
+  l->JoinWorkers();
+  delete l;
 }
 
 // standalone wav decode for tests / tools

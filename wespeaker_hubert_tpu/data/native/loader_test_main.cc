@@ -26,6 +26,15 @@ void* loader2_create(const char** paths, const int* labels, int n,
 void loader2_start_epoch(void* h, int epoch);
 int loader2_next(void* h, float* wav_out, int* label_out, int* speed_out);
 void loader2_destroy(void* h);
+void* loader3_create(const char** shards, int n_shards,
+                     const char** spk_names, const int* spk_ids,
+                     int n_spks_map, int num_spks, int chunk_samples,
+                     int batch_size, int min_samples, int max_samples,
+                     int shuffle_size, unsigned seed, int num_threads,
+                     int rank, int world);
+void loader3_start_epoch(void* h, int epoch);
+int loader3_next(void* h, float* wav_out, int* label_out, int* speed_out);
+void loader3_destroy(void* h);
 }
 
 int main(int argc, char** argv) {
@@ -88,5 +97,41 @@ int main(int argc, char** argv) {
   loader2_next(h2, wav.data(), lab.data(), nullptr);  // consume one batch
   loader2_destroy(h2);                                // teardown w/ live workers
   printf("consumed2 %ld samples over %d epochs\n", total2, epochs);
+
+  // v3 shard loader: optional tar list as argv[3]
+  if (argc > 3) {
+    std::vector<std::string> shards;
+    FILE* f3 = fopen(argv[3], "r");
+    if (!f3) return 2;
+    char line[4096];
+    while (fgets(line, sizeof line, f3)) {
+      size_t n = strlen(line);
+      while (n && (line[n - 1] == '\n' || line[n - 1] == '\r')) line[--n] = 0;
+      if (n) shards.emplace_back(line);
+    }
+    fclose(f3);
+    std::vector<const char*> cshards;
+    for (auto& s : shards) cshards.push_back(s.c_str());
+    const char* names[] = {"s0", "s1", "s2"};
+    int ids[] = {0, 1, 2};
+    void* h3 = loader3_create(cshards.data(),
+                              static_cast<int>(cshards.size()), names, ids,
+                              3, 3, chunk, batch, 1000, 1 << 28, 8, 7u, 6,
+                              0, 1);
+    std::vector<int> speed3(batch);
+    long total3 = 0;
+    for (int e = 0; e < epochs; ++e) {
+      loader3_start_epoch(h3, e);
+      int n;
+      while ((n = loader3_next(h3, wav.data(), lab.data(),
+                               speed3.data())) == batch)
+        total3 += n;
+      total3 += n;
+    }
+    loader3_start_epoch(h3, 98);                       // abandon mid-epoch
+    loader3_next(h3, wav.data(), lab.data(), nullptr);
+    loader3_destroy(h3);
+    printf("consumed3 %ld samples over %d epochs\n", total3, epochs);
+  }
   return 0;
 }

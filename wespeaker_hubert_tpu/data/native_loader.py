@@ -21,6 +21,7 @@ import numpy as np
 
 __all__ = [
     "DeterministicNativeLoader",
+    "DeterministicNativeShardLoader",
     "NativeLoader",
     "native_available",
     "decode_wav_native",
@@ -109,6 +110,25 @@ def _lib():
     lib.loader2_destroy.argtypes = [ctypes.c_void_p]
     lib.loader2_failures.restype = ctypes.c_long
     lib.loader2_failures.argtypes = [ctypes.c_void_p]
+    lib.loader3_create.restype = ctypes.c_void_p
+    lib.loader3_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.loader3_start_epoch.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.loader3_next.restype = ctypes.c_int
+    lib.loader3_next.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.loader3_failures.restype = ctypes.c_long
+    lib.loader3_failures.argtypes = [ctypes.c_void_p]
+    lib.loader3_destroy.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
 
@@ -227,6 +247,82 @@ class DeterministicNativeLoader:
     def close(self):
         if self._h:
             self._lib.loader2_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class DeterministicNativeShardLoader:
+    """Deterministic multi-threaded (wav, label, speed_idx) batches from
+    webdataset-style TAR SHARDS (reference tools/make_shard_list.py).
+
+    C++ v3 loader (data/native/loader.cc Loader3): shards stripe across
+    worker threads; each worker streams tar entries, applies the
+    filter/chunk/speed policy + a bounded-buffer shuffle, and assembles
+    full batches; batches emit round-robin over workers — deterministic
+    for any thread timing.  Plain (uncompressed) tars only."""
+
+    def __init__(
+        self,
+        shards: List[str],
+        spk2id: dict,
+        chunk_samples: int,
+        batch_size: int,
+        num_spks: int = 0,
+        min_samples: int = 16000,
+        max_samples: int = 0,
+        shuffle_size: int = 2500,
+        seed: int = 42,
+        num_threads: int = 8,
+        rank: int = 0,
+        world_size: int = 1,
+    ):
+        lib = _lib()
+        assert lib is not None, "native loader unavailable (no g++?)"
+        self._lib = lib
+        self.batch_size = batch_size
+        self.chunk_samples = chunk_samples
+        self._shards_keepalive = [s.encode() for s in shards]
+        arr = (ctypes.c_char_p * len(shards))(*self._shards_keepalive)
+        names = sorted(spk2id)
+        self._names_keepalive = [n.encode() for n in names]
+        narr = (ctypes.c_char_p * len(names))(*self._names_keepalive)
+        ids = np.ascontiguousarray([spk2id[n] for n in names], np.int32)
+        self._h = lib.loader3_create(
+            arr, len(shards), narr,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(names),
+            num_spks, chunk_samples, batch_size, min_samples, max_samples,
+            shuffle_size, seed, num_threads, rank, world_size,
+        )
+
+    def epoch(
+        self, epoch: int
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        self._lib.loader3_start_epoch(self._h, epoch)
+        while True:
+            wav = np.empty((self.batch_size, self.chunk_samples), np.float32)
+            label = np.empty((self.batch_size,), np.int32)
+            speed = np.zeros((self.batch_size,), np.int32)
+            n = self._lib.loader3_next(
+                self._h,
+                wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                label.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                speed.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+            if n < self.batch_size:
+                break
+            yield wav, label, speed
+
+    def decode_failures(self) -> int:
+        return int(self._lib.loader3_failures(self._h))
+
+    def close(self):
+        if self._h:
+            self._lib.loader3_destroy(self._h)
             self._h = None
 
     def __del__(self):
