@@ -26,8 +26,9 @@ import numpy as np
 import bench_all
 
 
-def capture(loop_steps=8, batch=128, trace_dir="/tmp/train_trace"):
-    step, state, b, key = _build_step(loop_steps, batch)
+def capture(loop_steps=8, batch=128, trace_dir="/tmp/train_trace",
+            model="ECAPA_TDNN_GLOB_c1024"):
+    step, state, b, key = _build_step(loop_steps, batch, model)
     state, m = step(state, b, key)  # compile + warm
     float(m["loss"] if loop_steps == 1 else m["loss"][-1])
 
@@ -113,7 +114,7 @@ def report(trace_dir="/tmp/train_trace", loop_steps=8, batch=128,
         print(json.dumps(row))
 
 
-def _build_step(loop_steps=8, batch=128):
+def _build_step(loop_steps=8, batch=128, model="ECAPA_TDNN_GLOB_c1024"):
     """Same production step as capture(); returns (step, state, b, key)."""
     from wespeaker_hubert_tpu.data.dataset import chunk_samples_for_frames
     from wespeaker_hubert_tpu.models import get_projection, get_speaker_model
@@ -130,8 +131,7 @@ def _build_step(loop_steps=8, batch=128):
     )
 
     num_frms, num_class = 200, 17982
-    backbone = get_speaker_model("ECAPA_TDNN_GLOB_c1024")(
-        feat_dim=80, embed_dim=192)
+    backbone = get_speaker_model(model)(feat_dim=80, embed_dim=192)
     projection = get_projection(
         {"project_type": "arc_margin", "embed_dim": 192,
          "num_class": num_class, "scale": 32.0})
