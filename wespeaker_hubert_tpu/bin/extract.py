@@ -169,15 +169,21 @@ def extract(
             break
         wav, length = batch["wav"], batch["length"]
         n_real = len(wav)
-        if mesh is not None:
-            # pad rows (repeat the last) to a multiple of the data axis;
-            # padded embeddings are trimmed after fetch
-            pad = (-n_real) % n_shards
-            if pad:
-                wav = np.concatenate([wav, np.repeat(wav[-1:], pad, 0)])
-                length = np.concatenate(
-                    [length, np.repeat(length[-1:], pad, 0)]
-                )
+        # pad rows (repeat the last) to the bucket's full batch size —
+        # a tail batch with fewer rows would compile one extra XLA
+        # program per (bucket, count) pair; padded embeddings are
+        # trimmed after fetch.  Sharded mode additionally needs a
+        # multiple of the data axis (full batch size always is: bin/train
+        # asserts divisibility and _batch_for scales proportionally).
+        full = pipe._batch_for(wav.shape[1])
+        if mesh is not None:  # shard-aligned row count
+            full = -(-full // n_shards) * n_shards
+        pad = full - n_real
+        if pad > 0:
+            wav = np.concatenate([wav, np.repeat(wav[-1:], pad, 0)])
+            length = np.concatenate(
+                [length, np.repeat(length[-1:], pad, 0)]
+            )
         e = embed_fn(
             variables,
             {"wav": jnp.asarray(wav), "length": jnp.asarray(length)},
