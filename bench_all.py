@@ -198,11 +198,9 @@ def bench_ssl_frontend_extract(batch=16, seconds=10.0, iters=5,
             "backbone": bvars.get("batch_stats", {}),
         },
     }
-    variables = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-        variables,
-    )
+    from wespeaker_hubert_tpu.train import cast_variables_bf16
+
+    variables = cast_variables_bf16(variables)
     embed_fn = make_eval_embed(net, compute_dtype=jnp.bfloat16)
     out = embed_fn(variables, {"wav": wav})
     _ = np.asarray(out[:1, :1])
@@ -396,6 +394,10 @@ def main():
                    help="legacy per-row aug_type layout (production uses packed)")
     p.add_argument("--dino", action="store_true",
                    help="benchmark the DINO SSL train step")
+    p.add_argument("--moco", action="store_true",
+                   help="benchmark the MoCo SSL train step")
+    p.add_argument("--ssl_frontend", action="store_true",
+                   help="benchmark WavLM-Large frontend extraction")
     args = p.parse_args()
 
     results = []
@@ -439,6 +441,27 @@ def main():
             "value": round(tp, 1),
             "unit": "audio_s/s/chip",
             "utts_per_s": round(utts, 1),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    if args.moco:
+        tp, utts = bench_moco_step()
+        row = {
+            "metric": "MoCo_ECAPA_c512_ssl_train_step",
+            "value": round(tp, 1),
+            "unit": "audio_s/s/chip",
+            "utts_per_s": round(utts, 1),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    if args.ssl_frontend:
+        tp = bench_ssl_frontend_extract()
+        row = {
+            "metric": "WavLM_Large_ECAPA_c512_extract_bf16",
+            "value": round(tp, 1),
+            "unit": "audio_s/s/chip",
         }
         results.append(row)
         print(json.dumps(row), flush=True)

@@ -543,7 +543,7 @@ class TestParallelLoaders:
         assert any(not np.array_equal(x["wav"], y["wav"])
                    for x, y in zip(a, c))
 
-    def test_native_shard_counts_compressed_as_failure(self, shard_corpus,
+    def test_native_shard_rejects_compressed(self, shard_corpus,
                                                        tmp_path):
         import gzip as _gzip
 
@@ -558,11 +558,12 @@ class TestParallelLoaders:
         with _gzip.open(gz, "wb") as f:
             f.write(data)
         cfg = self._cfg(data_type="shard", shuffle_size=16)
-        p = NativeTrainPipeline([gz], shard_corpus["spk2id"], cfg,
+        # constructor probes shard magics: compressed shards must raise so
+        # bin/train falls back to the python pipeline (which handles them)
+        # instead of silently training on an empty stream
+        with pytest.raises(ValueError, match="compressed shard"):
+            NativeTrainPipeline([gz], shard_corpus["spk2id"], cfg,
                                 num_threads=1)
-        p.set_epoch(0)
-        assert list(p) == []
-        assert p._loader.decode_failures() == 1
 
     def test_native_loader_content_matches_label(self, tmp_path):
         """Wav content must travel with its label: each utterance is a

@@ -118,13 +118,10 @@ def extract(
     # (docs/BENCH_LOCAL.md); default stays f32 for bit-stable eval
     compute_dtype = None
     if str(config.get("compute_dtype", "")).lower() in ("bf16", "bfloat16"):
+        from ..train import cast_variables_bf16
+
         compute_dtype = jnp.bfloat16
-        variables = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32
-            else x,
-            variables,
-        )
+        variables = cast_variables_bf16(variables)
         logger.info("bf16 inference enabled")
 
     mesh = None

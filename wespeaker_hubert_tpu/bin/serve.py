@@ -79,14 +79,9 @@ class EmbeddingService:
         self._compute_dtype = jnp.bfloat16 if bf16 else None
         self._variables = self.speaker.variables
         if bf16:
-            import jax
+            from ..train import cast_variables_bf16
 
-            self._variables = jax.tree.map(
-                lambda x: x.astype(jnp.bfloat16)
-                if hasattr(x, "dtype") and x.dtype == jnp.float32
-                else x,
-                self._variables,
-            )
+            self._variables = cast_variables_bf16(self._variables)
         self._embed = make_chunked_embed(
             self.speaker.net, self.speaker.fbank_cfg, chunk_frames,
             compute_dtype=self._compute_dtype,

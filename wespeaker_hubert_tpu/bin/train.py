@@ -230,7 +230,19 @@ def train(config: str | dict, **overrides):
 
     # ---- schedules (LR batch-scaled like reference train.py:192)
     num_epochs = config.get("num_epochs", 150)
-    epoch_iter = config.get("epoch_iter", max(1, len(data_list) * 8 // batch_size))
+    epoch_iter = config.get("epoch_iter")
+    if epoch_iter is None:
+        if config.get("data_type", "raw") == "shard":
+            # shard-list LINES are tar paths, not utterances — deriving
+            # epoch_iter from them would silently run a tiny fraction of
+            # each epoch AND desync the LR/margin schedules' total-step
+            # accounting (reference configs always set epoch_iter).
+            raise ValueError(
+                "data_type=shard requires an explicit epoch_iter "
+                "(utterances-per-tar is unknown to the driver; e.g. "
+                "total_utts // batch_size)"
+            )
+        epoch_iter = max(1, len(data_list) * 8 // batch_size)
     sched_args = dict(config.get("scheduler_args", {}))
     sched_args.setdefault("initial_lr", 0.1)
     sched_args.setdefault("final_lr", 5e-5)
@@ -456,12 +468,30 @@ def train(config: str | dict, **overrides):
         )
 
     rng = jax.random.key(seed + 1)
+
+    def _epoch_batches(epoch):
+        """One epoch's batch stream.  Multi-host: if this rank's stripe
+        exhausts before epoch_iter, cycle reshuffled passes so every rank
+        executes the same number of collective steps (the reference's
+        DistributedSampler pads for the same reason) — the epoch loop's
+        `n_iter >= epoch_iter` break bounds consumption."""
+        wrap = 0
+        while True:
+            yielded = 0
+            for b in pipe:
+                yielded += 1
+                yield b
+            if world <= 1 or yielded == 0:
+                return
+            wrap += 1
+            pipe.set_epoch(epoch + 100003 * wrap)
+
     for epoch in range(start_epoch, num_epochs):
         pipe.set_epoch(epoch)
         t0 = time.time()
         n_iter = 0
         pending = []
-        batch_iter = iter(pipe)
+        batch_iter = _epoch_batches(epoch)
         if epoch == start_epoch and start_batch:
             # deterministic fast-forward: replay the host-side selection for
             # already-consumed batches (IO-bound, no device work)

@@ -45,6 +45,13 @@ from ..ops.pipeline import FeaturePipelineConfig
 __all__ = ["Speaker", "load_model"]
 
 
+
+def _pow2_bucket(n: int, floor: int = 1 << 14) -> int:
+    """Smallest power-of-two >= n with a floor (~1 s at 16 kHz): padded
+    XLA shapes stay few while mask-aware ops keep results exact."""
+    return max(floor, 1 << (max(n, 2) - 1).bit_length())
+
+
 class Speaker:
     def __init__(self, model_dir: str):
         config = load_config(os.path.join(model_dir, "config.yaml"))
@@ -199,7 +206,7 @@ class Speaker:
         # embedding identical to the exact-length forward, and the CLI
         # compiles a handful of XLA shapes instead of one per file length
         n = len(wav)
-        bucket = max(1 << 14, 1 << (max(n, 2) - 1).bit_length())
+        bucket = _pow2_bucket(n)
         padded = np.zeros(bucket, np.float32)
         padded[:n] = wav
         emb = self._embed_fn(
@@ -316,12 +323,9 @@ class Speaker:
             segs.append(wav[b_idx:e_idx])
         order = sorted(range(len(segs)), key=lambda i: len(segs[i]))
         out: Dict[int, np.ndarray] = {}
-        min_bucket = 1 << 14  # 1 s floor keeps the shape count small
         i = 0
         while i < len(order):
-            bucket = max(
-                min_bucket, 1 << (max(len(segs[order[i]]), 2) - 1).bit_length()
-            )
+            bucket = _pow2_bucket(len(segs[order[i]]))
             idx = []
             while (
                 i < len(order)

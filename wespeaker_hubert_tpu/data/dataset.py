@@ -646,6 +646,20 @@ class NativeTrainPipeline:
         )
         num_spks = len(spk2id) if cfg.speed_perturb else 0
         if cfg.data_type == "shard":
+            # the C++ tar reader handles PLAIN tars only — probe magics
+            # up front so compressed shards raise here and bin/train
+            # falls back to the python pipeline instead of training on
+            # an empty stream
+            compressed = ((0x1F, 0x8B), (0x28, 0xB5), (0xFD, 0x37))
+            for sp in data_list:
+                with open(sp, "rb") as f:
+                    magic = f.read(2)
+                if len(magic) == 2 and (magic[0], magic[1]) in compressed:
+                    raise ValueError(
+                        f"compressed shard {sp!r}: the native tar reader "
+                        "needs plain tars (python pipeline handles "
+                        "compression)"
+                    )
             # tar shards: shard-striped C++ worker pool + per-worker
             # bounded-buffer shuffle, round-robin batch emission (Loader3)
             self._loader = DeterministicNativeShardLoader(

@@ -480,6 +480,7 @@ struct TarReader {
       }
       if (type != '0' && type != 0) {  // not a regular file: skip payload
         fseek(f, padded, SEEK_CUR);
+        longname.clear();  // an 'L' name applies only to the NEXT entry
         continue;
       }
       std::string name;

@@ -1,5 +1,6 @@
 from .executor import (
     cross_entropy,
+    cast_variables_bf16,
     make_eval_embed,
     make_train_step,
     shard_train_state,
@@ -14,6 +15,7 @@ from .state import TrainState, create_train_state, make_optimizer
 
 __all__ = [
     "cross_entropy",
+    "cast_variables_bf16",
     "make_eval_embed",
     "make_train_step",
     "shard_train_state",

@@ -268,6 +268,18 @@ def shard_train_state(state: TrainState, mesh) -> TrainState:
     return shard_tree(state, mesh)
 
 
+def cast_variables_bf16(variables):
+    """Cast all f32 leaves to bf16 — the companion of compute_dtype=bf16
+    in make_eval_embed / make_chunked_embed (embeddings cosine > 0.9999
+    vs f32, docs/BENCH_LOCAL.md)."""
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x,
+        variables,
+    )
+
+
 def make_eval_embed(
     model,
     feature_cfg: Optional[FeaturePipelineConfig] = None,
