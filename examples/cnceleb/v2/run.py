@@ -26,6 +26,7 @@ from wespeaker_hubert_tpu.bin.score import (
 )
 from wespeaker_hubert_tpu.bin.tools import (
     build_aug_store,
+    generate_calibration_trial,
     make_raw_list,
     make_shard_list,
     vector_mean,
@@ -47,6 +48,9 @@ def main():
         help="trial files under data_root/eval/trials",
     )
     p.add_argument("--asnorm_top_n", type=int, default=300)
+    p.add_argument("--calibration_trial_num", type=int, default=20000,
+                   help="trial pairs for QMF training (reference "
+                        "local/score_calibration.sh each_trial_num)")
     args = p.parse_args()
 
     config = load_config(args.config)
@@ -165,6 +169,48 @@ def main():
             train_calibration,
         )
 
+        # Train the calibrator on trials generated from cnceleb_train
+        # (reference local/score_calibration.sh stage 1 +
+        # tools/generate_calibration_trial.py) — never on the eval
+        # trials, which would leak eval labels into QMF.
+        cohort_path = os.path.join(emb_dir, "cnceleb_train_spk_mean.npz")
+        mean_vec_path = os.path.join(emb_dir, "cnceleb_train_mean.npy")
+        cal_dur = os.path.join(args.data_root, "cnceleb_train", "utt2dur")
+        if not os.path.exists(cal_dur):
+            wav2dur(
+                os.path.join(args.data_root, "cnceleb_train", "wav.scp"),
+                cal_dur,
+            )
+        cal_trials = os.path.join(exp_dir, "calibration.trials")
+        generate_calibration_trial(
+            cal_dur,
+            os.path.join(args.data_root, "cnceleb_train", "utt2spk"),
+            cal_trials,
+            each_trial_num=args.calibration_trial_num,
+        )
+        cal_score = score_trials(
+            os.path.join(emb_dir, "cnceleb_train.npz"), [cal_trials],
+            score_dir, mean_vec_path,
+        )[0]
+        cal_normed = score_norm(
+            cal_score, cal_score + ".asnorm",
+            os.path.join(emb_dir, "cnceleb_train.npz"), cohort_path,
+            method="asnorm", top_n=args.asnorm_top_n,
+            mean_vec_path=mean_vec_path,
+        )
+        cal_durs = {
+            u: float(d) for u, d in (ln.split() for ln in open(cal_dur))
+        }
+        cal_factors, cal_meta = gather_factors(
+            list(open(cal_normed)), cal_durs
+        )
+        cal_labels = np.asarray(
+            [1 if m[2] == "target" else 0 for m in cal_meta]
+        )
+        params, cal_loss = train_calibration(cal_factors, cal_labels)
+        print(f"  calibration trained on {len(cal_meta)} trials "
+              f"(Cllr {cal_loss:.4f})")
+
         dur_path = os.path.join(args.data_root, "eval", "utt2dur")
         if not os.path.exists(dur_path):
             wav2dur(os.path.join(args.data_root, "eval", "wav.scp"), dur_path)
@@ -177,10 +223,6 @@ def main():
             )
             lines = list(open(normed))
             factors, meta = gather_factors(lines, durations)
-            labels = np.asarray(
-                [1 if m[2] == "target" else 0 for m in meta]
-            )
-            params, _ = train_calibration(factors, labels)
             calibrated = apply_calibration(params, factors)
             out = normed + ".qmf"
             with open(out, "w") as f:

@@ -9,6 +9,7 @@ import pytest
 
 from wespeaker_hubert_tpu.bin.tools import (
     build_aug_store,
+    generate_calibration_trial,
     make_raw_list,
     make_shard_list,
     vector_mean,
@@ -84,6 +85,50 @@ def test_wav2dur(kaldi_dir):
     durs = wav2dur(str(kaldi_dir / "wav.scp"), out)
     assert len(durs) == 10
     assert all(abs(d - 1.0) < 0.01 for d in durs.values())
+
+
+def test_generate_calibration_trial(tmp_path):
+    # two speakers, each with utterances in BOTH duration bands
+    # (2-6 s short, >6 s long) -> the reference band logic engages
+    with open(tmp_path / "utt2dur", "w") as f, \
+            open(tmp_path / "utt2spk", "w") as g:
+        for s in ("a", "b"):
+            for i, dur in enumerate((3.0, 4.0, 8.0, 10.0)):
+                f.write(f"{s}_{i} {dur}\n")
+                g.write(f"{s}_{i} spk_{s}\n")
+    out = str(tmp_path / "cal.trials")
+    n = generate_calibration_trial(
+        str(tmp_path / "utt2dur"), str(tmp_path / "utt2spk"), out,
+        each_trial_num=100, seed=0,
+    )
+    lines = [ln.split() for ln in open(out)]
+    assert n == len(lines) == 6 * (100 // 2)  # 3 pair-types x 2 labels
+    spk = lambda u: u.rsplit("_", 1)[0]  # noqa: E731
+    durs = {f"{s}_{i}": d for s in "ab"
+            for i, d in enumerate((3.0, 4.0, 8.0, 10.0))}
+    for k, (e, t, lab) in enumerate(lines):
+        assert lab == ("target" if spk(e) == spk(t) else "nontarget")
+        assert lab == ("target", "nontarget")[k % 2]
+        # enroll side of every round's pairs: short, short, long
+        assert (durs[e] < 6.0) == (k % 6 < 4)
+    # determinism
+    out2 = str(tmp_path / "cal2.trials")
+    generate_calibration_trial(
+        str(tmp_path / "utt2dur"), str(tmp_path / "utt2spk"), out2,
+        each_trial_num=100, seed=0,
+    )
+    assert open(out).read() == open(out2).read()
+    # tiny corpus (no speaker spans both bands) falls back to one pool
+    with open(tmp_path / "utt2dur1", "w") as f, \
+            open(tmp_path / "utt2spk1", "w") as g:
+        for s, dur in (("a", 3.0), ("b", 8.0)):
+            f.write(f"{s}_0 {dur}\n")
+            g.write(f"{s}_0 spk_{s}\n")
+    n = generate_calibration_trial(
+        str(tmp_path / "utt2dur1"), str(tmp_path / "utt2spk1"),
+        str(tmp_path / "cal3.trials"), each_trial_num=10, seed=0,
+    )
+    assert n == 30
 
 
 def test_build_aug_store(kaldi_dir, tmp_path):

@@ -22,6 +22,7 @@ __all__ = [
     "make_shard_list",
     "vector_mean",
     "wav2dur",
+    "generate_calibration_trial",
     "build_aug_store",
 ]
 
@@ -137,6 +138,74 @@ def wav2dur(wav_scp: str, out_path: str) -> Dict[str, float]:
     return out
 
 
+def generate_calibration_trial(
+    utt2dur: str,
+    utt2spk: str,
+    trial_path: str,
+    each_trial_num: int = 10000,
+    seed: int = 42,
+) -> int:
+    """QMF calibration trials from the TRAINING set (reference
+    tools/generate_calibration_trial.py): short (2-6 s) and long (>6 s)
+    utterance pools per speaker; each round emits short2short,
+    short2long and long2long target/nontarget pairs.  Training the
+    calibration on these — never on the evaluation trials — is what
+    keeps QMF leakage-free.
+
+    Deviations: speaker identity comes from `utt2spk` (the reference
+    parses it from the utterance path), and when a duration band has
+    fewer than two speakers (tiny corpora) both bands fall back to the
+    full utterance pool so a trial list always materializes."""
+    import random as _random
+
+    durs = {u: float(d) for u, d in (r[:2] for r in _read_table(utt2dur))}
+    spk_of = {u: s for u, s in (r[:2] for r in _read_table(utt2spk))}
+    short: Dict[str, List[str]] = {}
+    long_: Dict[str, List[str]] = {}
+    for u, d in durs.items():
+        s = spk_of.get(u)
+        if s is None:
+            continue
+        if 2.0 < d < 6.0:
+            short.setdefault(s, []).append(u)
+        if d > 6.0:
+            long_.setdefault(s, []).append(u)
+    # keep only speakers present in BOTH bands (reference :45-55)
+    common = sorted(set(short) & set(long_))
+    if len(common) >= 2:
+        short = {s: short[s] for s in common}
+        long_ = {s: long_[s] for s in common}
+    else:  # tiny/synthetic corpora: single pool in both roles
+        pool: Dict[str, List[str]] = {}
+        for u, s in spk_of.items():
+            if u in durs:
+                pool.setdefault(s, []).append(u)
+        pool = {s: us for s, us in pool.items() if us}
+        if len(pool) < 2:
+            raise ValueError("need >= 2 speakers for calibration trials")
+        short = long_ = pool
+    spks = sorted(short)
+    rng = _random.Random(seed)
+    n = 0
+    with open(trial_path, "w") as f:
+        for _ in range(max(1, each_trial_num // 2)):
+            enroll_spk = rng.choice(spks)
+            others = [s for s in spks if s != enroll_spk]
+            nontarget_spk = rng.choice(others)
+            for e_pool, t_pool in (
+                (short, short),
+                (short, long_),
+                (long_, long_),
+            ):
+                enroll_utt = rng.choice(e_pool[enroll_spk])
+                test_utt = rng.choice(t_pool[enroll_spk])
+                f.write(f"{enroll_utt} {test_utt} target\n")
+                test_utt = rng.choice(t_pool[nontarget_spk])
+                f.write(f"{enroll_utt} {test_utt} nontarget\n")
+                n += 2
+    return n
+
+
 def build_aug_store(wav_scp: str, out_dir: str):
     """MUSAN/RIR wav.scp -> AugStore directory (replaces tools/make_lmdb.py;
     keys keep their noise/speech/music prefixes for SNR banding)."""
@@ -175,6 +244,13 @@ def main():
     s.add_argument("wav_scp")
     s.add_argument("out_path")
 
+    s = sub.add_parser("generate_calibration_trial")
+    s.add_argument("utt2dur")
+    s.add_argument("utt2spk")
+    s.add_argument("trial_path")
+    s.add_argument("--each_trial_num", type=int, default=10000)
+    s.add_argument("--seed", type=int, default=42)
+
     s = sub.add_parser("build_aug_store")
     s.add_argument("wav_scp")
     s.add_argument("out_dir")
@@ -190,6 +266,10 @@ def main():
         print(vector_mean(args.emb_path, args.utt2spk, args.out_path))
     elif args.cmd == "wav2dur":
         print(len(wav2dur(args.wav_scp, args.out_path)))
+    elif args.cmd == "generate_calibration_trial":
+        print(generate_calibration_trial(
+            args.utt2dur, args.utt2spk, args.trial_path,
+            args.each_trial_num, args.seed))
     elif args.cmd == "build_aug_store":
         store = build_aug_store(args.wav_scp, args.out_dir)
         print(len(store))
