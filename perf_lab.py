@@ -67,6 +67,14 @@ def build(mode, dither=1.0, spec_aug=True, loop_steps=K, model_name="ECAPA_TDNN_
     fcfg = FeaturePipelineConfig(
         fbank=FbankConfig(dither=dither), spec_aug=spec_aug
     )
+    if mode == "feats":
+        # 'feats' isolates model fwd+bwd+optimizer time: keep the
+        # in-graph CMVN/SpecAug the feat path now applies (data_type=
+        # feat parity) OUT of this measurement
+        fcfg = FeaturePipelineConfig(
+            fbank=FbankConfig(dither=dither),
+            cmvn_norm_mean=False, spec_aug=False,
+        )
     step = make_train_step(net, tx, lr, margin, feature_cfg=fcfg,
                            chunk_samples=chunk, compute_dtype=jnp.bfloat16,
                            num_steps=loop_steps)

@@ -15,7 +15,9 @@ from typing import BinaryIO, Tuple
 import numpy as np
 
 __all__ = ["read_kaldi_plda", "load_kaldi_plda",
-           "write_kaldi_vectors", "read_kaldi_vectors"]
+           "write_kaldi_vectors", "read_kaldi_vectors",
+           "write_kaldi_matrices", "read_kaldi_matrices",
+           "read_kaldi_matrix"]
 
 
 def _read_token(f: BinaryIO) -> str:
@@ -118,6 +120,71 @@ def write_kaldi_vectors(ark_path: str, names, vectors, scp_path: str = None):
         with open(scp_path, "w", encoding="utf-8") as f:
             f.write("\n".join(scp_lines) + "\n")
     return ark_path
+
+
+def write_kaldi_matrices(ark_path: str, names, matrices, scp_path: str = None):
+    """Write (T, F) float matrices as a Kaldi binary matrix archive
+    (+ optional scp with 'key ark:offset' lines) — the format kaldi
+    feature extraction emits and the reference's feat data type consumes
+    via kaldiio.load_mat (reference dataset/processor.py:191)."""
+    scp_lines = []
+    with open(ark_path, "wb") as f:
+        for name, mat in zip(names, matrices):
+            mat = np.ascontiguousarray(np.asarray(mat, "<f4"))
+            if mat.ndim != 2:
+                raise ValueError(f"matrix for {name!r} must be 2-D")
+            f.write(name.encode() + b" ")
+            offset = f.tell()
+            f.write(b"\x00B")
+            f.write(b"FM ")
+            f.write(b"\x04" + struct.pack("<i", mat.shape[0]))
+            f.write(b"\x04" + struct.pack("<i", mat.shape[1]))
+            f.write(mat.tobytes())
+            scp_lines.append(f"{name} {ark_path}:{offset}")
+    if scp_path:
+        with open(scp_path, "w", encoding="utf-8") as f:
+            f.write("\n".join(scp_lines) + "\n")
+    return ark_path
+
+
+def read_kaldi_matrix(rxspecifier: str) -> np.ndarray:
+    """Read ONE matrix from 'path/to/file.ark:offset' (the scp entry
+    format, kaldiio.load_mat's rxspecifier) or from a file positioned at
+    a bare '\\0B FM' record."""
+    path, sep, offset = rxspecifier.rpartition(":")
+    if sep and offset.isdigit():
+        pos = int(offset)
+    else:
+        path, pos = rxspecifier, 0
+    with open(path, "rb") as f:
+        f.seek(pos)
+        marker = f.read(2)
+        if marker != b"\x00B":
+            raise ValueError(
+                f"not kaldi binary at {rxspecifier!r} (missing \\0B)"
+            )
+        return _read_matrix(f)
+
+
+def read_kaldi_matrices(path: str):
+    """Read a binary matrix ark written by write_kaldi_matrices (or
+    kaldi) -> list[(key, np.ndarray)]."""
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            key_chars = []
+            c = f.read(1)
+            if not c:
+                break
+            while c not in (b" ", b""):
+                key_chars.append(c)
+                c = f.read(1)
+            key = b"".join(key_chars).decode()
+            marker = f.read(2)
+            if marker != b"\x00B":
+                raise ValueError(f"not kaldi binary at {key!r}")
+            out.append((key, _read_matrix(f)))
+    return out
 
 
 def read_kaldi_vectors(path: str):

@@ -35,10 +35,13 @@ def extract(
     output: str,
     batch_size: int = 32,
     sharded: bool = False,
+    data_type: str = "raw",
     **overrides,
 ):
-    """Extract embeddings for every utterance in `data_list` (raw JSONL)
-    -> save to `output` (.npz).  Returns (keys, embeddings).
+    """Extract embeddings for every utterance in `data_list` (raw JSONL,
+    tar shards, or precomputed kaldi-ark features — reference
+    bin/extract.py --data_type) -> save to `output` (.npz).
+    Returns (keys, embeddings).
 
     sharded=True fans each batch over every device on a ('data',) mesh —
     the TPU equivalent of the reference's nj x GPU extraction fan-out
@@ -137,7 +140,11 @@ def extract(
 
     from ..data import load_data_list
 
-    pipe = EvalPipeline(load_data_list(data_list), batch_size=batch_size)
+    pipe = EvalPipeline(
+        load_data_list(data_list), data_type=data_type,
+        batch_size=batch_size,
+    )
+    frame_shift_s = fb.get("frame_shift", 10) / 1000.0
 
     # host decode overlapped with device compute: a producer thread fills a
     # bounded queue while the main thread drives the TPU (the reference
@@ -164,32 +171,43 @@ def extract(
         batch = q.get()
         if batch is None:
             break
-        wav, length = batch["wav"], batch["length"]
-        n_real = len(wav)
+        is_feat = "feat" in batch
+        if is_feat:
+            x, length = batch["feat"], batch["feat_length"]
+        else:
+            x, length = batch["wav"], batch["length"]
+        n_real = len(x)
         # pad rows (repeat the last) to the bucket's full batch size —
         # a tail batch with fewer rows would compile one extra XLA
         # program per (bucket, count) pair; padded embeddings are
         # trimmed after fetch.  Sharded mode additionally needs a
         # multiple of the data axis (full batch size always is: bin/train
         # asserts divisibility and _batch_for scales proportionally).
-        full = pipe._batch_for(wav.shape[1])
+        full = pipe._batch_for(x.shape[1])
         if mesh is not None:  # shard-aligned row count
             full = -(-full // n_shards) * n_shards
         pad = full - n_real
         if pad > 0:
-            wav = np.concatenate([wav, np.repeat(wav[-1:], pad, 0)])
+            x = np.concatenate([x, np.repeat(x[-1:], pad, 0)])
             length = np.concatenate(
                 [length, np.repeat(length[-1:], pad, 0)]
             )
-        e = embed_fn(
-            variables,
-            {"wav": jnp.asarray(wav), "length": jnp.asarray(length)},
+        dev_batch = (
+            {"feat": jnp.asarray(x), "feat_length": jnp.asarray(length)}
+            if is_feat
+            else {"wav": jnp.asarray(x), "length": jnp.asarray(length)}
         )
+        e = embed_fn(variables, dev_batch)
         if pending is not None:
             embs.append(np.asarray(pending[0])[: pending[1]])
         pending = (e, n_real)
         keys += batch["keys"]
-        audio_seconds += float(batch["length"].sum()) / 16000.0
+        real_lengths = (
+            batch["feat_length"] if is_feat else batch["length"]
+        )
+        audio_seconds += float(real_lengths.sum()) * (
+            frame_shift_s if is_feat else 1.0 / 16000.0
+        )
     if pending is not None:
         embs.append(np.asarray(pending[0])[: pending[1]])
     producer.join()
@@ -231,10 +249,15 @@ def main():
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--sharded", action="store_true",
                    help="fan batches over all devices (data-parallel)")
+    p.add_argument("--data_type", default="raw",
+                   choices=("raw", "shard", "feat"),
+                   help="list format (reference bin/extract.py "
+                        "--data_type)")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
     extract(args.config, args.data_list, args.checkpoint, args.output,
-            args.batch_size, sharded=args.sharded)
+            args.batch_size, sharded=args.sharded,
+            data_type=args.data_type)
 
 
 if __name__ == "__main__":

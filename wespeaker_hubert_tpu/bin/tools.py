@@ -19,7 +19,9 @@ import numpy as np
 
 __all__ = [
     "make_raw_list",
+    "make_feat_list",
     "make_shard_list",
+    "compute_feats",
     "vector_mean",
     "wav2dur",
     "generate_calibration_trial",
@@ -56,6 +58,71 @@ def make_raw_list(
             f.write(json.dumps(obj) + "\n")
             n += 1
     return n
+
+
+def make_feat_list(feat_scp: str, utt2spk: str, out_list: str) -> int:
+    """feat.scp (utt -> kaldi matrix-ark rxspecifier 'file.ark:offset')
+    + utt2spk -> JSONL feat list {key, feat, spk} for data_type=feat
+    (reference tools/make_feat_list.py)."""
+    utt2feat = {u: p for u, p in (r[:2] for r in _read_table(feat_scp))}
+    utt2spk_map = {u: s for u, s in (r[:2] for r in _read_table(utt2spk))}
+    n = 0
+    with open(out_list, "w") as f:
+        for utt, feat in utt2feat.items():
+            if utt not in utt2spk_map:
+                continue
+            f.write(json.dumps(
+                {"key": utt, "feat": feat, "spk": utt2spk_map[utt]}
+            ) + "\n")
+            n += 1
+    return n
+
+
+def compute_feats(
+    wav_scp: str,
+    ark_path: str,
+    scp_path: str,
+    num_mel_bins: int = 80,
+    frame_shift: int = 10,
+    frame_length: int = 25,
+    batch_frames: int = 16000,
+) -> int:
+    """Offline fbank extraction: wav.scp -> kaldi matrix ark + scp
+    (the role kaldi's compute-fbank-feats plays upstream of the
+    reference's feat recipes).  Runs the same in-graph fbank as
+    training (ops/fbank.py), dither off, one utterance at a time with
+    pow2 length bucketing to bound XLA compiles."""
+    import jax.numpy as jnp
+
+    from ..backend.kaldi_io import write_kaldi_matrices
+    from ..ops.fbank import FbankConfig, fbank
+    from ..data.wav_io import read_wav
+
+    cfg = FbankConfig(
+        num_mel_bins=num_mel_bins,
+        frame_shift_ms=frame_shift,
+        frame_length_ms=frame_length,
+        dither=0.0,
+    )
+    import jax
+
+    @jax.jit
+    def _fb(wav, length):
+        feats, feat_lengths = fbank(wav[None], cfg, lengths=length[None])
+        return feats[0], feat_lengths[0]
+
+    names, mats = [], []
+    for utt, path in (r[:2] for r in _read_table(wav_scp)):
+        wav, _sr = read_wav(path)
+        n = len(wav)
+        pow2 = 1 << max(0, (n - 1)).bit_length()  # pad to pow2 buckets
+        buf = np.zeros((max(pow2, 512),), np.float32)
+        buf[:n] = wav
+        feats, t = _fb(jnp.asarray(buf), jnp.asarray(n, jnp.int32))
+        names.append(utt)
+        mats.append(np.asarray(feats)[: int(t)])
+    write_kaldi_matrices(ark_path, names, mats, scp_path)
+    return len(names)
 
 
 def _write_shard(args) -> str:
@@ -244,6 +311,19 @@ def main():
     s.add_argument("wav_scp")
     s.add_argument("out_path")
 
+    s = sub.add_parser("make_feat_list")
+    s.add_argument("feat_scp")
+    s.add_argument("utt2spk")
+    s.add_argument("out_list")
+
+    s = sub.add_parser("compute_feats")
+    s.add_argument("wav_scp")
+    s.add_argument("ark_path")
+    s.add_argument("scp_path")
+    s.add_argument("--num_mel_bins", type=int, default=80)
+    s.add_argument("--frame_shift", type=int, default=10)
+    s.add_argument("--frame_length", type=int, default=25)
+
     s = sub.add_parser("generate_calibration_trial")
     s.add_argument("utt2dur")
     s.add_argument("utt2spk")
@@ -266,6 +346,13 @@ def main():
         print(vector_mean(args.emb_path, args.utt2spk, args.out_path))
     elif args.cmd == "wav2dur":
         print(len(wav2dur(args.wav_scp, args.out_path)))
+    elif args.cmd == "make_feat_list":
+        print(make_feat_list(args.feat_scp, args.utt2spk, args.out_list))
+    elif args.cmd == "compute_feats":
+        print(compute_feats(
+            args.wav_scp, args.ark_path, args.scp_path,
+            args.num_mel_bins, args.frame_shift, args.frame_length,
+        ))
     elif args.cmd == "generate_calibration_trial":
         print(generate_calibration_trial(
             args.utt2dur, args.utt2spk, args.trial_path,

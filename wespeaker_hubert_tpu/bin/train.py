@@ -163,6 +163,10 @@ def train(config: str | dict, **overrides):
         data_list = [ln.strip() for ln in f if ln.strip()]
 
     speed_perturb = dataset_args.get("speed_perturb", True)
+    if config.get("data_type", "raw") == "feat":
+        # precomputed features: no wav-domain speed perturb (reference
+        # dataset.py:194-199), so the label space stays x1
+        speed_perturb = False
     num_class = len(spk2id) * (3 if speed_perturb else 1)
 
     reverb_store = noise_store = None
@@ -303,6 +307,12 @@ def train(config: str | dict, **overrides):
         feats_ex = jnp.zeros((batch_size, t_ex, feat_dim))
     else:
         feat_dim = feature_cfg.fbank.num_mel_bins
+        if config.get("data_type", "raw") == "feat":
+            # feature dim comes from the precomputed matrices, not the
+            # in-graph fbank; model_args.feat_dim is authoritative
+            feat_dim = config.get("model_args", {}).get(
+                "feat_dim", dataset_args.get("feat_dim", feat_dim)
+            )
         feats_ex = jnp.zeros((batch_size, pipe_cfg.num_frms, feat_dim))
     label_ex = jnp.zeros((batch_size,), jnp.int32)
     state = create_train_state(

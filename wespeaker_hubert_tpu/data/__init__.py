@@ -7,6 +7,7 @@ from .dataset import (
     TrainPipelineConfig,
     buffer_shuffle,
     chunk_samples_for_frames,
+    iter_feat_list,
     iter_raw_list,
     iter_tar_shards,
     load_data_list,
@@ -24,6 +25,7 @@ __all__ = [
     "TrainPipelineConfig",
     "buffer_shuffle",
     "chunk_samples_for_frames",
+    "iter_feat_list",
     "iter_raw_list",
     "iter_tar_shards",
     "load_data_list",

@@ -38,6 +38,7 @@ __all__ = [
     "TrainPipelineConfig",
     "shard_list_for_rank",
     "iter_raw_list",
+    "iter_feat_list",
     "iter_tar_shards",
     "buffer_shuffle",
     "TrainPipeline",
@@ -133,6 +134,27 @@ def iter_raw_list(entries: Iterable[str]) -> Iterator[dict]:
             logging.warning("failed to read sample: %s", e)
 
 
+def iter_feat_list(entries: Iterable[str]) -> Iterator[dict]:
+    """JSON entry lines {key, feat, spk} -> {key, feat(T,F float32), spk}
+    (reference parse_feat processor.py:171; 'feat' is a kaldi matrix-ark
+    rxspecifier 'file.ark:offset' as written by tools/make_feat_list)."""
+    from ..backend.kaldi_io import read_kaldi_matrix
+
+    for line in entries:
+        try:
+            obj = json.loads(line)
+            feat = read_kaldi_matrix(obj["feat"]).astype(np.float32)
+            yield {
+                "key": obj["key"],
+                "spk": obj.get("spk", ""),
+                "feat": feat,
+            }
+        except Exception as e:  # corrupt sample: warn + skip (parity)
+            import logging
+
+            logging.warning("failed to read feat sample: %s", e)
+
+
 def iter_tar_shards(paths: Iterable[str]) -> Iterator[dict]:
     """Webdataset-style tar shards: KEY.wav + KEY.spk grouped by prefix
     (reference tar_file_and_group processor.py:68-116)."""
@@ -179,18 +201,19 @@ def buffer_shuffle(it: Iterator, buffer_size: int, rng: random.Random) -> Iterat
 
 
 def _random_chunk(x: np.ndarray, chunk_len: int, rng: random.Random) -> np.ndarray:
-    """Random crop, or tile-pad when short (reference processor.py:291-323)."""
+    """Random crop, or tile-pad when short (reference processor.py:291-323).
+    Works on samples (1-D wav) or frames (2-D feature matrices, axis 0)."""
     n = len(x)
     if n >= chunk_len:
         start = rng.randint(0, n - chunk_len)
         return x[start : start + chunk_len]
     reps = chunk_len // max(n, 1) + 1
-    return np.tile(x, reps)[:chunk_len]
+    return np.tile(x, (reps,) + (1,) * (x.ndim - 1))[:chunk_len]
 
 
 @dataclasses.dataclass
 class TrainPipelineConfig:
-    data_type: str = "raw"  # 'raw' | 'shard'
+    data_type: str = "raw"  # 'raw' | 'shard' | 'feat'
     num_frms: int = 200
     frame_shift_ms: float = 10.0
     frame_length_ms: float = 25.0
@@ -268,7 +291,9 @@ class TrainPipeline:
         (processor.py: Bernoulli(aug_prob) then 50/50 reverb/noise; if a
         store is missing its share falls through like the unpacked path)."""
         cfg = self.cfg
-        if not cfg.packed_aug:
+        if cfg.data_type == "feat" or not cfg.packed_aug:
+            # precomputed features: no waveform-domain aug possible
+            # (reference dataset.py:194-199 skips resample/speed/aug/fbank)
             return (0, 0)
         a = max(1, cfg.aug_align)
 
@@ -299,16 +324,36 @@ class TrainPipeline:
             shuffle=cfg.shuffle,
             seed=cfg.seed,
         )
-        it = (
-            iter_tar_shards(shards)
-            if cfg.data_type == "shard"
-            else iter_raw_list(shards)
-        )
+        it = {
+            "shard": iter_tar_shards,
+            "feat": iter_feat_list,
+        }.get(cfg.data_type, iter_raw_list)(shards)
         rng = random.Random(
             cfg.seed + 77 * self.epoch + self.rank + 10007 * self.worker
         )
         if cfg.shuffle:
             it = buffer_shuffle(it, cfg.shuffle_size, rng)
+
+        if cfg.data_type == "feat":
+            # precomputed features (reference dataset.py:194-199): filter
+            # by frame count, random_chunk on frames; no resample/speed/
+            # aug/fbank — CMVN + SpecAug still run in-graph on device
+            # (executor step, like the reference's GPU-side split)
+            for s in it:
+                feat = s["feat"]
+                if not (
+                    cfg.filter_min_frames <= len(feat) <= cfg.filter_max_frames
+                ):
+                    continue
+                if s["spk"] not in self.spk2id:
+                    continue
+                yield {
+                    "feat": _random_chunk(
+                        feat, cfg.num_frms, rng
+                    ).astype(np.float32),
+                    "label": np.int32(self.spk2id[s["spk"]]),
+                }
+            return
 
         min_samp = int(cfg.filter_min_frames * cfg.frame_shift_ms / 1000 * cfg.sample_rate)
         max_samp = int(cfg.filter_max_frames * cfg.frame_shift_ms / 1000 * cfg.sample_rate)
@@ -418,7 +463,7 @@ class TrainPipeline:
         n_noise = min(n_noise, max(0, n - n_rev))
         batch = {
             k: np.stack([s[k] for s in samples])
-            for k in ("wav", "speed_idx", "label")
+            for k in ("wav", "feat", "speed_idx", "label")
             if k in samples[0]
         }
         if n_rev or n_noise:
@@ -604,7 +649,12 @@ class NativeTrainPipeline:
         )
 
         if cfg.data_type not in ("raw", "shard"):
-            raise ValueError(f"unknown data_type {cfg.data_type!r}")
+            # 'feat' (kaldi-ark features) stays on the python pipeline:
+            # ark decode is a cheap seek+read, not the decode bottleneck
+            # the native loaders exist for
+            raise ValueError(
+                f"data_type {cfg.data_type!r} needs the python pipeline"
+            )
         if not cfg.packed_aug and (reverb_store or noise_store):
             # the unpacked per-row aug layout is python-pipeline only;
             # proceeding would silently train WITHOUT reverb/noise
@@ -792,14 +842,21 @@ class EvalPipeline:
         self.data_list = list(data_list)
         self.data_type = data_type
         self.batch_size = batch_size
-        self.bucket_samples = [
-            chunk_samples_for_frames(b, frame_shift_ms, frame_length_ms, sample_rate)
-            for b in bucket_frames
-        ]
+        if data_type == "feat":
+            # precomputed features: bucket units are FRAMES, not samples
+            self.bucket_samples = list(bucket_frames)
+            self.max_bucket_samples = max_bucket_frames
+        else:
+            self.bucket_samples = [
+                chunk_samples_for_frames(
+                    b, frame_shift_ms, frame_length_ms, sample_rate
+                )
+                for b in bucket_frames
+            ]
+            self.max_bucket_samples = chunk_samples_for_frames(
+                max_bucket_frames, frame_shift_ms, frame_length_ms, sample_rate
+            )
         self.extend_buckets = extend_buckets
-        self.max_bucket_samples = chunk_samples_for_frames(
-            max_bucket_frames, frame_shift_ms, frame_length_ms, sample_rate
-        )
 
     def _bucket_for(self, n: int) -> int:
         for b in self.bucket_samples:
@@ -821,25 +878,26 @@ class EvalPipeline:
         return max(1, self.batch_size * base // bucket)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        it = (
-            iter_tar_shards(self.data_list)
-            if self.data_type == "shard"
-            else iter_raw_list(self.data_list)
-        )
+        is_feat = self.data_type == "feat"
+        it = {
+            "shard": iter_tar_shards,
+            "feat": iter_feat_list,
+        }.get(self.data_type, iter_raw_list)(self.data_list)
         buckets: Dict[int, List[dict]] = {}
         for s in it:
-            wav = s["wav"]
-            b = self._bucket_for(len(wav))
-            if len(wav) > b:  # only past max_bucket_samples
+            x = s["feat"] if is_feat else s["wav"]
+            b = self._bucket_for(len(x))
+            if len(x) > b:  # only past max_bucket_samples
                 import logging
 
                 logging.warning(
-                    "cropping %s from %d to %d samples (max_bucket_frames)",
-                    s["key"], len(wav), b,
+                    "cropping %s from %d to %d %s (max_bucket_frames)",
+                    s["key"], len(x), b,
+                    "frames" if is_feat else "samples",
                 )
-                wav = wav[:b]
+                x = x[:b]
             buckets.setdefault(b, []).append(
-                {"key": s["key"], "wav": wav, "length": len(wav)}
+                {"key": s["key"], "x": x, "length": len(x)}
             )
             if len(buckets[b]) >= self._batch_for(b):
                 yield self._collate(buckets.pop(b), b)
@@ -847,13 +905,23 @@ class EvalPipeline:
             if samples:
                 yield self._collate(samples, b)
 
-    @staticmethod
-    def _collate(samples: List[dict], bucket: int) -> Dict[str, np.ndarray]:
+    def _collate(self, samples: List[dict], bucket: int) -> Dict[str, np.ndarray]:
         n = len(samples)
-        wav = np.zeros((n, bucket), np.float32)
         lengths = np.zeros((n,), np.int32)
+        if self.data_type == "feat":
+            dim = samples[0]["x"].shape[1]
+            feat = np.zeros((n, bucket, dim), np.float32)
+            for i, s in enumerate(samples):
+                feat[i, : s["length"]] = s["x"]
+                lengths[i] = s["length"]
+            return {
+                "feat": feat,
+                "feat_length": lengths,
+                "keys": [s["key"] for s in samples],
+            }
+        wav = np.zeros((n, bucket), np.float32)
         for i, s in enumerate(samples):
-            wav[i, : s["length"]] = s["wav"]
+            wav[i, : s["length"]] = s["x"]
             lengths[i] = s["length"]
         return {
             "wav": wav,

@@ -121,7 +121,26 @@ def make_train_step(
 
         labels = batch["label"]
         if "feat" in batch:
-            feats0, mask0 = batch["feat"], None
+            # precomputed features (data_type=feat, reference
+            # dataset.py:194-199): no wav-domain aug, but CMVN + SpecAug
+            # still run in-graph — the reference's GPU-side split
+            # (executor.py:42-58) applies them for every data type
+            feats0 = apply_cmvn(
+                batch["feat"],
+                norm_mean=fcfg.cmvn_norm_mean,
+                norm_var=fcfg.cmvn_norm_var,
+            )
+            if fcfg.spec_aug:
+                feats0 = spec_aug_op(
+                    feats0,
+                    rng,
+                    num_t_mask=fcfg.spec_aug_num_t_mask,
+                    num_f_mask=fcfg.spec_aug_num_f_mask,
+                    max_t=fcfg.spec_aug_max_t,
+                    max_f=fcfg.spec_aug_max_f,
+                    prob=fcfg.spec_aug_prob,
+                )
+            mask0 = None
         elif not use_frontend:
             feats0, mask0 = wav_to_features(
                 prepare_wav(batch),
@@ -300,7 +319,15 @@ def make_eval_embed(
     def embed_fn(variables, batch):
         fcfg = feature_cfg or FeaturePipelineConfig()
         if "feat" in batch:
-            feats = batch["feat"]
+            # precomputed features: CMVN still runs on device (the
+            # reference applies apply_cmvn in bin/extract.py for every
+            # data type after moving it out of the CPU dataset chain)
+            feats = apply_cmvn(
+                batch["feat"],
+                norm_mean=fcfg.cmvn_norm_mean,
+                norm_var=fcfg.cmvn_norm_var,
+                lengths=batch.get("feat_length"),
+            )
             mask = None
             if "feat_length" in batch:
                 t = feats.shape[1]
