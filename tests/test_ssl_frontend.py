@@ -186,3 +186,38 @@ class TestLayerSelection:
         front2 = SSLFrontend(cfg, frozen=True, multilayer_feature=False)
         v2 = front2.init(jax.random.key(0), wav)
         assert v2["params"]["featurizer_weights"].shape == (1,)
+
+
+class TestAttnImpl:
+    def test_flash_knob_falls_back_off_tpu(self):
+        """attn_impl='flash' runs the Pallas kernel only on TPU; off-TPU
+        it must produce the exact einsum-path outputs (same params)."""
+        import dataclasses
+
+        cfg = SSLEncoderConfig.tiny(model_type="wavlm")
+        rng = np.random.default_rng(0)
+        wav = rng.standard_normal((2, 3200)).astype(np.float32) * 0.1
+        model = SSLEncoder(cfg)
+        params = model.init(jax.random.key(0), jnp.asarray(wav))["params"]
+        ref, _ = model.apply({"params": params}, jnp.asarray(wav))
+        flash_cfg = dataclasses.replace(cfg, attn_impl="flash")
+        got, _ = SSLEncoder(flash_cfg).apply(
+            {"params": params}, jnp.asarray(wav)
+        )
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+    def test_attn_impl_config_wiring(self):
+        """dataset_args.s3prl_args.attn_impl reaches the encoder config
+        (bin/train.build_speaker_net)."""
+        from wespeaker_hubert_tpu.bin.train import build_speaker_net
+
+        net = build_speaker_net({
+            "model": "ECAPA_TDNN_c512",
+            "model_args": {"embed_dim": 16},
+            "dataset_args": {
+                "frontend": "s3prl",
+                "s3prl_args": {"upstream": "tiny", "attn_impl": "flash"},
+            },
+        }, num_class=2)
+        assert net.frontend.cfg.attn_impl == "flash"

@@ -73,6 +73,12 @@ def build_speaker_net(config: dict, num_class: int) -> SpeakerNet:
         s3prl_args = dataset_args.get("s3prl_args", {})
         upstream = s3prl_args.get("upstream", "wavlm_large")
         enc_cfg = getattr(SSLEncoderConfig, upstream)()
+        if "attn_impl" in s3prl_args:  # 'einsum' | 'flash' (TPU Pallas)
+            import dataclasses as _dc
+
+            enc_cfg = _dc.replace(
+                enc_cfg, attn_impl=s3prl_args["attn_impl"]
+            )
         frontend = SSLFrontend(
             enc_cfg,
             frozen=s3prl_args.get("frozen", True),

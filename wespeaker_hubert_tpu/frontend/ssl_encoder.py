@@ -59,6 +59,10 @@ class SSLEncoderConfig:
     # wavlm relative position bias
     num_buckets: int = 320
     max_distance: int = 800
+    # 'einsum' materializes (B,h,T,T) scores/probs through HBM; 'flash'
+    # runs the fused Pallas flash-attention kernel on TPU (online
+    # softmax, no T^2 round trips) and falls back to einsum off-TPU.
+    attn_impl: str = "einsum"
 
     @staticmethod
     def hubert_base():
@@ -185,6 +189,51 @@ def _relative_positions_bucket(
     return relative_buckets
 
 
+def _use_flash(cfg: SSLEncoderConfig) -> bool:
+    return cfg.attn_impl == "flash" and jax.default_backend() not in (
+        "cpu", "gpu",
+    )
+
+
+def _flash_mha(q, k, v, ab, scale: float):
+    """softmax(q@k^T * scale + ab) @ v via the Pallas TPU flash kernel.
+
+    q/k/v: (B, T, h, hd); ab: (B, h, T, T) additive bias or None.
+    T is padded to a multiple of 512 (the kernel's default block size);
+    padded KEY columns are masked through ab so real-query rows are
+    exact, and padded query rows are sliced off.  The kernel applies
+    sm_scale AFTER adding ab, so the scale is folded into q up front.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention,
+    )
+
+    b, t, h, hd = q.shape
+    tp = -(-t // 512) * 512
+    pad = tp - t
+
+    def to_bhtd(x):
+        x = x.transpose(0, 2, 1, 3)  # (B, h, T, hd)
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return x
+
+    qh = to_bhtd(q * jnp.asarray(scale, q.dtype))
+    kh, vh = to_bhtd(k), to_bhtd(v)
+    if ab is None and pad:
+        ab = jnp.zeros((b, h, t, t), jnp.float32)
+    if ab is not None:
+        ab = jnp.broadcast_to(ab, (b, h, t, t))
+        if pad:  # mask padded keys; padded query rows are dropped below
+            ab = jnp.pad(
+                ab, ((0, 0), (0, 0), (0, pad), (0, pad)),
+                constant_values=-1e9,
+            )
+        ab = ab.astype(qh.dtype)
+    out = flash_attention(qh, kh, vh, ab=ab, sm_scale=1.0)
+    return out[:, :, :t].transpose(0, 2, 1, 3)  # (B, T, h, hd)
+
+
 class WavLMAttention(nn.Module):
     """Self-attention with gated relative position bias (WavLM)."""
 
@@ -228,16 +277,24 @@ class WavLMAttention(nn.Module):
         q = nn.Dense(d, name="q_proj")(x).reshape(b, t, h, hd)
         k = nn.Dense(d, name="k_proj")(x).reshape(b, t, h, hd)
         v = nn.Dense(d, name="v_proj")(x).reshape(b, t, h, hd)
-        scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / math.sqrt(hd)
-        scores = scores + gated_position_bias
-        if attn_bias is not None:
-            scores = scores + attn_bias
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum(
-            "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
-        ).reshape(b, t, d)
+        if _use_flash(cfg):
+            ab = gated_position_bias
+            if attn_bias is not None:
+                ab = ab + attn_bias
+            out = _flash_mha(q, k, v, ab, 1.0 / math.sqrt(hd))
+            out = out.reshape(b, t, d)
+        else:
+            scores = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) / math.sqrt(hd)
+            scores = scores + gated_position_bias
+            if attn_bias is not None:
+                scores = scores + attn_bias
+            probs = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum(
+                "bhqk,bkhd->bqhd", probs, v,
+                preferred_element_type=jnp.float32,
+            ).reshape(b, t, d)
         out = nn.Dense(d, name="out_proj")(out)
         return out, position_bias
 
@@ -256,6 +313,9 @@ class PlainAttention(nn.Module):
         q = nn.Dense(d, name="q_proj")(x).reshape(b, t, h, hd)
         k = nn.Dense(d, name="k_proj")(x).reshape(b, t, h, hd)
         v = nn.Dense(d, name="v_proj")(x).reshape(b, t, h, hd)
+        if _use_flash(cfg):
+            out = _flash_mha(q, k, v, attn_bias, 1.0 / math.sqrt(hd))
+            return nn.Dense(d, name="out_proj")(out.reshape(b, t, d)), None
         scores = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
         ) / math.sqrt(hd)
