@@ -245,5 +245,33 @@ def test_eval_pipeline_feat_buckets(tmp_path):
     assert set(got) == set(utts)
 
 
+def test_feat_rejects_wav_frontend(tmp_path):
+    """data_type=feat + an SSL frontend would silently bypass the
+    frontend; bin/train must refuse the combination."""
+    from wespeaker_hubert_tpu.bin.train import train
+
+    rng = np.random.default_rng(6)
+    utts = {"a0": (60, "spk_a"), "b0": (60, "spk_b")}
+    _, _, lst, u2s, _ = _make_ark(tmp_path, utts, rng)
+    config = {
+        "exp_dir": str(tmp_path / "exp"),
+        "model": "ECAPA_TDNN_c512",
+        "model_args": {"embed_dim": 16},
+        "projection_args": {"project_type": "arc_margin"},
+        "data_type": "feat",
+        "train_data": lst,
+        "train_label": u2s,
+        "dataloader_args": {"batch_size": 8},
+        "dataset_args": {
+            "frontend": "s3prl",
+            "s3prl_args": {"upstream": "tiny"},
+        },
+        "num_epochs": 1, "epoch_iter": 1,
+    }
+    with pytest.raises(ValueError, match="frontend=fbank"):
+        train(config)
+
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

@@ -173,6 +173,14 @@ def train(config: str | dict, **overrides):
         # precomputed features: no wav-domain speed perturb (reference
         # dataset.py:194-199), so the label space stays x1
         speed_perturb = False
+        if dataset_args.get("frontend", "fbank") != "fbank":
+            # SSL/whisper frontends consume raw wav; feat batches would
+            # silently bypass them (executor's 'feat' branch feeds the
+            # backbone directly)
+            raise ValueError(
+                "data_type=feat requires frontend=fbank (precomputed "
+                "features cannot feed a wav-domain frontend)"
+            )
     num_class = len(spk2id) * (3 if speed_perturb else 1)
 
     reverb_store = noise_store = None
