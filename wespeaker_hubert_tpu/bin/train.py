@@ -93,6 +93,10 @@ def build_speaker_net(config: dict, num_class: int) -> SpeakerNet:
         wcfg = getattr(
             WhisperEncoderConfig, wargs.get("variant", "large_v2")
         )()
+        if "attn_impl" in wargs:  # 'einsum' | 'flash' (TPU Pallas)
+            import dataclasses as _dc
+
+            wcfg = _dc.replace(wcfg, attn_impl=wargs["attn_impl"])
         frontend = WhisperEncoder(wcfg, frozen=wargs.get("frozen", False))
         model_args["feat_dim"] = wcfg.output_size
     backbone = get_speaker_model(config["model"])(**model_args)

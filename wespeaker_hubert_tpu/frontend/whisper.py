@@ -37,6 +37,9 @@ class WhisperEncoderConfig:
     n_ctx: int = 1500
     layer_st: int = 16
     layer_ed: int = 23
+    # 'flash' = fused Pallas attention on TPU (no (B,h,T,T) HBM round
+    # trips); exact einsum fallback elsewhere (see ssl_encoder._flash_mha)
+    attn_impl: str = "einsum"
 
     @staticmethod
     def large_v2():
@@ -67,6 +70,7 @@ def _sinusoids(length: int, channels: int, max_timescale: float = 10000.0):
 class _MHA(nn.Module):
     n_state: int
     n_head: int
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x):
@@ -81,6 +85,13 @@ class _MHA(nn.Module):
         q = (q * scale).reshape(b, t, h, hd)
         k = (k * scale).reshape(b, t, h, hd)
         v = v.reshape(b, t, h, hd)
+        if self.attn_impl == "flash" and jax.default_backend() not in (
+            "cpu", "gpu",
+        ):
+            from .ssl_encoder import _flash_mha
+
+            out = _flash_mha(q, k, v, None, 1.0).reshape(b, t, d)
+            return nn.Dense(d, name="out")(out)
         w = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
         w = jax.nn.softmax(w, axis=-1)
         out = jnp.einsum(
@@ -92,10 +103,11 @@ class _MHA(nn.Module):
 class _Block(nn.Module):
     n_state: int
     n_head: int
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x):
-        x = x + _MHA(self.n_state, self.n_head, name="attn")(
+        x = x + _MHA(self.n_state, self.n_head, self.attn_impl, name="attn")(
             LayerNorm(name="attn_ln")(x)
         )
         h = LayerNorm(name="mlp_ln")(x)
@@ -136,7 +148,9 @@ class WhisperEncoder(nn.Module):
 
         outs = []
         for i in range(cfg.n_layer):
-            h = _Block(cfg.n_state, cfg.n_head, name=f"block_{i}")(h)
+            h = _Block(
+                cfg.n_state, cfg.n_head, cfg.attn_impl, name=f"block_{i}"
+            )(h)
             if cfg.layer_st <= i <= cfg.layer_ed:
                 outs.append(h)
         xs = jnp.concatenate(outs, axis=-1)
