@@ -68,23 +68,49 @@ def head_weight_spec() -> P:
     return P(None, MODEL_AXIS)
 
 
+# Transformer-frontend tensor parallelism (Megatron-style, via GSPMD
+# annotations — XLA inserts the all-reduces): attention QKV and the FFN
+# input projection are COLUMN-sharded over 'model' (heads / hidden units
+# split across chips), their successors (attention out-proj, FFN output
+# projection) are ROW-sharded, so each layer needs exactly two psums.
+_TP_COL = frozenset({"q_proj", "k_proj", "v_proj", "intermediate_dense",
+                     "query", "key", "value", "mlp_0"})
+_TP_ROW = frozenset({"out_proj", "output_dense", "out", "mlp_2"})
+
+
 def param_shardings(tree, mesh: Mesh, head_path: str = "projection"):
     """NamedSharding tree for ANY state pytree (params, optimizer moments,
-    batch stats): everything replicated except 2-D leaves living under a
-    `head_path` node and named 'weight' — the classifier head and its
-    moments — which are class-sharded over 'model'.  Optimizer states
-    (optax namedtuples) embed params-structured subtrees, so the same path
-    predicate covers them."""
+    batch stats): replicated except
+
+      * 2-D 'weight' leaves under `head_path` — the margin-softmax head
+        and its optimizer moments — class-sharded over 'model', and
+      * SSL/whisper frontend transformer kernels (under a 'frontend'
+        node): QKV + FFN-in column-sharded, out-proj + FFN-out
+        row-sharded over 'model' (kernel only; the column-sharded
+        Dense's bias is sharded with its output features).
+
+    Optimizer states (optax namedtuples) embed params-structured
+    subtrees, so the same path predicates cover them."""
 
     def spec_for(path, leaf):
         keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+        ndim = getattr(leaf, "ndim", 0)
         if (
             head_path in keys
             and keys
             and keys[-1] == "weight"
-            and getattr(leaf, "ndim", 0) == 2
+            and ndim == 2
         ):
             return NamedSharding(mesh, head_weight_spec())
+        if "frontend" in keys and len(keys) >= 2:
+            owner, name = keys[-2], keys[-1]
+            if owner in _TP_COL:
+                if name == "kernel" and ndim == 2:
+                    return NamedSharding(mesh, P(None, MODEL_AXIS))
+                if name == "bias" and ndim == 1:
+                    return NamedSharding(mesh, P(MODEL_AXIS))
+            if owner in _TP_ROW and name == "kernel" and ndim == 2:
+                return NamedSharding(mesh, P(MODEL_AXIS, None))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(spec_for, tree)
