@@ -199,17 +199,19 @@ def _flash_mha(q, k, v, ab, scale: float):
     """softmax(q@k^T * scale + ab) @ v via the Pallas TPU flash kernel.
 
     q/k/v: (B, T, h, hd); ab: (B, h, T, T) additive bias or None.
-    T is padded to a multiple of 512 (the kernel's default block size);
-    padded KEY columns are masked through ab so real-query rows are
-    exact, and padded query rows are sliced off.  The kernel applies
-    sm_scale AFTER adding ab, so the scale is folded into q up front.
+    T is padded to a multiple of 128 (the kernel's default block size,
+    forward and backward — the kernel has a custom VJP, so training
+    with attn_impl='flash' differentiates through it); padded KEY
+    columns are masked through ab so real-query rows are exact, and
+    padded query rows are sliced off.  The kernel applies sm_scale
+    AFTER adding ab, so the scale is folded into q up front.
     """
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         flash_attention,
     )
 
     b, t, h, hd = q.shape
-    tp = -(-t // 512) * 512
+    tp = -(-t // 128) * 128
     pad = tp - t
 
     def to_bhtd(x):
