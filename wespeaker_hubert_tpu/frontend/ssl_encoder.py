@@ -222,8 +222,7 @@ def _flash_mha(q, k, v, ab, scale: float):
 
     qh = to_bhtd(q * jnp.asarray(scale, q.dtype))
     kh, vh = to_bhtd(k), to_bhtd(v)
-    if ab is None and pad:
-        ab = jnp.zeros((b, h, t, t), jnp.float32)
+    segment_ids = None
     if ab is not None:
         ab = jnp.broadcast_to(ab, (b, h, t, t))
         if pad:  # mask padded keys; padded query rows are dropped below
@@ -232,7 +231,22 @@ def _flash_mha(q, k, v, ab, scale: float):
                 constant_values=-1e9,
             )
         ab = ab.astype(qh.dtype)
-    out = flash_attention(qh, kh, vh, ab=ab, sm_scale=1.0)
+    elif pad:
+        # no bias tensor (HuBERT / whisper): mask the padding with
+        # segment ids instead of materializing a (B,h,T,T) zero bias —
+        # real frames are segment 0, pad frames segment 1 (pad rows
+        # attend only each other and are sliced off below)
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds,
+        )
+
+        seg = jnp.broadcast_to(
+            (jnp.arange(tp) >= t).astype(jnp.int32)[None, :], (b, tp)
+        )
+        segment_ids = SegmentIds(q=seg, kv=seg)
+    out = flash_attention(
+        qh, kh, vh, ab=ab, segment_ids=segment_ids, sm_scale=1.0
+    )
     return out[:, :, :t].transpose(0, 2, 1, 3)  # (B, T, h, hd)
 
 
