@@ -166,7 +166,8 @@ def bench_train_step(model_name, batch, num_frms=200, num_class=17982,
 
 
 def bench_ssl_frontend_extract(batch=16, seconds=10.0, iters=5,
-                               upstream="wavlm_large"):
+                               upstream="wavlm_large",
+                               attn_impl="einsum"):
     """WavLM-Large frontend + ECAPA c512 extraction throughput, bf16
     (the reference's run_wavlm.sh deployment path; weights random — the
     graph/throughput is identical to converted checkpoints)."""
@@ -177,7 +178,10 @@ def bench_ssl_frontend_extract(batch=16, seconds=10.0, iters=5,
     from wespeaker_hubert_tpu.models.speaker_net import SpeakerNet
     from wespeaker_hubert_tpu.train import make_eval_embed
 
-    enc_cfg = getattr(SSLEncoderConfig, upstream)()
+    import dataclasses as _dc
+
+    enc_cfg = _dc.replace(
+        getattr(SSLEncoderConfig, upstream)(), attn_impl=attn_impl)
     frontend = SSLFrontend(enc_cfg, frozen=True, multilayer_feature=True)
     backbone = get_speaker_model("ECAPA_TDNN_c512")(
         feat_dim=enc_cfg.hidden_size, embed_dim=192)
@@ -398,6 +402,10 @@ def main():
                    help="benchmark the MoCo SSL train step")
     p.add_argument("--ssl_frontend", action="store_true",
                    help="benchmark WavLM-Large frontend extraction")
+    p.add_argument("--attn_impl", default="einsum",
+                   choices=("einsum", "flash"),
+                   help="SSL-frontend attention implementation "
+                        "(flash = Pallas kernel, TPU only)")
     args = p.parse_args()
 
     results = []
@@ -457,7 +465,7 @@ def main():
         print(json.dumps(row), flush=True)
 
     if args.ssl_frontend:
-        tp = bench_ssl_frontend_extract()
+        tp = bench_ssl_frontend_extract(attn_impl=args.attn_impl)
         row = {
             "metric": "WavLM_Large_ECAPA_c512_extract_bf16",
             "value": round(tp, 1),
