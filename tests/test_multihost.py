@@ -1,0 +1,108 @@
+"""True multi-controller SPMD: two OS processes joined through
+jax.distributed.initialize (the TPU-pod launch path, parallel/launch.py)
+each drive 4 virtual CPU devices; the global 8-device mesh must see all
+devices, stripe input by (rank, world), and agree on a globally-reduced
+loss — the reference's torchrun/NCCL rendezvous role (run.sh:66-68)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import json, os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+)
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.environ["REPO_ROOT"])
+from wespeaker_hubert_tpu.parallel.launch import initialize_distributed
+from wespeaker_hubert_tpu.data.dataset import shard_list_for_rank
+
+port = os.environ["COORD_PORT"]
+pid = int(os.environ["PROC_ID"])
+rank, world = initialize_distributed(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+)
+assert (rank, world) == (pid, 2), (rank, world)
+assert jax.process_count() == 2
+assert jax.device_count() == 8, jax.device_count()
+assert jax.local_device_count() == 4
+
+# rank-striped input selection (reference DistributedSampler role)
+entries = [f"utt{i}" for i in range(16)]
+mine = shard_list_for_rank(entries, epoch=0, rank=rank, world_size=world)
+assert len(mine) == 8
+
+# global mesh + data-sharded global array, globally-reduced mean:
+# every process must compute the identical global value
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+local = (np.arange(4 * 3, dtype=np.float32).reshape(4, 3) + 100 * rank)
+garr = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")), local, (8, 3)
+)
+
+@jax.jit
+def global_mean(x):
+    return jnp.mean(x * x)
+
+val = float(global_mean(garr))
+print(json.dumps({"rank": rank, "mine": mine[:3], "val": val}), flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def test_two_process_distributed(tmp_path):
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    env_base = {
+        k: v for k, v in os.environ.items()
+        if not k.startswith(("JAX_", "XLA_"))
+    }
+    procs = []
+    for pid in range(2):
+        env = dict(
+            env_base,
+            COORD_PORT=str(port),
+            PROC_ID=str(pid),
+            REPO_ROOT=os.path.join(os.path.dirname(__file__), ".."),
+            JAX_PLATFORMS="cpu",
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        ))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=220)
+        assert p.returncode == 0, err[-3000:]
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    assert {o["rank"] for o in outs} == {0, 1}
+    # both controllers computed the SAME globally-reduced value
+    assert outs[0]["val"] == outs[1]["val"]
+    # and their input stripes are disjoint rank slices of the dataset
+    assert set(outs[0]["mine"]).isdisjoint(outs[1]["mine"])
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
