@@ -466,8 +466,9 @@ def main():
 
     if args.ssl_frontend:
         tp = bench_ssl_frontend_extract(attn_impl=args.attn_impl)
+        suffix = "" if args.attn_impl == "einsum" else f"_{args.attn_impl}"
         row = {
-            "metric": "WavLM_Large_ECAPA_c512_extract_bf16",
+            "metric": f"WavLM_Large_ECAPA_c512_extract_bf16{suffix}",
             "value": round(tp, 1),
             "unit": "audio_s/s/chip",
         }

@@ -26,7 +26,6 @@ from wespeaker_hubert_tpu.bin.score import (
 )
 from wespeaker_hubert_tpu.bin.tools import (
     build_aug_store,
-    generate_calibration_trial,
     make_raw_list,
     make_shard_list,
     vector_mean,
@@ -161,54 +160,29 @@ def main():
 
     if in_range(7):
         print("stage 7: score calibration (QMF)")
-        import numpy as np
-
         from wespeaker_hubert_tpu.backend.calibration import (
             apply_calibration,
             gather_factors,
-            train_calibration,
         )
 
         # Train the calibrator on trials generated from cnceleb_train
         # (reference local/score_calibration.sh stage 1 +
         # tools/generate_calibration_trial.py) — never on the eval
         # trials, which would leak eval labels into QMF.
-        cohort_path = os.path.join(emb_dir, "cnceleb_train_spk_mean.npz")
-        mean_vec_path = os.path.join(emb_dir, "cnceleb_train_mean.npy")
-        cal_dur = os.path.join(args.data_root, "cnceleb_train", "utt2dur")
-        if not os.path.exists(cal_dur):
-            wav2dur(
-                os.path.join(args.data_root, "cnceleb_train", "wav.scp"),
-                cal_dur,
-            )
-        cal_trials = os.path.join(exp_dir, "calibration.trials")
-        generate_calibration_trial(
-            cal_dur,
-            os.path.join(args.data_root, "cnceleb_train", "utt2spk"),
-            cal_trials,
+        from wespeaker_hubert_tpu.bin.score_calibration import (
+            train_calibration_on_train_set,
+        )
+
+        params, cal_loss, n_cal = train_calibration_on_train_set(
+            os.path.join(args.data_root, "cnceleb_train"),
+            os.path.join(emb_dir, "cnceleb_train.npz"),
+            os.path.join(emb_dir, "cnceleb_train_spk_mean.npz"),
+            os.path.join(emb_dir, "cnceleb_train_mean.npy"),
+            exp_dir, score_dir,
+            top_n=args.asnorm_top_n,
             each_trial_num=args.calibration_trial_num,
         )
-        cal_score = score_trials(
-            os.path.join(emb_dir, "cnceleb_train.npz"), [cal_trials],
-            score_dir, mean_vec_path,
-        )[0]
-        cal_normed = score_norm(
-            cal_score, cal_score + ".asnorm",
-            os.path.join(emb_dir, "cnceleb_train.npz"), cohort_path,
-            method="asnorm", top_n=args.asnorm_top_n,
-            mean_vec_path=mean_vec_path,
-        )
-        cal_durs = {
-            u: float(d) for u, d in (ln.split() for ln in open(cal_dur))
-        }
-        cal_factors, cal_meta = gather_factors(
-            list(open(cal_normed)), cal_durs
-        )
-        cal_labels = np.asarray(
-            [1 if m[2] == "target" else 0 for m in cal_meta]
-        )
-        params, cal_loss = train_calibration(cal_factors, cal_labels)
-        print(f"  calibration trained on {len(cal_meta)} trials "
+        print(f"  calibration trained on {n_cal} trials "
               f"(Cllr {cal_loss:.4f})")
 
         dur_path = os.path.join(args.data_root, "eval", "utt2dur")

@@ -27,7 +27,6 @@ from wespeaker_hubert_tpu.bin.score import (
 )
 from wespeaker_hubert_tpu.bin.tools import (
     build_aug_store,
-    generate_calibration_trial,
     make_raw_list,
     make_shard_list,
     vector_mean,
@@ -37,7 +36,6 @@ from wespeaker_hubert_tpu.bin.train import train
 from wespeaker_hubert_tpu.backend.calibration import (
     apply_calibration,
     gather_factors,
-    train_calibration,
 )
 from wespeaker_hubert_tpu.utils.config import load_config
 
@@ -147,50 +145,25 @@ def main():
 
     if in_range(7):
         print("stage 7: QMF calibration")
-        import numpy as np
-
-        # QMF must be TRAINED on calibration trials generated from the
+        # QMF is TRAINED on calibration trials generated from the
         # training set (reference run.sh stage 7 +
         # tools/generate_calibration_trial.py) — never on the evaluation
         # trials themselves, which would leak eval labels into the
         # calibrator and report optimistic EER.
-        cohort_path = os.path.join(emb_dir, "vox2_dev_spk_mean.npz")
-        mean_vec_path = os.path.join(emb_dir, "vox2_dev_mean.npy")
+        from wespeaker_hubert_tpu.bin.score_calibration import (
+            train_calibration_on_train_set,
+        )
 
-        cal_dur = os.path.join(args.data_root, "vox2_dev", "utt2dur")
-        if not os.path.exists(cal_dur):
-            wav2dur(
-                os.path.join(args.data_root, "vox2_dev", "wav.scp"), cal_dur
-            )
-        cal_trials = os.path.join(exp_dir, "calibration.trials")
-        generate_calibration_trial(
-            cal_dur,
-            os.path.join(args.data_root, "vox2_dev", "utt2spk"),
-            cal_trials,
+        params, loss, n_cal = train_calibration_on_train_set(
+            os.path.join(args.data_root, "vox2_dev"),
+            os.path.join(emb_dir, "vox2_dev.npz"),
+            os.path.join(emb_dir, "vox2_dev_spk_mean.npz"),
+            os.path.join(emb_dir, "vox2_dev_mean.npy"),
+            exp_dir, score_dir,
+            top_n=args.asnorm_top_n,
             each_trial_num=args.calibration_trial_num,
         )
-        cal_score = score_trials(
-            os.path.join(emb_dir, "vox2_dev.npz"), [cal_trials], score_dir,
-            mean_vec_path,
-        )[0]
-        cal_normed = score_norm(
-            cal_score, cal_score + ".asnorm",
-            os.path.join(emb_dir, "vox2_dev.npz"), cohort_path,
-            method="asnorm", top_n=args.asnorm_top_n,
-            mean_vec_path=mean_vec_path,
-        )
-        cal_durs = {
-            u: float(d) for u, d in (ln.split() for ln in open(cal_dur))
-        }
-        cal_factors, cal_meta = gather_factors(
-            list(open(cal_normed)), cal_durs
-        )
-        cal_labels = np.asarray(
-            [1 if m[2] == "target" else 0 for m in cal_meta]
-        )
-        params, loss = train_calibration(cal_factors, cal_labels)
-        print(f"  calibration trained on {len(cal_meta)} trials "
-              f"(Cllr {loss:.4f})")
+        print(f"  calibration trained on {n_cal} trials (Cllr {loss:.4f})")
 
         dur_path = os.path.join(args.data_root, "vox1", "utt2dur")
         if not os.path.exists(dur_path):

@@ -194,6 +194,11 @@ class TestAttnImpl:
         it must produce the exact einsum-path outputs (same params)."""
         import dataclasses
 
+        if jax.default_backend() not in ("cpu", "gpu"):
+            pytest.skip("on TPU the flash path legitimately differs "
+                        "(online-softmax numerics); this test locks the "
+                        "off-TPU fallback only")
+
         cfg = SSLEncoderConfig.tiny(model_type="wavlm")
         rng = np.random.default_rng(0)
         wav = rng.standard_normal((2, 3200)).astype(np.float32) * 0.1

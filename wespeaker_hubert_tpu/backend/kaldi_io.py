@@ -55,7 +55,9 @@ def _read_vector(f: BinaryIO) -> np.ndarray:
     return np.frombuffer(f.read(dim * width), dtype=dtype).astype(np.float64)
 
 
-def _read_matrix(f: BinaryIO) -> np.ndarray:
+def _read_matrix(f: BinaryIO, out_dtype=np.float64) -> np.ndarray:
+    """out_dtype=None keeps the on-disk dtype (no conversion copy) — the
+    feat-loader hot path; the PLDA reader keeps the f64 default."""
     token = _read_token(f)
     if token == "FM":
         dtype, width = "<f4", 4
@@ -66,7 +68,8 @@ def _read_matrix(f: BinaryIO) -> np.ndarray:
     rows = _read_int32(f)
     cols = _read_int32(f)
     data = np.frombuffer(f.read(rows * cols * width), dtype=dtype)
-    return data.reshape(rows, cols).astype(np.float64)
+    data = data.reshape(rows, cols)
+    return data if out_dtype is None else data.astype(out_dtype)
 
 
 def read_kaldi_plda(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -150,7 +153,8 @@ def write_kaldi_matrices(ark_path: str, names, matrices, scp_path: str = None):
 def read_kaldi_matrix(rxspecifier: str) -> np.ndarray:
     """Read ONE matrix from 'path/to/file.ark:offset' (the scp entry
     format, kaldiio.load_mat's rxspecifier) or from a file positioned at
-    a bare '\\0B FM' record."""
+    a bare '\\0B FM' record.  Keeps the on-disk dtype (training-loader
+    hot path: no f4->f8->f4 conversion copies)."""
     path, sep, offset = rxspecifier.rpartition(":")
     if sep and offset.isdigit():
         pos = int(offset)
@@ -163,7 +167,7 @@ def read_kaldi_matrix(rxspecifier: str) -> np.ndarray:
             raise ValueError(
                 f"not kaldi binary at {rxspecifier!r} (missing \\0B)"
             )
-        return _read_matrix(f)
+        return _read_matrix(f, out_dtype=None)
 
 
 def read_kaldi_matrices(path: str):
@@ -183,7 +187,7 @@ def read_kaldi_matrices(path: str):
             marker = f.read(2)
             if marker != b"\x00B":
                 raise ValueError(f"not kaldi binary at {key!r}")
-            out.append((key, _read_matrix(f)))
+            out.append((key, _read_matrix(f, out_dtype=None)))
     return out
 
 

@@ -68,6 +68,13 @@ def extract(
     # num_class doesn't matter for inference; build with 2 to keep the
     # projection tiny, then partial-load only backbone params.
     net = build_speaker_net(config, num_class=2)
+    if data_type == "feat" and net.frontend is not None:
+        # same guard as bin/train: precomputed features would silently
+        # bypass a wav-domain (SSL/whisper) frontend
+        raise ValueError(
+            "data_type=feat requires frontend=fbank (precomputed "
+            "features cannot feed a wav-domain frontend)"
+        )
     if net.frontend is not None:
         # frontend nets (s3prl / whisper): the backbone consumes the
         # frontend's output features, and the frontend params come from

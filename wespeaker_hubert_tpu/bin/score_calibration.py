@@ -13,7 +13,56 @@ from ..backend.calibration import (
     train_calibration,
 )
 
-__all__ = ["calibrate_scores"]
+__all__ = ["calibrate_scores", "train_calibration_on_train_set"]
+
+
+def train_calibration_on_train_set(
+    train_dir: str,
+    emb_path: str,
+    cohort_path: str,
+    mean_vec_path: str,
+    exp_dir: str,
+    score_dir: str,
+    top_n: int = 300,
+    each_trial_num: int = 10000,
+):
+    """Fit the QMF calibrator on trials GENERATED from the training set
+    (reference local/score_calibration.sh stages 1-3: wav2dur ->
+    generate_calibration_trial -> score -> score_norm -> factor fit) —
+    never on the eval trials, which would leak eval labels into the
+    calibrator.  Shared by the voxceleb/cnceleb stage-7 drivers.
+
+    train_dir needs wav.scp + utt2spk (utt2dur is created if absent);
+    emb_path/cohort_path/mean_vec_path are the train-set embeddings,
+    speaker-mean cohort, and mean vector from the earlier stages.
+    Returns (params, cllr, num_trials)."""
+    import os
+
+    from .score import score_norm, score_trials
+    from .tools import generate_calibration_trial, wav2dur
+
+    cal_dur = os.path.join(train_dir, "utt2dur")
+    if not os.path.exists(cal_dur):
+        wav2dur(os.path.join(train_dir, "wav.scp"), cal_dur)
+    cal_trials = os.path.join(exp_dir, "calibration.trials")
+    generate_calibration_trial(
+        cal_dur,
+        os.path.join(train_dir, "utt2spk"),
+        cal_trials,
+        each_trial_num=each_trial_num,
+    )
+    cal_score = score_trials(
+        emb_path, [cal_trials], score_dir, mean_vec_path
+    )[0]
+    cal_normed = score_norm(
+        cal_score, cal_score + ".asnorm", emb_path, cohort_path,
+        method="asnorm", top_n=top_n, mean_vec_path=mean_vec_path,
+    )
+    durs = _load_durations(cal_dur)
+    factors, meta = gather_factors(list(open(cal_normed)), durs)
+    labels = np.asarray([1 if m[2] == "target" else 0 for m in meta])
+    params, loss = train_calibration(factors, labels)
+    return params, loss, len(meta)
 
 
 def _load_durations(path):

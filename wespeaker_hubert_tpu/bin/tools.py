@@ -85,7 +85,6 @@ def compute_feats(
     num_mel_bins: int = 80,
     frame_shift: int = 10,
     frame_length: int = 25,
-    batch_frames: int = 16000,
 ) -> int:
     """Offline fbank extraction: wav.scp -> kaldi matrix ark + scp
     (the role kaldi's compute-fbank-feats plays upstream of the
@@ -220,9 +219,13 @@ def generate_calibration_trial(
     keeps QMF leakage-free.
 
     Deviations: speaker identity comes from `utt2spk` (the reference
-    parses it from the utterance path), and when a duration band has
+    parses it from the utterance path); when a duration band has
     fewer than two speakers (tiny corpora) both bands fall back to the
-    full utterance pool so a trial list always materializes."""
+    full utterance pool so a trial list always materializes; and
+    same-pool target pairs exclude enroll==test whenever the pool has
+    >= 2 utterances (the reference's random.choices(k=2) samples WITH
+    replacement, so it emits self-trials whose cosine-1.0 scores skew
+    the target distribution the calibrator fits)."""
     import random as _random
 
     durs = {u: float(d) for u, d in (r[:2] for r in _read_table(utt2dur))}
@@ -253,6 +256,15 @@ def generate_calibration_trial(
         short = long_ = pool
     spks = sorted(short)
     rng = _random.Random(seed)
+
+    def pick(pool, exclude=None):
+        if exclude is not None and len(pool) > 1:
+            c = rng.choice(pool)
+            while c == exclude:
+                c = rng.choice(pool)
+            return c
+        return rng.choice(pool)
+
     n = 0
     with open(trial_path, "w") as f:
         for _ in range(max(1, each_trial_num // 2)):
@@ -264,10 +276,10 @@ def generate_calibration_trial(
                 (short, long_),
                 (long_, long_),
             ):
-                enroll_utt = rng.choice(e_pool[enroll_spk])
-                test_utt = rng.choice(t_pool[enroll_spk])
+                enroll_utt = pick(e_pool[enroll_spk])
+                test_utt = pick(t_pool[enroll_spk], exclude=enroll_utt)
                 f.write(f"{enroll_utt} {test_utt} target\n")
-                test_utt = rng.choice(t_pool[nontarget_spk])
+                test_utt = pick(t_pool[nontarget_spk])
                 f.write(f"{enroll_utt} {test_utt} nontarget\n")
                 n += 2
     return n

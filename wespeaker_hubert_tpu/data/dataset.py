@@ -143,7 +143,8 @@ def iter_feat_list(entries: Iterable[str]) -> Iterator[dict]:
     for line in entries:
         try:
             obj = json.loads(line)
-            feat = read_kaldi_matrix(obj["feat"]).astype(np.float32)
+            # asarray: no copy when the ark is already f32 (the hot path)
+            feat = np.asarray(read_kaldi_matrix(obj["feat"]), np.float32)
             yield {
                 "key": obj["key"],
                 "spk": obj.get("spk", ""),

@@ -85,11 +85,9 @@ class _MHA(nn.Module):
         q = (q * scale).reshape(b, t, h, hd)
         k = (k * scale).reshape(b, t, h, hd)
         v = v.reshape(b, t, h, hd)
-        if self.attn_impl == "flash" and jax.default_backend() not in (
-            "cpu", "gpu",
-        ):
-            from .ssl_encoder import _flash_mha
+        from .ssl_encoder import _flash_mha, _use_flash
 
+        if _use_flash(self):  # duck-typed: reads .attn_impl
             out = _flash_mha(q, k, v, None, 1.0).reshape(b, t, d)
             return nn.Dense(d, name="out")(out)
         w = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
