@@ -85,11 +85,6 @@ def main(batch=16, seconds=10.0, trace_dir="/tmp/ssl_trace"):
                       num_frms=int(seconds * 100), top=25)
 
 
-if __name__ == "__main__":
-    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    sec = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
-    main(bs, sec)
-
 
 def attribute(fusions=("fusion.4487", "fusion.4406", "fusion.3436",
                        "fusion.423", "multiply_reduce_fusion",
@@ -181,3 +176,14 @@ def flash_ab(batch=16, seconds=10.0, upstream="wavlm_large"):
         np.linalg.norm(e, axis=-1) * np.linalg.norm(f, axis=-1))
     print(f"embedding cosine flash-vs-einsum: min {cos.min():.6f}")
     print(f"speedup: {tputs['flash'] / tputs['einsum']:.3f}x")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "flash_ab":
+        flash_ab()
+    elif len(sys.argv) > 1 and sys.argv[1] == "attribute":
+        attribute()
+    else:
+        bs = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+        sec = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
+        main(bs, sec)
