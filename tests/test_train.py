@@ -256,6 +256,87 @@ class TestShardedTrain:
         )
 
 
+    def test_frontend_fsdp(self):
+        """fsdp=True shards frontend kernels + optimizer moments over
+        'data' on top of TP (the fsdp x tp 2-D layout); first-step loss
+        must match single-device."""
+        from wespeaker_hubert_tpu.frontend import (
+            SSLEncoderConfig,
+            SSLFrontend,
+        )
+
+        cfg = SSLEncoderConfig.tiny(model_type="wavlm")
+        frontend = SSLFrontend(cfg, frozen=False)
+        backbone = get_speaker_model("ECAPA_TDNN_c512")(
+            feat_dim=cfg.hidden_size, embed_dim=32
+        )
+        projection = get_projection({
+            "project_type": "arc_margin", "embed_dim": 32,
+            "num_class": 8, "scale": 32.0,
+        })
+        net = SpeakerNet(
+            backbone=backbone, projection=projection, frontend=frontend
+        )
+        lr, margin = _schedules()
+        tx = make_optimizer(lr, weight_decay=0.0)
+        rng = np.random.default_rng(8)
+        b = 8
+        batch = {
+            "wav": jnp.asarray(
+                rng.standard_normal((b, 3200)) * 0.1, jnp.float32
+            ),
+            "label": jnp.asarray(rng.integers(0, 8, b)),
+        }
+        feats_ex = jnp.zeros((b, 10, cfg.hidden_size))
+
+        def init_state():
+            return create_train_state(
+                net, tx, jax.random.key(0), feats_ex,
+                batch["label"], example_wav=batch["wav"],
+            )
+
+        s1, m1 = make_train_step(net, tx, lr, margin)(
+            init_state(), batch, jax.random.key(3)
+        )
+
+        mesh = make_mesh(model_parallel=2)  # (data=4, model=2)
+        state_sh = shard_train_state(init_state(), mesh, fsdp=True)
+        from jax.sharding import PartitionSpec as P
+
+        qk = state_sh.params["frontend"]["upstream"]["layer_0"][
+            "attention"]["q_proj"]["kernel"]
+        assert qk.sharding.spec == P("data", "model"), qk.sharding.spec
+        ffn_out = state_sh.params["frontend"]["upstream"]["layer_0"][
+            "feed_forward"]["output_dense"]["kernel"]
+        assert ffn_out.sharding.spec == P("model", "data")
+        conv = state_sh.params["frontend"]["upstream"][
+            "feature_extractor"]["conv_1"]["kernel"]
+        assert conv.sharding.spec == P(None, None, "data")
+        # optimizer moments follow the same layout (ZeRO-3 role)
+        moments = [
+            leaf for leaf in jax.tree.leaves(
+                state_sh.opt_state,
+                is_leaf=lambda x: hasattr(x, "sharding"),
+            )
+            if hasattr(leaf, "sharding")
+            and leaf.sharding.spec == P("data", "model")
+        ]
+        assert moments, "no FSDP-sharded optimizer moments found"
+        # non-frontend params stay replicated
+        bb = state_sh.params["backbone"]["layer1"]["conv"]["kernel"]
+        assert bb.sharding.is_fully_replicated
+
+        step = make_train_step(net, tx, lr, margin, mesh=mesh)
+        s2, m2 = step(state_sh, shard_batch(batch, mesh), jax.random.key(3))
+        assert float(m1["loss"]) == pytest.approx(
+            float(m2["loss"]), rel=1e-4
+        )
+        # updated params keep their FSDP layout across the step
+        qk2 = s2.params["frontend"]["upstream"]["layer_0"][
+            "attention"]["q_proj"]["kernel"]
+        assert qk2.sharding.spec == P("data", "model")
+
+
     def test_eval_embed_sharded(self):
         mesh = make_mesh(model_parallel=1)
         model = _build()

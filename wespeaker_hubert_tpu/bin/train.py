@@ -443,7 +443,10 @@ def train(config: str | dict, **overrides):
             config["model_init"], len(missing), len(unexpected),
         )
 
-    state = shard_train_state(state, mesh)
+    # fsdp: true additionally shards the SSL/whisper frontend params +
+    # optimizer moments over 'data' (ZeRO-3 role — 1/N HBM per chip,
+    # XLA all-gathers per layer); no-op without a frontend
+    state = shard_train_state(state, mesh, fsdp=bool(config.get("fsdp")))
     # loop_steps > 1 scans that many optimizer steps inside one XLA
     # dispatch (train/executor.py): fewer host round trips — the main
     # lever when the host-device link has per-dispatch latency

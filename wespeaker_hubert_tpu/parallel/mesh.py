@@ -78,19 +78,39 @@ _TP_COL = frozenset({"q_proj", "k_proj", "v_proj", "intermediate_dense",
 _TP_ROW = frozenset({"out_proj", "output_dense", "out", "mlp_2"})
 
 
-def param_shardings(tree, mesh: Mesh, head_path: str = "projection"):
+def param_shardings(
+    tree, mesh: Mesh, head_path: str = "projection", fsdp: bool = False
+):
     """NamedSharding tree for ANY state pytree (params, optimizer moments,
     batch stats): replicated except
 
       * 2-D 'weight' leaves under `head_path` — the margin-softmax head
-        and its optimizer moments — class-sharded over 'model', and
+        and its optimizer moments — class-sharded over 'model',
       * SSL/whisper frontend transformer kernels (under a 'frontend'
         node): QKV + FFN-in column-sharded, out-proj + FFN-out
         row-sharded over 'model' (kernel only; the column-sharded
-        Dense's bias is sharded with its output features).
+        Dense's bias is sharded with its output features), and
+      * with `fsdp=True`, frontend kernels ADDITIONALLY shard a
+        remaining dimension over 'data' (ZeRO-3 role: params + their
+        optimizer moments live in 1/N-th of HBM per chip; XLA inserts
+        the per-layer all-gathers).  Composed with TP this is the full
+        fsdp x tp 2-D layout — 2-D Dense kernels become
+        P('data','model') / P('model','data'), other 2-D frontend
+        kernels P('data', None), conv kernels shard their output
+        channels.  A dim is only sharded when divisible by the axis.
 
     Optimizer states (optax namedtuples) embed params-structured
     subtrees, so the same path predicates cover them."""
+    data_n = mesh.shape[DATA_AXIS]
+
+    def fdim(leaf, dim):
+        """DATA_AXIS if leaf's dim is FSDP-shardable, else None."""
+        if not fsdp or data_n <= 1:
+            return None
+        shape = getattr(leaf, "shape", ())
+        if len(shape) > dim and shape[dim] % data_n == 0 and shape[dim] > 1:
+            return DATA_AXIS
+        return None
 
     def spec_for(path, leaf):
         keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
@@ -106,19 +126,28 @@ def param_shardings(tree, mesh: Mesh, head_path: str = "projection"):
             owner, name = keys[-2], keys[-1]
             if owner in _TP_COL:
                 if name == "kernel" and ndim == 2:
-                    return NamedSharding(mesh, P(None, MODEL_AXIS))
+                    return NamedSharding(mesh, P(fdim(leaf, 0), MODEL_AXIS))
                 if name == "bias" and ndim == 1:
                     return NamedSharding(mesh, P(MODEL_AXIS))
             if owner in _TP_ROW and name == "kernel" and ndim == 2:
-                return NamedSharding(mesh, P(MODEL_AXIS, None))
+                return NamedSharding(mesh, P(MODEL_AXIS, fdim(leaf, 1)))
+            if fsdp and name == "kernel":
+                if ndim == 2:  # feat projection / gate etc.
+                    return NamedSharding(mesh, P(fdim(leaf, 0), None))
+                if ndim == 3:  # conv extractor / pos-conv (k, in, out)
+                    return NamedSharding(
+                        mesh, P(None, None, fdim(leaf, 2))
+                    )
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(spec_for, tree)
 
 
-def shard_tree(tree, mesh: Mesh, head_path: str = "projection"):
+def shard_tree(
+    tree, mesh: Mesh, head_path: str = "projection", fsdp: bool = False
+):
     """device_put a state pytree onto the mesh per `param_shardings`."""
-    sh = param_shardings(tree, mesh, head_path)
+    sh = param_shardings(tree, mesh, head_path, fsdp=fsdp)
     return jax.tree.map(jax.device_put, tree, sh)
 
 

@@ -277,14 +277,16 @@ def make_train_step(
     )
 
 
-def shard_train_state(state: TrainState, mesh) -> TrainState:
+def shard_train_state(state: TrainState, mesh, fsdp: bool = False) -> TrainState:
     """Place the whole train state on the mesh: replicated except the
     classifier head weight and its optimizer moments (class-sharded over
-    'model' — the path predicate in parallel.mesh.param_shardings covers
-    the params-structured subtrees inside optax states too)."""
+    'model') and, with fsdp=True, the SSL/whisper frontend kernels +
+    moments sharded over 'data' (ZeRO-3 role) — the path predicates in
+    parallel.mesh.param_shardings cover the params-structured subtrees
+    inside optax states too."""
     from ..parallel.mesh import shard_tree
 
-    return shard_tree(state, mesh)
+    return shard_tree(state, mesh, fsdp=fsdp)
 
 
 def cast_variables_bf16(variables):
