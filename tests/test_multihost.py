@@ -104,5 +104,157 @@ def test_two_process_distributed(tmp_path):
     assert set(outs[0]["mine"]).isdisjoint(outs[1]["mine"])
 
 
+_TRAIN_WORKER = r"""
+import json, os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+)
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.environ["REPO_ROOT"])
+from wespeaker_hubert_tpu.parallel import make_mesh, shard_batch
+from wespeaker_hubert_tpu.parallel.launch import initialize_distributed
+from wespeaker_hubert_tpu.models import get_projection, get_speaker_model
+from wespeaker_hubert_tpu.models.speaker_net import SpeakerNet
+from wespeaker_hubert_tpu.train import (
+    ExponentialDecrease, MarginSchedule, create_train_state,
+    make_optimizer, make_train_step, shard_train_state,
+)
+
+pid = int(os.environ["PROC_ID"])
+rank, world = initialize_distributed(
+    coordinator_address=f"localhost:{os.environ['COORD_PORT']}",
+    num_processes=2, process_id=pid,
+)
+
+net = SpeakerNet(
+    backbone=get_speaker_model("ECAPA_TDNN_c512")(feat_dim=16, embed_dim=16),
+    projection=get_projection({"project_type": "arc_margin",
+                               "embed_dim": 16, "num_class": 8,
+                               "scale": 32.0}),
+)
+lr = ExponentialDecrease(num_epochs=2, epoch_iter=2, initial_lr=0.1,
+                         final_lr=0.01, warm_up_epoch=1, scale_ratio=1.0)
+margin = MarginSchedule(epoch_iter=2, increase_start_epoch=1,
+                        fix_start_epoch=2, initial_margin=0.0,
+                        final_margin=0.2)
+tx = make_optimizer(lr, weight_decay=0.0)
+
+# every host: ITS 8 rows of the 16-row global batch (rank striping)
+rng = np.random.default_rng(100 + rank)
+local = {
+    "feat": rng.standard_normal((8, 20, 16)).astype(np.float32),
+    "label": rng.integers(0, 8, 8).astype(np.int32),
+}
+mesh = make_mesh(model_parallel=2)  # global (data=4, model=2)
+state = shard_train_state(
+    create_train_state(net, tx, jax.random.key(0),
+                       jnp.zeros((16, 20, 16)), jnp.zeros((16,), jnp.int32)),
+    mesh,
+)
+step = make_train_step(net, tx, lr, margin, mesh=mesh)
+gbatch = shard_batch(local, mesh)
+assert gbatch["feat"].shape == (16, 20, 16), gbatch["feat"].shape
+state, metrics = step(state, gbatch, jax.random.key(5))
+print(json.dumps({"rank": rank, "loss": float(metrics["loss"])}),
+      flush=True)
+"""
+
+
+def test_two_process_train_step(tmp_path):
+    """One sharded train step across two controllers: the global batch
+    is assembled from per-host rows (shard_batch multi-controller path),
+    both controllers report the identical loss, and that loss equals a
+    single-process run on the concatenated 16-row batch."""
+    port = _free_port()
+    script = tmp_path / "train_worker.py"
+    script.write_text(_TRAIN_WORKER)
+    env_base = {
+        k: v for k, v in os.environ.items()
+        if not k.startswith(("JAX_", "XLA_"))
+    }
+    procs = []
+    for pid in range(2):
+        env = dict(
+            env_base,
+            COORD_PORT=str(port),
+            PROC_ID=str(pid),
+            REPO_ROOT=os.path.join(os.path.dirname(__file__), ".."),
+            JAX_PLATFORMS="cpu",
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        ))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=220)
+        assert p.returncode == 0, err[-3000:]
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    assert outs[0]["loss"] == outs[1]["loss"]
+
+    # reference: the same step on ONE controller with the same global
+    # batch (both hosts' rows concatenated in rank order)
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from wespeaker_hubert_tpu.models import (
+        get_projection,
+        get_speaker_model,
+    )
+    from wespeaker_hubert_tpu.models.speaker_net import SpeakerNet
+    from wespeaker_hubert_tpu.train import (
+        ExponentialDecrease,
+        MarginSchedule,
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    net = SpeakerNet(
+        backbone=get_speaker_model("ECAPA_TDNN_c512")(
+            feat_dim=16, embed_dim=16
+        ),
+        projection=get_projection({
+            "project_type": "arc_margin", "embed_dim": 16,
+            "num_class": 8, "scale": 32.0,
+        }),
+    )
+    lr = ExponentialDecrease(num_epochs=2, epoch_iter=2, initial_lr=0.1,
+                             final_lr=0.01, warm_up_epoch=1,
+                             scale_ratio=1.0)
+    margin = MarginSchedule(epoch_iter=2, increase_start_epoch=1,
+                            fix_start_epoch=2, initial_margin=0.0,
+                            final_margin=0.2)
+    tx = make_optimizer(lr, weight_decay=0.0)
+    feats, labels = [], []
+    for rank in range(2):
+        rng = np.random.default_rng(100 + rank)
+        feats.append(rng.standard_normal((8, 20, 16)).astype(np.float32))
+        labels.append(rng.integers(0, 8, 8).astype(np.int32))
+    batch = {
+        "feat": jnp.asarray(np.concatenate(feats)),
+        "label": jnp.asarray(np.concatenate(labels)),
+    }
+    state = create_train_state(
+        net, tx, jax.random.key(0), jnp.zeros((16, 20, 16)),
+        jnp.zeros((16,), jnp.int32),
+    )
+    _, metrics = make_train_step(net, tx, lr, margin)(
+        state, batch, jax.random.key(5)
+    )
+    assert outs[0]["loss"] == pytest.approx(
+        float(metrics["loss"]), rel=1e-4
+    )
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

@@ -208,9 +208,15 @@ def train(config: str | dict, **overrides):
         aug_prob=dataset_args.get("aug_prob", 0.6),
         batch_size=batch_size,
         seed=seed,
-        packed_aug=dataset_args.get("packed_aug", True),
+        # The packed [reverb|noise|clean] layout is ordered over the
+        # WHOLE batch; multi-controller batch assembly concatenates
+        # per-host blocks, which would interleave the slots — multi-host
+        # runs use the per-row (unpacked) aug layout instead.
+        packed_aug=dataset_args.get("packed_aug", True) and world == 1,
         aug_align=n_data,  # keep packed slices shard-aligned under GSPMD
     )
+    if world > 1 and dataset_args.get("packed_aug", True):
+        logger.info("multi-host: per-row aug layout (packed_aug off)")
     num_workers = int(dataloader_args.get("num_workers", 0))
     pipe = None
     if num_workers > 0:
@@ -268,7 +274,12 @@ def train(config: str | dict, **overrides):
     sched_args = dict(config.get("scheduler_args", {}))
     sched_args.setdefault("initial_lr", 0.1)
     sched_args.setdefault("final_lr", 5e-5)
-    world_batch = batch_size * n_data if config.get("scale_lr_by_world", True) else batch_size
+    # batch_size is rows PER HOST; the global per-step batch is
+    # world x batch_size (one SPMD program, batch sharded over 'data').
+    # The reference's scale is world_size x per-GPU batch / 64
+    # (train.py:192) — the same global batch.  (Chips within a host do
+    # NOT multiply: they shard the host's rows, they don't add rows.)
+    world_batch = batch_size * world if config.get("scale_lr_by_world", True) else batch_size
     scale_ratio = max(1.0, world_batch / 64)
     lr_schedule = get_lr_schedule(
         config.get("scheduler", "ExponentialDecrease"),

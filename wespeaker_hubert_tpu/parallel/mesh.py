@@ -154,9 +154,28 @@ def shard_tree(
 def shard_batch(batch, mesh: Mesh, stacked: bool = False):
     """Place a host-resident batch pytree onto the mesh, sharded on the
     batch axis over 'data'.  stacked=True marks multi-step batches with
-    a leading (num_steps,) scan axis — the batch axis is then dim 1."""
+    a leading (num_steps,) scan axis — the batch axis is then dim 1.
+
+    Multi-controller (jax.process_count() > 1): every host holds only
+    ITS rows of the global batch (the rank-striped pipeline), so the
+    global array is assembled from process-local data — the global
+    batch is process_count x local rows.  A plain device_put would
+    wrongly treat each host's local batch as the whole global value."""
+    bdim = 1 if stacked else 0
     if stacked:
         sh = NamedSharding(mesh, P(None, DATA_AXIS))
     else:
         sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        w = jax.process_count()
+
+        def put(x):
+            x = np.asarray(x)
+            gshape = list(x.shape)
+            gshape[bdim] *= w
+            return jax.make_array_from_process_local_data(
+                sh, x, tuple(gshape)
+            )
+
+        return jax.tree.map(put, batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
