@@ -190,3 +190,28 @@ def test_kserve_v2_protocol(server):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert "WAV" in json.loads(e.read())["error"]
+
+
+def test_diarize_endpoint(server):
+    """POST /diarize returns merged speaker segments (the reference
+    diarization_gpu Triton ensemble role)."""
+    rng = np.random.default_rng(3)
+    sr = 16000
+    # two alternating synthetic "speakers" (distinct sine stacks) with a
+    # silence gap so VAD yields at least two segments
+    t = np.arange(3 * sr) / sr
+    spk_a = np.sin(2 * np.pi * 400 * t) * 0.3
+    spk_b = np.sin(2 * np.pi * 950 * t) * 0.3
+    silence = np.zeros(sr // 2)
+    wav = np.concatenate([spk_a, silence, spk_b]).astype(np.float32)
+    wav += rng.standard_normal(len(wav)).astype(np.float32) * 0.01
+
+    out = _post(server + "/diarize", _wav_bytes(wav))
+    segs = out["segments"]
+    assert segs, "no segments returned"
+    for s in segs:
+        assert set(s) == {"utt", "begin", "end", "speaker"}
+        assert 0.0 <= s["begin"] < s["end"] <= len(wav) / sr + 0.1
+    # speech regions are covered (>= half the 6.5s of speech)
+    covered = sum(s["end"] - s["begin"] for s in segs)
+    assert covered > 3.0, segs

@@ -103,6 +103,7 @@ class EmbeddingService:
             if hasattr(self.speaker.net.backbone, "embed_dim") else -1
         )
         self._q: "queue.Queue[Tuple[np.ndarray, queue.Queue]]" = queue.Queue()
+        self._diar_lock = threading.Lock()
         self._stop = False
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
@@ -168,6 +169,23 @@ class EmbeddingService:
         e1 = self.embed_wav_bytes(a)
         e2 = self.embed_wav_bytes(b)
         return self.speaker.cosine_similarity(e1, e2)
+
+    def diarize_wav_bytes(self, data: bytes, utt: str = "unk"):
+        """Full diarization of one wav: VAD -> subsegment embeddings ->
+        clustering -> merged (utt, begin, end, speaker) segments — the
+        reference's diarization_gpu Triton ensemble role
+        (runtime/server/diarization_gpu/model_repo/run/1/model.py: BLS
+        over SAD + chunking + embedding + clusterer -> LABELS).
+        Serialized through a lock: the diarization path drives its own
+        jitted fns outside the micro-batch queue."""
+        from ..data.wav_io import read_wav_bytes
+
+        wav, sr = read_wav_bytes(data)
+        assert sr == self.speaker.resample_rate, f"sample rate {sr}"
+        with self._diar_lock:
+            segments = self.speaker.diarize_pcm(wav, utt=utt)
+        self.meter.update(len(wav) / sr, 1)
+        return segments
 
     def stats(self) -> dict:
         t = self.meter.totals()
@@ -241,6 +259,12 @@ def _make_handler(service: EmbeddingService):
                 elif self.path == "/similarity":
                     a, b = data.split(BOUNDARY, 1)
                     self._json(200, {"similarity": service.similarity(a, b)})
+                elif self.path.startswith("/diarize"):
+                    segs = service.diarize_wav_bytes(data)
+                    self._json(200, {"segments": [
+                        {"utt": u, "begin": b, "end": e, "speaker": s}
+                        for u, b, e, s in segs
+                    ]})
                 else:
                     self._json(404, {"error": "unknown path"})
             except Exception as e:  # noqa: BLE001 — report to client

@@ -271,7 +271,19 @@ class Speaker:
         """(utt, begin, end, speaker) list (reference :214-281):
         VAD -> per-segment fbank -> 1.5s/0.75s subsegments -> batched
         embedding -> clustering -> merged segments."""
-        wav = self._load_audio(audio_path)
+        return self.diarize_pcm(
+            self._load_audio(audio_path), utt=utt, clusterer=clusterer
+        )
+
+    def diarize_pcm(
+        self,
+        wav: np.ndarray,
+        utt: str = "unk",
+        clusterer: str = "density",
+    ) -> List[Tuple[str, float, float, int]]:
+        """diarize() on in-memory samples (the serving entry point —
+        reference runtime/server/diarization_gpu run ensemble consumes
+        a raw waveform tensor the same way)."""
         vad_segments = self._vad_segments(wav)
         if not vad_segments:
             return []
