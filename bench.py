@@ -97,5 +97,42 @@ def main():
     )
 
 
+def _wait_for_device(max_wait_s: float = 900.0, probe_timeout: float = 150.0):
+    """Bounded device probe so a wedged remote-TPU tunnel yields a clear
+    failure instead of an indefinite hang.  The probe runs in a
+    SUBPROCESS because a hung backend init cannot be cancelled
+    in-process; generous probe timeouts because killing a probe mid-RPC
+    can extend the wedge."""
+    import subprocess
+    import sys
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(len(jax.devices()))"],
+                timeout=probe_timeout, capture_output=True, text=True,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print(json.dumps({
+                "metric": "ecapa_c512_extract_audio_seconds_per_s_per_chip",
+                "value": 0.0,
+                "unit": "audio_s/s",
+                "vs_baseline": 0.0,
+                "error": f"device unavailable after {attempt} probes "
+                         f"({max_wait_s:.0f}s)",
+            }))
+            raise SystemExit(3)
+        time.sleep(45)
+
+
 if __name__ == "__main__":
+    _wait_for_device()
     main()
