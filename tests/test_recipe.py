@@ -60,17 +60,26 @@ def data_root(tmp_path_factory):
     return root
 
 
-def test_recipe_stages_2_to_7(data_root, tmp_path):
+@pytest.mark.parametrize("data_type", ["raw", "shard"])
+def test_recipe_stages_2_to_7(data_root, tmp_path, data_type):
+    """Full v2 pipeline end to end for BOTH training list formats: raw
+    JSONL and tar shards (shard mode also exercises make_shard_list and
+    the native C++ tar loader through the real driver)."""
     exp_dir = str(tmp_path / "exp")
     config = {
         "exp_dir": exp_dir,
         "model": "ECAPA_TDNN_c512",
         "model_args": {"feat_dim": 40, "embed_dim": 16},
         "projection_args": {"project_type": "arc_margin", "scale": 32.0},
-        "data_type": "raw",
-        "train_data": str(data_root / "vox2_dev" / "raw.list"),
+        "data_type": data_type,
+        "train_data": str(data_root / "vox2_dev" / f"{data_type}.list"),
         "train_label": str(data_root / "vox2_dev" / "utt2spk"),
-        "dataloader_args": {"batch_size": 8},
+        "dataloader_args": {
+            "batch_size": 8,
+            # shard mode: drive the native C++ tar loader through the
+            # real training path
+            "num_workers": 2 if data_type == "shard" else 0,
+        },
         "dataset_args": {
             "num_frms": 60, "speed_perturb": False, "aug_prob": 0.0,
             "fbank_args": {"num_mel_bins": 40, "dither": 1.0},
