@@ -273,5 +273,58 @@ def test_feat_rejects_wav_frontend(tmp_path):
 
 
 
+
+def test_extract_shard_matches_raw(tmp_path):
+    """extract --data_type shard (EvalPipeline tar mode) produces the
+    same embeddings as raw-list extraction on the same wavs (reference
+    extract.py --data_type; local/extract_vox.sh defaults to shard)."""
+    from wespeaker_hubert_tpu.bin.extract import extract
+    from wespeaker_hubert_tpu.bin.tools import make_raw_list, make_shard_list
+    from wespeaker_hubert_tpu.bin.train import build_speaker_net
+    from wespeaker_hubert_tpu.utils.checkpoint import save_checkpoint
+
+    config = {
+        "model": "ECAPA_TDNN_c512",
+        "model_args": {"feat_dim": F, "embed_dim": 16},
+        "dataset_args": {"fbank_args": {"num_mel_bins": F}},
+    }
+    net = build_speaker_net(config, num_class=2)
+    v = net.init(
+        jax.random.key(0), jnp.zeros((1, 100, F)), jnp.zeros((1,), jnp.int32),
+        0.0, train=False,
+    )
+    ckpt = str(tmp_path / "model.ckpt")
+    save_checkpoint(ckpt, {
+        "params": v["params"], "batch_stats": v.get("batch_stats", {}),
+    })
+
+    rng = np.random.default_rng(9)
+    wav_scp = str(tmp_path / "wav.scp")
+    u2s = str(tmp_path / "utt2spk")
+    with open(wav_scp, "w") as ws, open(u2s, "w") as us:
+        for i in range(5):
+            path = str(tmp_path / f"u{i}.wav")
+            write_wav(path, (rng.standard_normal(
+                int(rng.integers(16000, 30000))) * 0.1).clip(-1, 1))
+            ws.write(f"u{i} {path}\n")
+            us.write(f"u{i} spk0\n")
+    raw_list = str(tmp_path / "raw.list")
+    make_raw_list(wav_scp, u2s, raw_list)
+    shard_list = str(tmp_path / "shard.list")
+    make_shard_list(wav_scp, u2s, str(tmp_path / "shards"), shard_list,
+                    num_utts_per_shard=2, num_workers=1, shuffle=False)
+
+    kr, er = extract(dict(config), raw_list, ckpt,
+                     str(tmp_path / "raw.npz"), batch_size=4)
+    ks, es = extract(dict(config), shard_list, ckpt,
+                     str(tmp_path / "shard.npz"), batch_size=4,
+                     data_type="shard")
+    assert sorted(kr) == sorted(ks)
+    er = {k: e for k, e in zip(kr, er)}
+    for k, e in zip(ks, es):
+        np.testing.assert_allclose(e, er[k], rtol=1e-5, atol=1e-5)
+
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
