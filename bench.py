@@ -23,6 +23,7 @@ BASELINE_AUDIO_S_PER_S = 1.0 / 0.018351  # ~54.5, reference CPU 1-thread
 BATCH = 64
 SECONDS = 10.0
 SR = 16000
+METRIC = "ecapa_c512_extract_audio_seconds_per_s_per_chip"
 
 
 def main():
@@ -88,7 +89,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "ecapa_c512_extract_audio_seconds_per_s_per_chip",
+                "metric": METRIC,
                 "value": round(throughput, 1),
                 "unit": "audio_s/s",
                 "vs_baseline": round(throughput / BASELINE_AUDIO_S_PER_S, 2),
@@ -122,7 +123,7 @@ def _wait_for_device(max_wait_s: float = 900.0, probe_timeout: float = 150.0):
             pass
         if time.time() > deadline:
             print(json.dumps({
-                "metric": "ecapa_c512_extract_audio_seconds_per_s_per_chip",
+                "metric": METRIC,
                 "value": 0.0,
                 "unit": "audio_s/s",
                 "vs_baseline": 0.0,

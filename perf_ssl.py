@@ -180,9 +180,11 @@ def flash_ab(batch=16, seconds=10.0, upstream="wavlm_large"):
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "flash_ab":
-        flash_ab()
+        bs = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+        sec = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+        flash_ab(bs, sec, *sys.argv[4:5])
     elif len(sys.argv) > 1 and sys.argv[1] == "attribute":
-        attribute()
+        attribute(*([tuple(sys.argv[2:])] if len(sys.argv) > 2 else []))
     else:
         bs = int(sys.argv[1]) if len(sys.argv) > 1 else 16
         sec = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0

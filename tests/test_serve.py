@@ -215,3 +215,21 @@ def test_diarize_endpoint(server):
     # speech regions are covered (>= half the 6.5s of speech)
     covered = sum(s["end"] - s["begin"] for s in segs)
     assert covered > 3.0, segs
+
+    # diarization audio is metered separately from the embed micro-batches
+    stats = json.loads(
+        urllib.request.urlopen(server + "/stats", timeout=30).read()
+    )
+    assert stats["diarization"]["total_steps"] >= 1
+    assert stats["diarization"]["total_audio_seconds"] > 3.0
+
+    # the route is an exact match: a prefixed typo is a 404, not a
+    # silent (and slow) diarization
+    req = urllib.request.Request(
+        server + "/diarizeXYZ", data=_wav_bytes(wav), method="POST"
+    )
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        raise AssertionError("prefixed path should 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404

@@ -54,6 +54,7 @@ class EmbeddingService:
         max_seconds: float = 30.0,
         chunk_frames: int = 198,
         bf16: bool = True,
+        warm_diarize: bool = True,
     ):
         import jax.numpy as jnp
 
@@ -97,7 +98,15 @@ class EmbeddingService:
                     "length": jnp.full((self.max_batch,), b, jnp.int32),
                 },
             ).block_until_ready()
+        if warm_diarize:
+            # same policy for the /diarize path: compile its VAD, fbank
+            # buckets and window-embedding programs now, not under the
+            # first request's lock
+            self.speaker.warm_diarize(max_seconds)
         self.meter = ThroughputMeter()
+        # /diarize gets its own counters: mixing it into the micro-batch
+        # meter would corrupt the embed-path rtf/audio_seconds_per_s
+        self.diar_meter = ThroughputMeter()
         self.embed_dim = int(
             self.speaker.net.backbone.embed_dim
             if hasattr(self.speaker.net.backbone, "embed_dim") else -1
@@ -184,13 +193,17 @@ class EmbeddingService:
         assert sr == self.speaker.resample_rate, f"sample rate {sr}"
         with self._diar_lock:
             segments = self.speaker.diarize_pcm(wav, utt=utt)
-        self.meter.update(len(wav) / sr, 1)
+        self.diar_meter.update(len(wav) / sr, 1)
         return segments
 
     def stats(self) -> dict:
         t = self.meter.totals()
         t["audio_seconds_per_s"] = self.meter.audio_seconds_per_s
         t["rtf"] = self.meter.rtf
+        d = self.diar_meter.totals()
+        d["audio_seconds_per_s"] = self.diar_meter.audio_seconds_per_s
+        d["rtf"] = self.diar_meter.rtf
+        t["diarization"] = d
         return t
 
     def close(self):
@@ -259,7 +272,7 @@ def _make_handler(service: EmbeddingService):
                 elif self.path == "/similarity":
                     a, b = data.split(BOUNDARY, 1)
                     self._json(200, {"similarity": service.similarity(a, b)})
-                elif self.path.startswith("/diarize"):
+                elif self.path == "/diarize":
                     segs = service.diarize_wav_bytes(data)
                     self._json(200, {"segments": [
                         {"utt": u, "begin": b, "end": e, "speaker": s}

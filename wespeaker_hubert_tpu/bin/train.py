@@ -162,9 +162,14 @@ def train(config: str | dict, **overrides):
     mesh = make_mesh(model_parallel=model_parallel)
     n_data = mesh.devices.shape[0]
     logger.info("mesh: %s", mesh)
-    assert batch_size % n_data == 0, (
-        f"batch_size {batch_size} must be divisible by the data-parallel "
-        f"degree {n_data}"
+    # batch_size is rows PER HOST (global batch = batch_size * world);
+    # the global batch must split evenly over the data axis, and each
+    # host's rows over its own chips
+    chips_per_host = max(1, n_data // max(1, world))
+    assert (batch_size * world) % n_data == 0 and batch_size % chips_per_host == 0, (
+        f"per-host batch_size {batch_size} x {world} hosts must be "
+        f"divisible by the data-parallel degree {n_data} "
+        f"({chips_per_host} data chips per host)"
     )
 
     # ---- data
@@ -208,15 +213,15 @@ def train(config: str | dict, **overrides):
         aug_prob=dataset_args.get("aug_prob", 0.6),
         batch_size=batch_size,
         seed=seed,
-        # The packed [reverb|noise|clean] layout is ordered over the
-        # WHOLE batch; multi-controller batch assembly concatenates
-        # per-host blocks, which would interleave the slots — multi-host
-        # runs use the per-row (unpacked) aug layout instead.
-        packed_aug=dataset_args.get("packed_aug", True) and world == 1,
+        # The packed [reverb|noise|clean] layout is per-host: every
+        # host's pipeline computes identical deterministic slot counts,
+        # shard_batch concatenates the blocks contiguously, and the
+        # train step vmaps the packed kernel over the block axis
+        # (aug_blocks=world below) — multi-host keeps both the packed
+        # aug perf and the native C++ loader.
+        packed_aug=dataset_args.get("packed_aug", True),
         aug_align=n_data,  # keep packed slices shard-aligned under GSPMD
     )
-    if world > 1 and dataset_args.get("packed_aug", True):
-        logger.info("multi-host: per-row aug layout (packed_aug off)")
     num_workers = int(dataloader_args.get("num_workers", 0))
     pipe = None
     if num_workers > 0:
@@ -462,11 +467,13 @@ def train(config: str | dict, **overrides):
     # dispatch (train/executor.py): fewer host round trips — the main
     # lever when the host-device link has per-dispatch latency
     loop_steps = int(config.get("loop_steps", 1))
+    aug_blocks = world if pipe_cfg.packed_aug else 1
     step_fn = make_train_step(
         net, tx, lr_schedule, margin_schedule,
         feature_cfg=feature_cfg, mesh=mesh,
         chunk_samples=pipe.chunk_samples,
         num_steps=loop_steps,
+        aug_blocks=aug_blocks,
     )
     # single-step program for the tail of an epoch when the batch count
     # isn't a multiple of loop_steps
@@ -474,6 +481,7 @@ def train(config: str | dict, **overrides):
         net, tx, lr_schedule, margin_schedule,
         feature_cfg=feature_cfg, mesh=mesh,
         chunk_samples=pipe.chunk_samples,
+        aug_blocks=aug_blocks,
     )
 
     dump_config(config, os.path.join(exp_dir, "config.yaml"))

@@ -307,7 +307,6 @@ class Speaker:
         else:
             labels = density_cluster(embeddings)
 
-        utt_to_subseg_labels = {}
         from ..diar.subsegment import parse_subseg_id
 
         items = []
@@ -317,6 +316,31 @@ class Speaker:
         items.sort()
         merged = merge_segments({utt: items})
         return [(u, b, e, int(lab)) for (u, b, e, lab) in merged]
+
+    def warm_diarize(self, max_seconds: float = 30.0) -> None:
+        """Pre-compile every XLA program the diarization path can hit up
+        to `max_seconds`-long VAD segments: the VAD model, one fbank
+        program per pow2 sample bucket, and the window-embedding forward.
+        Servers call this at startup so the first /diarize request does
+        not stall behind the whole compile chain (bin/serve.py warms the
+        embed buckets for the same reason)."""
+        sr = self.resample_rate
+        self._vad_segments(np.zeros(sr, np.float32))
+        bucket = _pow2_bucket(1)
+        top = _pow2_bucket(int(max_seconds * sr))
+        while True:
+            fbank(
+                jnp.zeros((32, bucket), jnp.float32), self.fbank_cfg,
+                lengths=jnp.full((32,), bucket, jnp.int32),
+            )[0].block_until_ready()
+            if bucket >= top:
+                break
+            bucket *= 2
+        window = jnp.zeros(
+            (32, int(self.diar_window_secs * 100), self.fbank_cfg.num_mel_bins),
+            jnp.float32,
+        )
+        self._embed_feats_fn(self.variables, window).block_until_ready()
 
     def _segment_fbanks(self, wav, vad_segments):
         """Per-VAD-segment fbank, batched by length bucket.

@@ -61,6 +61,7 @@ def make_train_step(
     compute_dtype=None,
     num_steps: int = 1,
     reverb_impl: str = "fft",
+    aug_blocks: int = 1,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -81,6 +82,13 @@ def make_train_step(
     rir (n_reverb, R) / noise (n_noise, L) / snr (n_noise,) arrays with NO
     'aug_type' field; the first n_reverb+n_noise wav rows are the
     augmented ones (counts are static from the array shapes).
+
+    `aug_blocks` > 1 marks a MULTI-CONTROLLER packed batch: the global
+    batch is the concatenation of one packed [reverb|noise|clean] block
+    per host (parallel.mesh.shard_batch assembles per-host rows
+    contiguously, and every host's pipeline computes identical
+    deterministic slot counts), so the packed kernel is vmapped over the
+    block axis instead of treating the whole batch as one block.
     """
 
     use_frontend = getattr(model, "frontend", None) is not None
@@ -107,10 +115,29 @@ def make_train_step(
                 batch["snr"], impl=reverb_impl,
             )
         elif "rir" in batch:  # packed layout (counts static from shapes)
-            wav = add_reverb_noise_packed(
-                wav, batch["rir"], batch["noise"], batch["snr"],
-                batch["rir"].shape[0],
-            )
+            if aug_blocks > 1:
+                # static per-block slices (hosts are few), not vmap: the
+                # FFT inside the packed kernel wants a plain dim0-major
+                # 2-D operand
+                b, l = wav.shape
+                bb = b // aug_blocks
+                nr = batch["rir"].shape[0] // aug_blocks
+                nn = batch["noise"].shape[0] // aug_blocks
+                wav = jnp.concatenate([
+                    add_reverb_noise_packed(
+                        wav[i * bb:(i + 1) * bb],
+                        batch["rir"][i * nr:(i + 1) * nr],
+                        batch["noise"][i * nn:(i + 1) * nn],
+                        batch["snr"][i * nn:(i + 1) * nn],
+                        nr,
+                    )
+                    for i in range(aug_blocks)
+                ], axis=0)
+            else:
+                wav = add_reverb_noise_packed(
+                    wav, batch["rir"], batch["noise"], batch["snr"],
+                    batch["rir"].shape[0],
+                )
         return wav
 
     def step_fn(state: TrainState, batch, rng):

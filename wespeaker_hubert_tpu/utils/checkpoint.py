@@ -32,19 +32,35 @@ __all__ = [
 
 
 def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            # Multi-process run with params sharded over hosts (fsdp):
+            # np.asarray on a span-of-non-addressable-devices array raises;
+            # gather the global value across processes instead.
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree.map(fetch, tree)
 
 
 def save_checkpoint(path: str, tree: Any, meta: Optional[Dict] = None) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     data = flax.serialization.to_bytes(_to_host(tree))
-    tmp = path + ".tmp"
+    # every process saves (train never rank-gates saves — _to_host's
+    # cross-process gather is collective); a per-process tmp name keeps
+    # concurrent writers on a SHARED filesystem from clobbering each
+    # other mid-write (the final renames are atomic and byte-identical)
+    tmp = f"{path}.tmp{jax.process_index()}"
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)
     if meta is not None:
-        with open(path + ".json", "w") as f:
+        mtmp = f"{path}.json.tmp{jax.process_index()}"
+        with open(mtmp, "w") as f:
             json.dump(meta, f)
+        os.replace(mtmp, path + ".json")
 
 
 def load_checkpoint(path: str, target: Any = None) -> Any:
