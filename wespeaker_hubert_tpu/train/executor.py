@@ -87,8 +87,8 @@ def make_train_step(
     batch is the concatenation of one packed [reverb|noise|clean] block
     per host (parallel.mesh.shard_batch assembles per-host rows
     contiguously, and every host's pipeline computes identical
-    deterministic slot counts), so the packed kernel is vmapped over the
-    block axis instead of treating the whole batch as one block.
+    deterministic slot counts), so the packed kernel is applied per
+    block instead of treating the whole batch as one block.
     """
 
     use_frontend = getattr(model, "frontend", None) is not None
