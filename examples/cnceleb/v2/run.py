@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """CN-Celeb supervised recipe driver (reference examples/cnceleb/v2/run.sh:
 stage 1 prepare -> 2 lists -> 3 train -> 4 avg+extract -> 5 cosine score ->
-6 AS-Norm with the cnceleb_train cohort -> 7 score calibration).
+6 AS-Norm with the cnceleb_train cohort -> 7 score calibration -> 8 export
+-> 9 large-margin fine-tune, which re-enters stages 3-7 with the lm
+config, run.sh:161-178).
 
 Data layout under --data_root (produced offline by the reference's
 local/prepare_data.sh + combine_utt.sh enrollment concatenation):
@@ -50,9 +52,16 @@ def main():
     p.add_argument("--calibration_trial_num", type=int, default=20000,
                    help="trial pairs for QMF training (reference "
                         "local/score_calibration.sh each_trial_num)")
+    p.add_argument("--lm_config", default=None,
+                   help="large-margin fine-tune config for stage 9 "
+                        "(reference run.sh lm_config re-entry)")
     args = p.parse_args()
 
     config = load_config(args.config)
+    run_stages(args, config, args.stage, args.stop_stage)
+
+
+def run_stages(args, config, stage, stop_stage):
     exp_dir = config["exp_dir"]
     models_dir = os.path.join(exp_dir, "models")
     avg_ckpt = os.path.join(exp_dir, "avg_model.ckpt")
@@ -65,7 +74,7 @@ def main():
     ]
 
     def in_range(s):
-        return args.stage <= s <= args.stop_stage
+        return stage <= s <= stop_stage
 
     if in_range(1):
         print("stage 1: build aug stores (MUSAN + RIRs)")
@@ -207,6 +216,36 @@ def main():
                 f"{os.path.basename(out)}: "
                 f"EER {eer:.3f}% minDCF {mindcf:.4f}"
             )
+
+    if in_range(8):
+        print("stage 8: export model bundle")
+        # reference run.sh stage 8 exports TorchScript; here the
+        # deployable is a model dir + portable StableHLO graph
+        from wespeaker_hubert_tpu.bin.export_model import (
+            export_model,
+            export_stablehlo,
+        )
+
+        mean_vec = os.path.join(emb_dir, "cnceleb_train_mean.npy")
+        out_dir = export_model(
+            exp_dir, os.path.join(exp_dir, "exported"),
+            checkpoint=avg_ckpt,
+            mean_vec=mean_vec if os.path.exists(mean_vec) else None,
+        )
+        hlo = export_stablehlo(
+            load_config(os.path.join(out_dir, "config.yaml")),
+            avg_ckpt, os.path.join(out_dir, "model.stablehlo"),
+        )
+        print(f"  exported {out_dir} (+ {os.path.basename(hlo)})")
+
+    if in_range(9):
+        print("stage 9: large-margin fine-tune (re-entering stages 3-8)")
+        # reference run.sh:161-178: re-enter the pipeline with the lm
+        # config, initialized from the averaged base model
+        assert args.lm_config, "--lm_config required for stage 9"
+        lm_config = load_config(args.lm_config)
+        lm_config["model_init"] = avg_ckpt
+        run_stages(args, lm_config, 3, min(stop_stage, 8))
 
 
 if __name__ == "__main__":

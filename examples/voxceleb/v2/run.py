@@ -2,7 +2,8 @@
 """VoxCeleb2 supervised recipe driver — the Python replacement for the
 reference's staged bash pipeline (reference examples/voxceleb/v2/run.sh:
 stage 1 data prep -> 2 shard lists -> 3 torchrun train -> 4 avg+extract ->
-5 cosine score + metrics -> 6 AS-Norm -> 7 QMF -> 8 export).
+5 cosine score + metrics -> 6 AS-Norm -> 7 QMF -> 8 export -> 9 large-
+margin fine-tune, which re-enters stages 3-7 with the lm config).
 
 Every stage is a Python function over the framework's bin modules; file
 formats: JSONL/tar-shard data lists, npz embedding sets, text score files.
@@ -51,9 +52,16 @@ def main():
     p.add_argument("--calibration_trial_num", type=int, default=10000,
                    help="trial pairs for QMF training (reference "
                         "generate_calibration_trial.py default)")
+    p.add_argument("--lm_config", default=None,
+                   help="large-margin fine-tune config for stage 9 "
+                        "(reference run.sh lm_config re-entry)")
     args = p.parse_args()
 
     config = load_config(args.config)
+    run_stages(args, config, args.stage, args.stop_stage)
+
+
+def run_stages(args, config, stage, stop_stage):
     exp_dir = config["exp_dir"]
     models_dir = os.path.join(exp_dir, "models")
     avg_ckpt = os.path.join(exp_dir, "avg_model.ckpt")
@@ -61,7 +69,7 @@ def main():
     score_dir = os.path.join(exp_dir, "scores")
 
     def in_range(s):
-        return args.stage <= s <= args.stop_stage
+        return stage <= s <= stop_stage
 
     if in_range(1):
         print("stage 1: build aug stores (MUSAN + RIRs)")
@@ -185,6 +193,37 @@ def main():
                     f.write(f"{e} {t} {s:.5f} {lab}\n")
             eer, mindcf = compute_metrics(out)
             print(f"{os.path.basename(out)}: EER {eer:.3f}% minDCF {mindcf:.4f}")
+
+    if in_range(8):
+        print("stage 8: export model bundle")
+        # reference run.sh stage 8 exports TorchScript/ONNX; the TPU
+        # deployable is a model dir (config + avg ckpt + mean vec) plus a
+        # portable StableHLO graph (bin/export_model.py)
+        from wespeaker_hubert_tpu.bin.export_model import (
+            export_model,
+            export_stablehlo,
+        )
+
+        mean_vec = os.path.join(emb_dir, "vox2_dev_mean.npy")
+        out_dir = export_model(
+            exp_dir, os.path.join(exp_dir, "exported"),
+            checkpoint=avg_ckpt,
+            mean_vec=mean_vec if os.path.exists(mean_vec) else None,
+        )
+        hlo = export_stablehlo(
+            load_config(os.path.join(out_dir, "config.yaml")),
+            avg_ckpt, os.path.join(out_dir, "model.stablehlo"),
+        )
+        print(f"  exported {out_dir} (+ {os.path.basename(hlo)})")
+
+    if in_range(9):
+        print("stage 9: large-margin fine-tune (re-entering stages 3-7)")
+        # reference run.sh:148-163: re-enter the pipeline with the lm
+        # config, initialized from the averaged base model
+        assert args.lm_config, "--lm_config required for stage 9"
+        lm_config = load_config(args.lm_config)
+        lm_config["model_init"] = avg_ckpt
+        run_stages(args, lm_config, 3, min(stop_stage, 7))
 
 
 if __name__ == "__main__":

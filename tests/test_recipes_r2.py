@@ -145,11 +145,25 @@ def test_cnceleb_v2_recipe(tmp_path):
                            "warm_up_epoch": 1},
         "margin_update": {"increase_start_epoch": 1, "fix_start_epoch": 2},
     }
+    lm_exp_dir = str(tmp_path / "exp_lm")
+    lm_config = dict(
+        config,
+        exp_dir=lm_exp_dir,
+        projection_args={"project_type": "arc_margin", "scale": 32.0,
+                         "do_lm": True},
+        margin_update={"initial_margin": 0.5, "final_margin": 0.5,
+                       "increase_start_epoch": 1, "fix_start_epoch": 1},
+        scheduler_args={"initial_lr": 0.001, "final_lr": 0.0005,
+                        "warm_up_epoch": 1},
+    )
     cfg = str(tmp_path / "conf.yaml")
+    lm_cfg = str(tmp_path / "conf_lm.yaml")
     dump_config(config, cfg)
+    dump_config(lm_config, lm_cfg)
     script = os.path.join(EXAMPLES, "cnceleb", "v2", "run.py")
     out = _run(script, [
-        "--stage", "2", "--stop_stage", "7", "--config", cfg,
+        "--stage", "2", "--stop_stage", "9", "--config", cfg,
+        "--lm_config", lm_cfg,
         "--data_root", str(root), "--trials", "CNC-Eval-Avg.lst",
         "--asnorm_top_n", "4",
     ])
@@ -158,6 +172,14 @@ def test_cnceleb_v2_recipe(tmp_path):
     assert os.path.exists(score + ".asnorm")
     assert os.path.exists(score + ".asnorm.qmf")
     assert "EER" in out
+    # stage 8 export bundle + stage 9 large-margin re-entry artifacts
+    assert os.path.exists(
+        os.path.join(exp_dir, "exported", "model.stablehlo")
+    )
+    assert os.path.exists(os.path.join(lm_exp_dir, "avg_model.ckpt"))
+    assert os.path.exists(os.path.join(
+        lm_exp_dir, "scores", "CNC-Eval-Avg.lst.score.asnorm.qmf"
+    ))
 
 
 def test_cnceleb_v3_finetune_recipe(tmp_path):
