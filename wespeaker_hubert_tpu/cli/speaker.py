@@ -448,18 +448,54 @@ def main():
                  "diarization", "diarization_list"],
         default="embedding",
     )
-    parser.add_argument("-p", "--pretrain", required=True,
+    # model selection mirrors the reference (cli/utils.py:32-60 +
+    # cli/speaker.py:327-343): explicit dir/alias via -p, else a model
+    # flag, else the language alias
+    parser.add_argument("-p", "--pretrain", default="",
                         help="model directory or hub alias (cli/hub.py)")
+    parser.add_argument("-l", "--language", choices=["chinese", "english"],
+                        default="chinese")
+    parser.add_argument("--campplus", action="store_true",
+                        help="use the campplus_cn_common hub model")
+    parser.add_argument("--eres2net", action="store_true",
+                        help="use the eres2net_cn_common hub model")
+    parser.add_argument("--vblinkp", action="store_true",
+                        help="use the samresnet34 voxblink2-pretrained model")
+    parser.add_argument("--vblinkf", action="store_true",
+                        help="use the samresnet34 voxblink2+voxceleb2 model")
     parser.add_argument("--audio_file", default=None)
     parser.add_argument("--audio_file2", default=None)
     parser.add_argument("--wav_scp", default=None)
     parser.add_argument("--output_file", default=None)
+    parser.add_argument("--resample_rate", type=int, default=16000)
     parser.add_argument("--vad", action="store_true")
+    parser.add_argument("--diar_window_secs", type=float, default=1.5)
+    parser.add_argument("--diar_period_secs", type=float, default=0.75)
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
-    model = load_model(args.pretrain)
+    if args.pretrain:
+        model = load_model(args.pretrain)
+    elif args.campplus:
+        model = load_model("campplus")
+        model.set_wavform_norm(True)
+        model.set_window_type("povey")
+    elif args.eres2net:
+        model = load_model("eres2net")
+        model.set_wavform_norm(True)
+        model.set_window_type("povey")
+    elif args.vblinkp:
+        model = load_model("vblinkp")
+    elif args.vblinkf:
+        model = load_model("vblinkf")
+    else:
+        model = load_model(args.language)
+    model.set_resample_rate(args.resample_rate)
     model.set_vad(args.vad)
+    model.set_diarization_params(
+        window_secs=args.diar_window_secs,
+        period_secs=args.diar_period_secs,
+    )
 
     if args.task == "embedding":
         emb = model.extract_embedding(args.audio_file)
