@@ -95,6 +95,33 @@ class TestHubertParity:
         )
 
 
+class TestWav2Vec2Parity:
+    def test_wav2vec2_imports_through_hubert_path(self):
+        """wav2vec 2.0 (the reference s3prl upstream's third family):
+        HF Wav2Vec2Model state_dicts convert and match layer by layer —
+        its inference graph is the hubert architecture."""
+        cfg = SSLEncoderConfig.tiny("hubert")
+        from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+        hf = Wav2Vec2Model(Wav2Vec2Config(**_hf_config_kwargs(cfg)))
+        wav = np.random.default_rng(3).standard_normal((2, 3200)).astype(
+            np.float32
+        )
+        hf_hidden, ours = _run_pair(cfg, hf, wav)
+        assert len(hf_hidden) == len(ours) == cfg.num_hidden_layers + 1
+        for i, (a, b) in enumerate(zip(hf_hidden, ours)):
+            np.testing.assert_allclose(
+                a, b, atol=2e-4, rtol=1e-3,
+                err_msg=f"hidden state {i} mismatch",
+            )
+
+    def test_upstream_factories(self):
+        c = SSLEncoderConfig.wav2vec2_base()
+        assert c.num_hidden_layers == 12 and not c.do_stable_layer_norm
+        c = SSLEncoderConfig.wav2vec2_large()
+        assert c.hidden_size == 1024 and c.do_stable_layer_norm
+
+
 class TestWavLMParity:
     def test_wavlm_gated_rel_pos(self):
         cfg = SSLEncoderConfig.tiny("wavlm")

@@ -85,6 +85,27 @@ class SSLEncoderConfig:
         )
 
     @staticmethod
+    def wav2vec2_base():
+        """wav2vec 2.0 base (reference s3prl.py upstream option).  For
+        inference the HF Wav2Vec2Model forward is architecturally
+        identical to HubertModel (same feature extractor, projection and
+        encoder; wav2vec2's quantizer exists only in the pretraining
+        head), so public wav2vec2 checkpoints import through the hubert
+        path — parity-tested vs transformers Wav2Vec2Model."""
+        return SSLEncoderConfig()
+
+    @staticmethod
+    def wav2vec2_large():
+        return SSLEncoderConfig(
+            hidden_size=1024,
+            num_hidden_layers=24,
+            num_attention_heads=16,
+            intermediate_size=4096,
+            feat_extract_norm="layer",
+            do_stable_layer_norm=True,
+        )
+
+    @staticmethod
     def hubert_large():
         return SSLEncoderConfig(
             hidden_size=1024,
