@@ -2,8 +2,8 @@
 """CN-Celeb supervised recipe driver (reference examples/cnceleb/v2/run.sh:
 stage 1 prepare -> 2 lists -> 3 train -> 4 avg+extract -> 5 cosine score ->
 6 AS-Norm with the cnceleb_train cohort -> 7 score calibration -> 8 export
--> 9 large-margin fine-tune, which re-enters stages 3-7 with the lm
-config, run.sh:161-178).
+-> 9 large-margin fine-tune, which re-enters stages 3-8 with the lm
+config (run.sh:167 --stage 3 --stop_stage 8)).
 
 Data layout under --data_root (produced offline by the reference's
 local/prepare_data.sh + combine_utt.sh enrollment concatenation):
@@ -58,6 +58,15 @@ def main():
     args = p.parse_args()
 
     config = load_config(args.config)
+    if args.stage <= 9 <= args.stop_stage:
+        # fail BEFORE hours of stages 1-8, not at the stage-9 boundary
+        if not args.lm_config:
+            p.error("--lm_config is required when stage 9 is in range")
+        lm = load_config(args.lm_config)
+        if lm.get("exp_dir") == config.get("exp_dir"):
+            p.error("lm_config exp_dir must differ from the base exp_dir: "
+                    "train() would resume the base run's checkpoints "
+                    "instead of fine-tuning from model_init")
     run_stages(args, config, args.stage, args.stop_stage)
 
 
@@ -241,8 +250,8 @@ def run_stages(args, config, stage, stop_stage):
     if in_range(9):
         print("stage 9: large-margin fine-tune (re-entering stages 3-8)")
         # reference run.sh:161-178: re-enter the pipeline with the lm
-        # config, initialized from the averaged base model
-        assert args.lm_config, "--lm_config required for stage 9"
+        # config, initialized from the averaged base model (validated
+        # up front in main())
         lm_config = load_config(args.lm_config)
         lm_config["model_init"] = avg_ckpt
         run_stages(args, lm_config, 3, min(stop_stage, 8))

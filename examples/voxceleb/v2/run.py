@@ -3,7 +3,8 @@
 reference's staged bash pipeline (reference examples/voxceleb/v2/run.sh:
 stage 1 data prep -> 2 shard lists -> 3 torchrun train -> 4 avg+extract ->
 5 cosine score + metrics -> 6 AS-Norm -> 7 QMF -> 8 export -> 9 large-
-margin fine-tune, which re-enters stages 3-7 with the lm config).
+margin fine-tune, which re-enters stages 3-8 with the lm config
+(run.sh:152 --stage 3 --stop_stage 8)).
 
 Every stage is a Python function over the framework's bin modules; file
 formats: JSONL/tar-shard data lists, npz embedding sets, text score files.
@@ -58,6 +59,15 @@ def main():
     args = p.parse_args()
 
     config = load_config(args.config)
+    if args.stage <= 9 <= args.stop_stage:
+        # fail BEFORE hours of stages 1-8, not at the stage-9 boundary
+        if not args.lm_config:
+            p.error("--lm_config is required when stage 9 is in range")
+        lm = load_config(args.lm_config)
+        if lm.get("exp_dir") == config.get("exp_dir"):
+            p.error("lm_config exp_dir must differ from the base exp_dir: "
+                    "train() would resume the base run's checkpoints "
+                    "instead of fine-tuning from model_init")
     run_stages(args, config, args.stage, args.stop_stage)
 
 
@@ -217,13 +227,13 @@ def run_stages(args, config, stage, stop_stage):
         print(f"  exported {out_dir} (+ {os.path.basename(hlo)})")
 
     if in_range(9):
-        print("stage 9: large-margin fine-tune (re-entering stages 3-7)")
-        # reference run.sh:148-163: re-enter the pipeline with the lm
-        # config, initialized from the averaged base model
-        assert args.lm_config, "--lm_config required for stage 9"
+        print("stage 9: large-margin fine-tune (re-entering stages 3-8)")
+        # reference run.sh:146-163: re-enter the pipeline with the lm
+        # config (--stage 3 --stop_stage 8), initialized from the
+        # averaged base model (validated up front in main())
         lm_config = load_config(args.lm_config)
         lm_config["model_init"] = avg_ckpt
-        run_stages(args, lm_config, 3, min(stop_stage, 7))
+        run_stages(args, lm_config, 3, min(stop_stage, 8))
 
 
 if __name__ == "__main__":

@@ -87,6 +87,30 @@ class TestSpeakerAPI:
         )
         assert 0.0 <= same <= 1.0 and 0.0 <= diff <= 1.0
 
+    def test_resample_rate_rebuilds_fbank_and_resamples_input(
+        self, model_dir, tmp_path
+    ):
+        """set_resample_rate must flow into FbankConfig (the reference
+        computes fbank at the configured rate, cli/speaker.py:158-160)
+        and mismatched input audio is resampled to the target rate
+        (reference :155-157), not rejected."""
+        from wespeaker_hubert_tpu.data import write_wav
+
+        model = load_model(model_dir["exp"])
+        assert model.fbank_cfg.sample_rate == 16000
+        model.set_resample_rate(8000)
+        assert model.fbank_cfg.sample_rate == 8000
+
+        rng = np.random.default_rng(5)
+        p = str(tmp_path / "in16k.wav")
+        write_wav(p, (rng.standard_normal(16000) * 0.1).astype(np.float32),
+                  16000)
+        wav = model._load_audio(p)  # 16k file, 8k target -> half length
+        assert len(wav) == 8000
+        model.set_resample_rate(16000)
+        assert model.fbank_cfg.sample_rate == 16000
+        assert len(model._load_audio(p)) == 16000
+
     def test_register_recognize(self, model_dir):
         model = load_model(model_dir["exp"])
         root = model_dir["root"]

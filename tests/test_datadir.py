@@ -73,6 +73,30 @@ def test_fix_data_dir_intersects_and_sorts(tmp_path):
     assert _read(os.path.join(d, "spk2utt")) == ["s1 u1 u2"]
 
 
+def test_fix_partial_utt2dur_filters_but_never_drops(tmp_path):
+    """A partial auxiliary table (utt2dur/vad.scp) must not shrink the
+    dataset — kaldi's fix_data_dir.sh only intersects over the
+    sample-defining tables."""
+    d = str(tmp_path / "d")
+    _make_dir(d, [("u1", "s1"), ("u2", "s1"), ("u3", "s2")])
+    _write(os.path.join(d, "utt2dur"), ["u1 1.0"])  # partial
+    assert fix_data_dir(d) == 3
+    assert len(_read(os.path.join(d, "utt2spk"))) == 3
+    assert _read(os.path.join(d, "utt2dur")) == ["u1 1.0"]
+
+
+def test_combine_rejects_duplicate_utts(tmp_path):
+    a = _make_dir(str(tmp_path / "a"), [("u1", "s1")])
+    b = _make_dir(str(tmp_path / "b"), [("u1", "s2")])
+    with pytest.raises(ValueError, match="duplicate utt ids"):
+        combine_data(str(tmp_path / "ab"), [a, b])
+
+
+def test_subset_last_n_zero_is_empty(tmp_path):
+    src = _make_dir(str(tmp_path / "src"), [("u1", "s1"), ("u2", "s1")])
+    assert subset_data_dir(src, str(tmp_path / "z"), n=0, mode="last") == 0
+
+
 def test_subset_modes(tmp_path):
     src = _make_dir(
         str(tmp_path / "src"),

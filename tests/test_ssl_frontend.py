@@ -117,9 +117,15 @@ class TestWav2Vec2Parity:
 
     def test_upstream_factories(self):
         c = SSLEncoderConfig.wav2vec2_base()
-        assert c.num_hidden_layers == 12 and not c.do_stable_layer_norm
+        assert c == SSLEncoderConfig.hubert_base()
+        # 'wav2vec2_large' = the s3prl/lv60 variant (pre-LN)
         c = SSLEncoderConfig.wav2vec2_large()
+        assert c == SSLEncoderConfig.hubert_large()
         assert c.hidden_size == 1024 and c.do_stable_layer_norm
+        # facebook/wav2vec2-large (960h) is group-norm + post-LN
+        c = SSLEncoderConfig.wav2vec2_large_960h()
+        assert c.hidden_size == 1024 and not c.do_stable_layer_norm
+        assert c.feat_extract_norm == "group"
 
 
 class TestWavLMParity:

@@ -36,6 +36,10 @@ __all__ = [
 
 # per-utterance tables fix/subset/combine operate on when present
 _UTT_TABLES = ("wav.scp", "utt2spk", "utt2dur", "feats.scp", "vad.scp", "text")
+# tables that DEFINE the utterance set (fix intersects over these);
+# the rest (utt2dur, vad.scp) are auxiliary and only get filtered —
+# kaldi's fix_data_dir.sh never lets a partial utt2dur shrink the data
+_CORE_TABLES = ("wav.scp", "utt2spk", "feats.scp", "text")
 
 
 def _read_lines(path: str) -> List[str]:
@@ -99,10 +103,11 @@ def fix_data_dir(d: str) -> int:
     them (reference tools/fix_data_dir.sh); spk2utt is rebuilt from the
     fixed utt2spk.  Returns the surviving utterance count."""
     present = [n for n in _UTT_TABLES if os.path.exists(os.path.join(d, n))]
-    if not present:
+    core = [n for n in present if n in _CORE_TABLES]
+    if not core:
         raise FileNotFoundError(f"{d}: no data-dir tables found")
     common: Optional[set] = None
-    for n in present:
+    for n in core:
         keys = set(_utt_keys(d, n))
         common = keys if common is None else common & keys
     for n in present:
@@ -159,7 +164,7 @@ def subset_data_dir(
         if mode == "first":
             keep = utts[:n]
         elif mode == "last":
-            keep = utts[-n:]
+            keep = utts[-n:] if n else []
         elif mode == "shortest":
             durs = dict(
                 ln.split()[:2]
@@ -201,6 +206,13 @@ def combine_data(dest: str, srcs: Sequence[str]) -> int:
         if not os.path.exists(os.path.join(s, "utt2spk")):
             raise FileNotFoundError(f"{s}/utt2spk")
     os.makedirs(dest, exist_ok=True)
+    all_utts: List[str] = []
+    for s in srcs:
+        all_utts.extend(_utt_keys(s, "utt2spk"))
+    if len(set(all_utts)) != len(all_utts):
+        dupes = sorted({u for u in all_utts if all_utts.count(u) > 1})
+        # reference combine_data.sh exits 1 on duplicate utt-ids
+        raise ValueError(f"duplicate utt ids across sources: {dupes[:10]}")
     shared = [
         n for n in _UTT_TABLES
         if all(os.path.exists(os.path.join(s, n)) for s in srcs)

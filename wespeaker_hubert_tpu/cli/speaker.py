@@ -144,38 +144,33 @@ class Speaker:
             return [(t["start"] / sr, t["end"] / sr) for t in ts]
         return energy_vad(wav, self.resample_rate)
 
-    def set_resample_rate(self, resample_rate: int):
-        """Expected input sample rate (reference cli/speaker.py:65)."""
-        self.resample_rate = resample_rate
-
-    def set_window_type(self, window_type: str):
-        """Fbank window (reference :62); rebuilds the feature pipeline."""
+    def _replace_fbank(self, **kwargs):
+        """Swap FbankConfig fields and rebuild the jitted pipeline."""
         import dataclasses
 
-        self.fbank_cfg = dataclasses.replace(
-            self.fbank_cfg, window_type=window_type
-        )
+        self.fbank_cfg = dataclasses.replace(self.fbank_cfg, **kwargs)
         self._embed_fn = make_eval_embed(
             self.net,
             feature_cfg=FeaturePipelineConfig(
                 fbank=self.fbank_cfg, spec_aug=False
             ),
         )
+
+    def set_resample_rate(self, resample_rate: int):
+        """Target sample rate: input audio at other rates is resampled
+        to it and fbank runs at it (reference cli/speaker.py:65,155-160
+        — torchaudio Resample + sample_frequency=resample_rate)."""
+        self.resample_rate = resample_rate
+        self._replace_fbank(sample_rate=resample_rate)
+
+    def set_window_type(self, window_type: str):
+        """Fbank window (reference :62); rebuilds the feature pipeline."""
+        self._replace_fbank(window_type=window_type)
 
     def set_wavform_norm(self, wavform_norm: bool):
         """Scale-to-int16 off means operate on [-1, 1] floats directly
         (reference :59 — campplus/eres2net models are trained that way)."""
-        import dataclasses
-
-        self.fbank_cfg = dataclasses.replace(
-            self.fbank_cfg, scale_to_int16=not wavform_norm
-        )
-        self._embed_fn = make_eval_embed(
-            self.net,
-            feature_cfg=FeaturePipelineConfig(
-                fbank=self.fbank_cfg, spec_aug=False
-            ),
-        )
+        self._replace_fbank(scale_to_int16=not wavform_norm)
 
     def set_diarization_params(
         self, window_secs: float = 1.5, period_secs: float = 0.75
@@ -186,10 +181,18 @@ class Speaker:
 
     def _load_audio(self, audio_path: str) -> np.ndarray:
         wav, sr = read_wav(audio_path)
-        assert sr == self.resample_rate, (
-            f"{audio_path}: sample rate {sr} != {self.resample_rate}; "
-            "resample offline"
-        )
+        if sr != self.resample_rate:
+            # reference resamples mismatched inputs to the target rate
+            # (cli/speaker.py:155-157, torchaudio.transforms.Resample);
+            # polyphase host-side resample is its numpy equivalent
+            import math
+
+            from scipy.signal import resample_poly
+
+            g = math.gcd(sr, self.resample_rate)
+            wav = resample_poly(
+                wav, self.resample_rate // g, sr // g
+            ).astype(np.float32)
         return wav
 
     def extract_embedding_from_pcm(self, wav: np.ndarray) -> np.ndarray:

@@ -92,18 +92,28 @@ class SSLEncoderConfig:
         encoder; wav2vec2's quantizer exists only in the pretraining
         head), so public wav2vec2 checkpoints import through the hubert
         path — parity-tested vs transformers Wav2Vec2Model."""
-        return SSLEncoderConfig()
+        return SSLEncoderConfig.hubert_base()
 
     @staticmethod
-    def wav2vec2_large():
+    def wav2vec2_large_lv60():
+        """facebook/wav2vec2-large-lv60 / -robust / xlsr family:
+        layer-norm feature extractor + pre-LN encoder."""
+        return SSLEncoderConfig.hubert_large()
+
+    @staticmethod
+    def wav2vec2_large_960h():
+        """facebook/wav2vec2-large (LibriSpeech 960h): group-norm
+        feature extractor + post-LN encoder, unlike the lv60 family."""
         return SSLEncoderConfig(
             hidden_size=1024,
             num_hidden_layers=24,
             num_attention_heads=16,
             intermediate_size=4096,
-            feat_extract_norm="layer",
-            do_stable_layer_norm=True,
         )
+
+    # the s3prl upstream name 'wav2vec2_large' means the lv60 variant
+    # (s3prl maps it to the ll60k checkpoint)
+    wav2vec2_large = wav2vec2_large_lv60
 
     @staticmethod
     def hubert_large():
