@@ -118,6 +118,29 @@ def test_full_workflow(setup):
 
     avg = average_model(models_dir, os.path.join(exp_dir, "avg_model.ckpt"), num=2)
 
+    # --min_epoch/--max_epoch bound the averaging window (reference
+    # bin/average_model.py:34-42)
+    from wespeaker_hubert_tpu.utils.checkpoint import load_checkpoint
+
+    epochs = sorted(
+        int(c.split("_")[1].split(".")[0])
+        for c in cpts if c.endswith(".ckpt")
+    )
+    first = epochs[0]
+    only_first = average_model(
+        models_dir, os.path.join(exp_dir, "avg_first.ckpt"),
+        num=10, min_epoch=first, max_epoch=first,
+    )
+    from wespeaker_hubert_tpu.utils.checkpoint import _flatten
+
+    a = _flatten(load_checkpoint(os.path.join(models_dir,
+                                              f"model_{first}.ckpt")))
+    b = _flatten(load_checkpoint(only_first))
+    assert set(a) == set(b)
+    for k in a:
+        if not isinstance(a[k], dict):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=str(k))
+
     emb_path = os.path.join(exp_dir, "embeddings", "eval.npz")
     keys, emb = extract(
         config, str(root / "eval.list"), avg, emb_path, batch_size=4
