@@ -78,19 +78,33 @@ def export_model(
     output_dir: str,
     checkpoint: Optional[str] = None,
     mean_vec: Optional[str] = None,
+    dtype: Optional[str] = None,
 ) -> str:
     """Create `output_dir` with config.yaml + avg_model.ckpt (+ mean_vec).
 
     `mean_vec` (npy) is stored alongside; scoring utilities subtract it
     (the reference folds it into the ONNX graph at export_onnx.py:62-75 —
     here it stays a sidecar array the Speaker/scoring path applies).
+
+    `dtype='bf16'` casts all f32 leaves to bfloat16 in the bundle (the
+    runtime cast_variables_bf16 applied offline) and sets
+    compute_dtype: bf16 in the bundled config so bin/extract runs bf16
+    by default — half the artifact size, the role of the reference's
+    dynamic-quantization export (export_jit.py:53-65).
     """
     os.makedirs(output_dir, exist_ok=True)
     config = load_config(os.path.join(exp_dir, "config.yaml"))
+    if dtype:
+        assert dtype == "bf16", f"unsupported export dtype {dtype!r}"
+        config["compute_dtype"] = "bf16"
     dump_config(config, os.path.join(output_dir, "config.yaml"))
 
     ckpt = checkpoint or os.path.join(exp_dir, "avg_model.ckpt")
     tree = load_checkpoint(ckpt)
+    if dtype == "bf16":
+        from ..train import cast_variables_bf16
+
+        tree = cast_variables_bf16(tree)
     save_checkpoint(os.path.join(output_dir, "avg_model.ckpt"), tree)
 
     if mean_vec:
@@ -108,9 +122,12 @@ def main():
     p.add_argument("--mean_vec", default=None)
     p.add_argument("--stablehlo", action="store_true",
                    help="also serialize feats->embedding as StableHLO")
+    p.add_argument("--dtype", default=None, choices=["bf16"],
+                   help="cast float params (the dynamic-quantization "
+                        "export role, reference export_jit.py:53-65)")
     args = p.parse_args()
     out = export_model(args.exp_dir, args.output_dir, args.checkpoint,
-                       args.mean_vec)
+                       args.mean_vec, dtype=args.dtype)
     if args.stablehlo:
         config = load_config(os.path.join(out, "config.yaml"))
         path = export_stablehlo(
