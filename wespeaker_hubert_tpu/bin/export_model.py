@@ -95,8 +95,9 @@ def export_model(
     os.makedirs(output_dir, exist_ok=True)
     config = load_config(os.path.join(exp_dir, "config.yaml"))
     if dtype:
-        assert dtype == "bf16", f"unsupported export dtype {dtype!r}"
-        config["compute_dtype"] = "bf16"
+        if dtype != "bf16":
+            raise ValueError(f"unsupported export dtype {dtype!r}")
+        config["compute_dtype"] = dtype
     dump_config(config, os.path.join(output_dir, "config.yaml"))
 
     ckpt = checkpoint or os.path.join(exp_dir, "avg_model.ckpt")
