@@ -384,6 +384,87 @@ def test_whisper_pmfa_recipe(tmp_path):
     assert "EER" in out
 
 
+def test_sre_v2_plda_recipe(tmp_path):
+    """SRE16 v2 driver (examples/sre/v2/run.py): PLDA training,
+    multisession enrollment scoring, and unsupervised domain adaptation
+    on synthetic Gaussian speaker embeddings — adapted PLDA must still
+    separate the (shifted) in-domain trials."""
+    from wespeaker_hubert_tpu.utils.embeddings import save_embeddings
+
+    rng = np.random.default_rng(0)
+    dim, n_spk, n_utt = 16, 6, 8
+    centers = rng.standard_normal((n_spk, dim)) * 3.0
+
+    def spk_embs(s, n, shift=0.0):
+        return centers[s] + shift + rng.standard_normal((n, dim)) * 0.5
+
+    # train set (out-of-domain)
+    keys, embs, u2s = [], [], []
+    for s in range(n_spk):
+        for u in range(n_utt):
+            keys.append(f"tr-s{s}u{u}")
+            u2s.append(f"tr-s{s}u{u} s{s}")
+            embs.append(spk_embs(s, 1)[0])
+    save_embeddings(str(tmp_path / "train.npz"), keys, np.stack(embs))
+    (tmp_path / "train.u2s").write_text("\n".join(u2s) + "\n")
+
+    # in-domain: global shift (the adaptation scenario)
+    shift = rng.standard_normal(dim) * 1.5
+    e_keys, e_embs, e_u2s = [], [], []
+    for s in range(n_spk):
+        for u in range(2):
+            e_keys.append(f"en-s{s}u{u}")
+            e_u2s.append(f"en-s{s}u{u} model{s}")
+            e_embs.append(spk_embs(s, 1, shift)[0])
+    save_embeddings(str(tmp_path / "enroll.npz"), e_keys, np.stack(e_embs))
+    (tmp_path / "enroll.u2s").write_text("\n".join(e_u2s) + "\n")
+
+    t_keys, t_embs = [], []
+    for s in range(n_spk):
+        for u in range(3):
+            t_keys.append(f"te-s{s}u{u}")
+            t_embs.append(spk_embs(s, 1, shift)[0])
+    save_embeddings(str(tmp_path / "test.npz"), t_keys, np.stack(t_embs))
+    # unlabeled adaptation pool from the same shifted domain
+    save_embeddings(
+        str(tmp_path / "adapt.npz"),
+        [f"ad{i}" for i in range(48)],
+        np.concatenate([spk_embs(s, 8, shift) for s in range(n_spk)]),
+    )
+
+    with open(tmp_path / "trials.txt", "w") as f:
+        for s in range(n_spk):
+            for tk in t_keys:
+                lab = "target" if tk.startswith(f"te-s{s}") else "nontarget"
+                f.write(f"model{s} {tk} {lab}\n")
+
+    script = os.path.join(EXAMPLES, "sre", "v2", "run.py")
+    out = _run(script, [
+        "--train_emb", str(tmp_path / "train.npz"),
+        "--train_utt2spk", str(tmp_path / "train.u2s"),
+        "--enroll_emb", str(tmp_path / "enroll.npz"),
+        "--enroll_utt2spk", str(tmp_path / "enroll.u2s"),
+        "--test_emb", str(tmp_path / "test.npz"),
+        "--adapt_emb", str(tmp_path / "adapt.npz"),
+        "--trials", str(tmp_path / "trials.txt"),
+        "--out_dir", str(tmp_path / "scores"),
+    ])
+    assert os.path.exists(str(tmp_path / "scores" / "plda.score"))
+    assert os.path.exists(str(tmp_path / "scores" / "plda_adapt.score"))
+    assert os.path.exists(str(tmp_path / "scores" / "plda_adapt.npz"))
+    # well-separated synthetic speakers: adapted PLDA EER must be low
+    import re as _re
+
+    eers = {
+        m.group(1): float(m.group(2))
+        for m in _re.finditer(r"(plda(?:_adapt)?): EER ([\d.]+)%", out)
+    }
+    assert set(eers) == {"plda", "plda_adapt"}, out[-2000:]
+    # well-separated speakers: both backends must stay far from chance
+    # (50%); the small trial count makes single-error granularity ~5.6%
+    assert eers["plda"] < 10.0 and eers["plda_adapt"] < 10.0, out[-2000:]
+
+
 def test_plda_cli_bins(tmp_path):
     """python -m wespeaker_hubert_tpu.bin.{train,eval,adapt}_plda."""
     from wespeaker_hubert_tpu.utils.embeddings import save_embeddings
