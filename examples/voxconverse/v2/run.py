@@ -23,9 +23,14 @@ def main():
     p.add_argument("--clusterer", choices=["spectral", "density"],
                    default="spectral")
     p.add_argument("--collar", type=float, default=0.25)
+    p.add_argument("--window_secs", type=float, default=1.5,
+                   help="subsegment window (reference run.sh stage 5)")
+    p.add_argument("--period_secs", type=float, default=0.75,
+                   help="subsegment shift")
     args = p.parse_args()
 
     model = load_model(args.model_dir)
+    model.set_diarization_params(args.window_secs, args.period_secs)
     os.makedirs(os.path.dirname(args.out_rttm) or ".", exist_ok=True)
 
     all_segments = []

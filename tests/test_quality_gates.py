@@ -228,5 +228,61 @@ def test_diarization_der_gate(protocol):
     assert np.mean(ders) <= MAX_MEAN_DER, ders
 
 
+def test_voxconverse_driver_end_to_end(protocol, tmp_path):
+    """The voxconverse v2 recipe DRIVER (examples/voxconverse/v2/run.py):
+    wav.scp -> diarize -> hypothesis RTTM -> DER vs a reference RTTM,
+    all through the actual script."""
+    import subprocess
+    import sys
+
+    from wespeaker_hubert_tpu.diar import read_rttm, write_rttm
+
+    sr = 16000
+    rng = np.random.default_rng(11)
+    turns, parts, cur = [], [], 0.0
+    for i in range(8):
+        spk = (0, 5)[i % 2]
+        dur = float(rng.uniform(1.6, 2.4))
+        parts.append(_utt(rng, spk, int(dur * sr)))
+        turns.append(("conv", cur, cur + dur, f"spk{spk}"))
+        cur += dur
+        gap = float(rng.uniform(0.4, 0.8))
+        parts.append(np.zeros(int(gap * sr), np.float32))
+        cur += gap
+    wav_path = str(tmp_path / "conv.wav")
+    write_wav(wav_path, np.concatenate(parts))
+    (tmp_path / "wav.scp").write_text(f"conv {wav_path}\n")
+    ref_rttm = str(tmp_path / "ref.rttm")
+    write_rttm(ref_rttm, turns)
+
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "voxconverse", "v2",
+        "run.py",
+    )
+    out_rttm = str(tmp_path / "hyp.rttm")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [
+            sys.executable, script,
+            "--model_dir", protocol["exp"],
+            "--wav_scp", str(tmp_path / "wav.scp"),
+            "--ref_rttm", ref_rttm,
+            "--out_rttm", out_rttm,
+            "--window_secs", "1.0", "--period_secs", "0.5",
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(script),
+    )
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out[-4000:]
+    assert "DER" in out, out[-2000:]
+    hyp = read_rttm(out_rttm)
+    assert "conv" in hyp and len(hyp["conv"]) >= 2
+    import re as _re
+
+    m = _re.search(r"DER ([\d.]+)%", out)
+    assert m and float(m.group(1)) <= MAX_MEAN_DER * 2, out[-2000:]
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q", "-s"])
