@@ -384,6 +384,82 @@ def test_whisper_pmfa_recipe(tmp_path):
     assert "EER" in out
 
 
+def test_sre_v2_full_pipeline(tmp_path):
+    """SRE16 v2 driver stages 2-7 end to end: VAD-cropped shard packing,
+    extractor training, embedding extraction for the four SRE sets,
+    major-mean-subtracted cosine, PLDA (+adaptation) and export — the
+    whole reference run.sh flow through the actual script."""
+    root = tmp_path / "data"
+    _make_corpus(root, (
+        ("swbd_sre", 4, 6), ("sre", 4, 6),
+        ("sre16_eval_enroll", 3, 2), ("sre16_eval_test", 3, 3),
+    ))
+    # unlabeled major: wav.scp only
+    major = root / "sre16_major"
+    major.mkdir()
+    rng = np.random.default_rng(7)
+    with open(major / "wav.scp", "w") as ws:
+        for i in range(6):
+            p = str(major / f"m{i}.wav")
+            write_wav(p, _spk_wav(rng, i % 3, 20000))
+            ws.write(f"m{i} {p}\n")
+    # VAD segments for the training set (crop 0.05s off each end)
+    with open(root / "swbd_sre" / "wav.scp") as ws, \
+            open(root / "swbd_sre" / "vad", "w") as vf:
+        for ln in ws:
+            u = ln.split()[0]
+            vf.write(f"{u}-0 {u} 0.05 1.15\n")
+
+    # trials: enroll models are speakers of sre16_eval_enroll
+    trials = tmp_path / "trials.txt"
+    with open(trials, "w") as f:
+        for s in range(3):
+            for ts in range(3):
+                for u in range(3):
+                    lab = "target" if s == ts else "nontarget"
+                    f.write(f"s{s} sre16_eval_test-s{ts}u{u} {lab}\n")
+
+    exp_dir = str(tmp_path / "exp")
+    config = {
+        "exp_dir": exp_dir,
+        "model": "ECAPA_TDNN_c512",
+        "model_args": {"feat_dim": 40, "embed_dim": 16},
+        "projection_args": {"project_type": "arc_margin", "scale": 32.0},
+        "data_type": "shard",
+        "train_data": str(root / "swbd_sre" / "shard.list"),
+        "train_label": str(root / "swbd_sre" / "utt2spk"),
+        "dataloader_args": {"batch_size": 8},
+        "dataset_args": dict(BASE_DATASET_ARGS),
+        "num_epochs": 1,
+        "epoch_iter": 2,
+        "save_epoch_interval": 1,
+        "num_avg": 1,
+        "scheduler_args": {"initial_lr": 0.05, "final_lr": 0.01,
+                           "warm_up_epoch": 1},
+        "margin_update": {"increase_start_epoch": 1, "fix_start_epoch": 2},
+    }
+    cfg = str(tmp_path / "conf.yaml")
+    dump_config(config, cfg)
+    script = os.path.join(EXAMPLES, "sre", "v2", "run.py")
+    out = _run(script, [
+        "--stage", "2", "--stop_stage", "7", "--config", cfg,
+        "--data_root", str(root), "--trials", str(trials),
+        "--out_dir", str(tmp_path / "scores"),
+        "--em_iters", "3",
+    ], timeout=900)
+    assert os.path.exists(str(root / "swbd_sre" / "shard.list"))
+    for dset in ("sre", "sre16_major", "sre16_eval_enroll",
+                 "sre16_eval_test"):
+        assert os.path.exists(
+            os.path.join(exp_dir, "embeddings", f"{dset}.npz")
+        ), dset
+    for tag in ("cosine", "plda", "plda_adapt"):
+        assert os.path.exists(str(tmp_path / "scores" / f"{tag}.score")), tag
+    assert os.path.exists(os.path.join(exp_dir, "exported",
+                                       "model.stablehlo"))
+    assert out.count("EER") >= 3, out[-2000:]
+
+
 def test_sre_v2_plda_recipe(tmp_path):
     """SRE16 v2 driver (examples/sre/v2/run.py): PLDA training,
     multisession enrollment scoring, and unsupervised domain adaptation

@@ -125,15 +125,40 @@ def compute_feats(
 
 
 def _write_shard(args) -> str:
+    import io
+
     shard_path, items = args
     with tarfile.open(shard_path, "w") as tf:
-        for utt, wav_path, spk in items:
-            tf.add(wav_path, arcname=f"{utt}.wav")
+        for utt, wav_path, spk, vad in items:
+            if vad:
+                # VAD-cropped packing (reference make_shard_list.py
+                # --vad_file): keep only the speech segments
+                from ..data.wav_io import read_wav
+
+                wav, sr = read_wav(wav_path)
+                parts = [
+                    wav[int(float(b) * sr):int(float(e) * sr)]
+                    for b, e in vad
+                ]
+                cropped = np.concatenate([p for p in parts if len(p)])
+                pcm = np.clip(
+                    cropped * 32768.0, -32768, 32767
+                ).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sr)
+                    w.writeframes(pcm.tobytes())
+                data = buf.getvalue()
+                info = tarfile.TarInfo(f"{utt}.wav")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+            else:
+                tf.add(wav_path, arcname=f"{utt}.wav")
             spk_bytes = spk.encode()
             info = tarfile.TarInfo(f"{utt}.spk")
             info.size = len(spk_bytes)
-            import io
-
             tf.addfile(info, io.BytesIO(spk_bytes))
     return shard_path
 
@@ -147,14 +172,21 @@ def make_shard_list(
     num_workers: int = 4,
     shuffle: bool = True,
     seed: int = 42,
+    vad_file: Optional[str] = None,
 ) -> List[str]:
     """Pack utterances into webdataset-style tar shards
-    (reference tools/make_shard_list.py)."""
+    (reference tools/make_shard_list.py; `vad_file` crops each
+    utterance to its speech segments while packing, --vad_file role)."""
     os.makedirs(shards_dir, exist_ok=True)
     utt2wav = {u: w for u, w in (r[:2] for r in _read_table(wav_scp))}
     utt2spk_map = {u: s for u, s in (r[:2] for r in _read_table(utt2spk))}
+    vad: Dict[str, list] = {}
+    if vad_file:
+        for row in _read_table(vad_file):
+            # seg_id utt begin end
+            vad.setdefault(row[1], []).append((row[2], row[3]))
     items = [
-        (u, utt2wav[u], utt2spk_map[u])
+        (u, utt2wav[u], utt2spk_map[u], vad.get(u))
         for u in utt2wav
         if u in utt2spk_map
     ]
@@ -313,6 +345,7 @@ def main():
     s.add_argument("out_list")
     s.add_argument("--num_utts_per_shard", type=int, default=1000)
     s.add_argument("--num_workers", type=int, default=4)
+    s.add_argument("--vad_file", default=None)
 
     s = sub.add_parser("vector_mean")
     s.add_argument("emb_path")
@@ -353,7 +386,8 @@ def main():
     elif args.cmd == "make_shard_list":
         print(len(make_shard_list(args.wav_scp, args.utt2spk, args.shards_dir,
                                   args.out_list, args.num_utts_per_shard,
-                                  args.num_workers)))
+                                  args.num_workers,
+                                  vad_file=args.vad_file)))
     elif args.cmd == "vector_mean":
         print(vector_mean(args.emb_path, args.utt2spk, args.out_path))
     elif args.cmd == "wav2dur":
