@@ -49,14 +49,18 @@ def main():
         ref = read_rttm(args.ref_rttm)
         hyp = read_rttm(args.out_rttm)
         d = der_details(ref, hyp, collar=args.collar)
-        print(
-            "DER {:.2f}% (miss {:.2f}% fa {:.2f}% conf {:.2f}%)".format(
-                100 * d["der"],
-                100 * d["miss"] / d["total"],
-                100 * d["fa"] / d["total"],
-                100 * d["confusion"] / d["total"],
+        if d["total"] > 0:
+            print(
+                "DER {:.2f}% (miss {:.2f}% fa {:.2f}% conf {:.2f}%)".format(
+                    100 * d["der"],
+                    100 * d["miss"] / d["total"],
+                    100 * d["fa"] / d["total"],
+                    100 * d["confusion"] / d["total"],
+                )
             )
-        )
+        else:
+            print("DER undefined: reference has no scored speech "
+                  f"(fa {d['fa']:.2f}s)")
 
 
 if __name__ == "__main__":

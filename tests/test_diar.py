@@ -85,8 +85,26 @@ class TestClustering:
         labels = density_cluster(emb)
         assert _purity(labels, true) > 0.9
 
+    def test_density_tiny_inputs_single_speaker(self):
+        # below HDBSCAN's min_samples floor: one speaker, not a crash
+        rng = np.random.default_rng(4)
+        for n in (1, 2, 3, 4):
+            assert density_cluster(
+                rng.standard_normal((n, 16))
+            ) == [0] * n
+
 
 class TestPAHC:
+    def test_non_contiguous_labels(self):
+        # public API: gaps in the labeling (e.g. HDBSCAN output filtered
+        # upstream) must not collide with the noise renumbering
+        rng = np.random.default_rng(5)
+        emb, _ = _clusters(rng, n_spk=2, n_per=3, spread=0.05)
+        out = PAHC(merge_cutoff=0.3).fit_predict(
+            [0, 0, 2, 2, -1, -1], emb
+        )
+        assert len(out) == 6 and min(out) >= 0
+
     def test_merges_unlabeled_singletons(self):
         rng = np.random.default_rng(3)
         emb, true = _clusters(rng, n_spk=2, n_per=10, spread=0.05)
@@ -135,6 +153,24 @@ class TestDER:
         ref = {"u": [(0.0, 10.0, "A"), (12.0, 20.0, "B")]}
         hyp = {"u": [(0.0, 10.0, "x9"), (12.0, 20.0, "x7")]}
         assert der(ref, hyp, collar=0.0) == pytest.approx(0.0)
+
+    def test_hyp_only_utterance_is_false_alarm(self):
+        # an utt present only in the hypothesis is pure FA, not ignored
+        ref = {"u1": [(0.0, 10.0, "A")]}
+        hyp = {"u1": [(0.0, 10.0, "A")], "u2": [(0.0, 100.0, "B")]}
+        from wespeaker_hubert_tpu.diar.der import der_details
+
+        d = der_details(ref, hyp, collar=0.0)
+        assert d["fa"] == pytest.approx(100.0)
+        assert d["der"] == pytest.approx(10.0)
+
+    def test_empty_reference_defined(self):
+        from wespeaker_hubert_tpu.diar.der import der_details
+
+        d = der_details({"u": []}, {"u": [(0.0, 5.0, "a")]}, collar=0.0)
+        assert d["total"] == 0.0 and d["der"] == float("inf")
+        d = der_details({"u": []}, {"u": []}, collar=0.0)
+        assert d["der"] == 0.0
 
     def test_miss_and_fa(self):
         ref = {"u": [(0.0, 10.0, "A")]}

@@ -133,6 +133,26 @@ class TestSileroParity:
         assert got.shape == ref.shape
         np.testing.assert_allclose(got, ref, rtol=0, atol=2e-5)
 
+    def test_bucket_padding_is_causal(self):
+        """silero_probs pads to pow2 chunk buckets (one XLA program per
+        bucket, not per audio length); the trailing zero chunks must not
+        change the real chunks' probabilities — compare a wav against
+        the same wav with extra silence appended (different pad, same
+        bucket, and across a bucket boundary)."""
+        sd = make_torch_state_dict()
+        params = convert_silero_state_dict(sd)
+        rng = np.random.default_rng(7)
+        wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+        base = silero_probs(params, wav)
+        for extra in (512, 16000, 40000):
+            longer = np.concatenate(
+                [wav, np.zeros(extra, np.float32)]
+            )
+            got = silero_probs(params, longer)
+            np.testing.assert_allclose(
+                got[: len(base)], base, rtol=0, atol=1e-6
+            )
+
     def test_save_load_roundtrip(self, tmp_path):
         params = convert_silero_state_dict(make_torch_state_dict())
         path = str(tmp_path / "vad.npz")

@@ -29,6 +29,7 @@ from ..data import read_wav
 from ..diar import (
     density_cluster,
     energy_vad,
+    make_seg_id,
     merge_segments,
     spectral_cluster,
     subsegment_fbank,
@@ -137,11 +138,24 @@ class Speaker:
     def _vad_segments(self, wav: np.ndarray):
         """(begin_s, end_s) speech segments with the configured VAD."""
         if self.vad_model is not None:
-            from ..diar.silero import get_speech_timestamps
+            from ..diar.silero import SR as VAD_SR, get_speech_timestamps
 
-            ts = get_speech_timestamps(wav, self.vad_model)
-            sr = self.resample_rate
-            return [(t["start"] / sr, t["end"] / sr) for t in ts]
+            vad_wav = wav
+            if self.resample_rate != VAD_SR:
+                # silero runs at 16 kHz regardless of the model's target
+                # rate (reference resamples to a dedicated
+                # vad_sample_rate, cli/speaker.py:132-141); timestamps
+                # are seconds, so they map back directly
+                import math
+
+                from scipy.signal import resample_poly
+
+                g = math.gcd(self.resample_rate, VAD_SR)
+                vad_wav = resample_poly(
+                    wav, VAD_SR // g, self.resample_rate // g
+                ).astype(np.float32)
+            ts = get_speech_timestamps(vad_wav, self.vad_model)
+            return [(t["start"] / VAD_SR, t["end"] / VAD_SR) for t in ts]
         return energy_vad(wav, self.resample_rate)
 
     def _replace_fbank(self, **kwargs):
@@ -294,11 +308,16 @@ class Speaker:
         seg_feats = self._segment_fbanks(wav, vad_segments)
         subsegs, fbanks = [], []
         for (begin, end), feats in zip(vad_segments, seg_feats):
-            seg_id = f"{utt}-{int(begin * 1000):08d}-{int(end * 1000):08d}"
+            seg_id = make_seg_id(utt, int(begin * 1000), int(end * 1000))
+            # frames/second follows the configured fbank frame shift
+            # (reference threads diar_frame_shift through subsegment
+            # and the id parse, cli/speaker.py:232-264)
+            fs_ms = self.fbank_cfg.frame_shift_ms
             s, m = subsegment_fbank(
                 feats, seg_id,
-                window_fs=int(self.diar_window_secs * 100),
-                period_fs=int(self.diar_period_secs * 100),
+                window_fs=int(self.diar_window_secs * 1000 / fs_ms),
+                period_fs=int(self.diar_period_secs * 1000 / fs_ms),
+                frame_shift=int(fs_ms),
             )
             subsegs += s
             fbanks += m
@@ -314,7 +333,9 @@ class Speaker:
 
         items = []
         for sub, lab in zip(subsegs, labels):
-            u, b, e = parse_subseg_id(sub)
+            u, b, e = parse_subseg_id(
+                sub, frame_shift=int(self.fbank_cfg.frame_shift_ms)
+            )
             items.append((b, e, str(lab)))
         items.sort()
         merged = merge_segments({utt: items})
@@ -328,7 +349,13 @@ class Speaker:
         not stall behind the whole compile chain (bin/serve.py warms the
         embed buckets for the same reason)."""
         sr = self.resample_rate
-        self._vad_segments(np.zeros(sr, np.float32))
+        # the VAD pads to pow2 chunk buckets; warm each bucket shape
+        n = sr
+        while True:
+            self._vad_segments(np.zeros(n, np.float32))
+            if n >= int(max_seconds * sr):
+                break
+            n *= 2
         bucket = _pow2_bucket(1)
         top = _pow2_bucket(int(max_seconds * sr))
         while True:
@@ -340,7 +367,12 @@ class Speaker:
                 break
             bucket *= 2
         window = jnp.zeros(
-            (32, int(self.diar_window_secs * 100), self.fbank_cfg.num_mel_bins),
+            (
+                32,
+                int(self.diar_window_secs * 1000
+                    / self.fbank_cfg.frame_shift_ms),
+                self.fbank_cfg.num_mel_bins,
+            ),
             jnp.float32,
         )
         self._embed_feats_fn(self.variables, window).block_until_ready()

@@ -71,7 +71,10 @@ def cluster(
     seed: int = 2023,
 ) -> List[int]:
     embeddings = np.asarray(embeddings)
-    if len(embeddings) <= 2:
+    # below HDBSCAN's min_cluster_size/min_samples floor (4) there is
+    # nothing to cluster — short recordings yield a single speaker
+    # instead of a min_samples ValueError
+    if len(embeddings) <= 4:
         return [0] * len(embeddings)
     reduced = _reduce(
         embeddings,

@@ -92,8 +92,12 @@ def der_details(
     """Global DER over all utterances.  Returns dict with miss/fa/conf/
     total (seconds) and 'der'."""
     # ---- global speaker mapping per utt (speakers are per-utt labels)
+    # iterate the UNION of utterances: hypothesis-only utts (naming
+    # mismatches, hallucinated recordings) must score as false alarm,
+    # not silently drop
     miss = fa = conf = total = 0.0
-    for utt, ref in ref_turns.items():
+    for utt in sorted(set(ref_turns) | set(hyp_turns)):
+        ref = ref_turns.get(utt, [])
         hyp = hyp_turns.get(utt, [])
         cuts = _collar_regions(ref, collar)
         ref_spks = sorted({s for _, _, s in ref})
@@ -120,12 +124,20 @@ def der_details(
             miss += d * max(0, n_ref - n_hyp)
             fa += d * max(0, n_hyp - n_ref)
             conf += d * (min(n_ref, n_hyp) - n_correct)
+    errors = miss + fa + conf
+    if total > 0:
+        d = errors / total
+    else:
+        # no scored reference speech: perfect silence agreement is 0;
+        # any hypothesized speech is an unbounded error, not a ratio
+        # against epsilon
+        d = 0.0 if errors == 0 else float("inf")
     return {
         "miss": miss,
         "fa": fa,
         "confusion": conf,
         "total": total,
-        "der": (miss + fa + conf) / max(total, 1e-9),
+        "der": d,
     }
 
 

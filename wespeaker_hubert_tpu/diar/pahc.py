@@ -36,6 +36,12 @@ class PAHC:
     def fit_predict(
         self, labels: Sequence[int], embeddings: np.ndarray
     ) -> List[int]:
+        # remap labels to a contiguous 0..K-1 range (noise stays -1):
+        # _initialize renumbers noise points starting at num_labeled,
+        # which collides with gaps in non-contiguous input labelings
+        uniq = sorted({l for l in labels if l != -1})
+        remap = {l: i for i, l in enumerate(uniq)}
+        labels = [remap.get(l, -1) for l in labels]
         self._initialize(list(labels), np.asarray(embeddings))
         self._merge_all()
         self._absorb()

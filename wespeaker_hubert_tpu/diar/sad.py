@@ -24,15 +24,11 @@ def oracle_sad(
 ) -> Dict[str, List[Tuple[float, float]]]:
     """Union of reference speaker turns -> speech segments, dropping
     segments shorter than min_duration (reference make_oracle_sad.py)."""
+    from .der import _merge_intervals
+
     out: Dict[str, List[Tuple[float, float]]] = {}
     for utt, turns in rttm_turns.items():
-        iv = sorted((b, e) for b, e, _ in turns)
-        merged: List[List[float]] = []
-        for b, e in iv:
-            if merged and b <= merged[-1][1]:
-                merged[-1][1] = max(merged[-1][1], e)
-            else:
-                merged.append([b, e])
+        merged = _merge_intervals([(b, e) for b, e, _ in turns])
         out[utt] = [(b, e) for b, e in merged if e - b >= min_duration]
     return out
 

@@ -251,7 +251,14 @@ def silero_probs(params: Dict, wav: np.ndarray) -> np.ndarray:
     """Whole-utterance speech probabilities, one per 512-sample window."""
     wav = np.asarray(wav, np.float32)
     n_chunks = max(1, -(-len(wav) // WINDOW))
-    return np.asarray(_silero_probs_impl(params, jnp.asarray(wav), n_chunks))
+    # pad to a power-of-two chunk bucket: one compiled XLA program per
+    # bucket instead of one per distinct audio length (the LSTM scan is
+    # causal, so trailing zero chunks cannot change earlier outputs)
+    bucket = max(32, 1 << (n_chunks - 1).bit_length())
+    probs = np.asarray(
+        _silero_probs_impl(params, jnp.asarray(wav), bucket)
+    )
+    return probs[:n_chunks]
 
 
 class SileroVAD:
