@@ -27,10 +27,16 @@ def main():
                    help="subsegment window (reference run.sh stage 5)")
     p.add_argument("--period_secs", type=float, default=0.75,
                    help="subsegment shift")
+    p.add_argument("--subseg_cmn", default=True,
+                   type=lambda x: x.lower() == "true",
+                   help="true: CMN per window (reference default); false: "
+                        "CMN once per VAD segment (make_fbank.py)")
     args = p.parse_args()
 
     model = load_model(args.model_dir)
-    model.set_diarization_params(args.window_secs, args.period_secs)
+    model.set_diarization_params(
+        args.window_secs, args.period_secs, subseg_cmn=args.subseg_cmn
+    )
     os.makedirs(os.path.dirname(args.out_rttm) or ".", exist_ok=True)
 
     all_segments = []

@@ -138,6 +138,45 @@ class TestSpeakerAPI:
         model.make_rttm(segs, rttm)
         assert os.path.getsize(rttm) > 0
 
+    def test_subseg_cmn_modes(self, model_dir, tmp_path):
+        """subseg_cmn placement (reference make_fbank.py --subseg-cmn):
+        when a VAD segment is exactly one window long, per-window CMN
+        (True) and per-segment CMN (False) must coincide; and the False
+        mode must run end-to-end through diarize()."""
+        import jax.numpy as jnp
+
+        model = load_model(model_dir["exp"])
+        rng = np.random.default_rng(3)
+        wav = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+        # one segment == one 1.5 s window (window CMN == segment CMN)
+        (feats,) = model._segment_fbanks(wav, [(0.0, 1.5)])
+        n_win = int(model.diar_window_secs * 1000
+                    / model.fbank_cfg.frame_shift_ms)
+        win = feats[:n_win]
+        emb_window_cmn = model._embed_feats_fn(
+            model.variables, jnp.asarray(win[None]), True
+        )
+        emb_segment_cmn = model._embed_feats_fn(
+            model.variables, jnp.asarray((win - win.mean(0))[None]), False
+        )
+        np.testing.assert_allclose(
+            np.asarray(emb_window_cmn), np.asarray(emb_segment_cmn),
+            rtol=1e-4, atol=1e-4,
+        )
+
+        # the False mode drives the full pipeline
+        rng2 = np.random.default_rng(8)
+        parts = []
+        for i in range(4):
+            parts.append(_spk_wav(rng2, i % 2, 32000))
+            parts.append(np.zeros(8000, np.float32))
+        path = str(tmp_path / "diar_cmn.wav")
+        write_wav(path, np.concatenate(parts))
+        model.set_diarization_params(subseg_cmn=False)
+        segs = model.diarize(path, utt="m", clusterer="spectral")
+        assert len(segs) >= 2
+        assert all(e > b for (_, b, e, _) in segs)
+
     def test_load_model_rejects_alias(self):
         with pytest.raises(ValueError):
             load_model("english")

@@ -111,14 +111,20 @@ class Speaker:
         # unjitted net.apply executes op-by-op — catastrophic over a
         # remote-device link)
         self._embed_feats_fn = jax.jit(
-            lambda v, f: self.net.apply(
-                v, apply_cmvn(f), train=False, method=self.net.embed
-            )
+            lambda v, f, cmn: self.net.apply(
+                v, apply_cmvn(f) if cmn else f,
+                train=False, method=self.net.embed,
+            ),
+            static_argnums=2,
         )
         self.table: Dict[str, np.ndarray] = {}
         # diarization params (reference cli defaults)
         self.diar_window_secs = 1.5
         self.diar_period_secs = 0.75
+        # True: CMN per 1.5 s window (reference diar/extract_emb.py:88-90,
+        # the make_fbank.py --subseg-cmn default); False: CMN once per VAD
+        # segment before windowing (make_fbank.py:85-86)
+        self.diar_subseg_cmn = True
 
     # ------------------------------------------------------------ basics
     def set_vad(self, enable: bool, model_path: str = None):
@@ -187,11 +193,17 @@ class Speaker:
         self._replace_fbank(scale_to_int16=not wavform_norm)
 
     def set_diarization_params(
-        self, window_secs: float = 1.5, period_secs: float = 0.75
+        self,
+        window_secs: float = 1.5,
+        period_secs: float = 0.75,
+        subseg_cmn: bool = True,
     ):
-        """Sliding-window subsegmentation parameters (reference :75)."""
+        """Sliding-window subsegmentation parameters (reference :75) and
+        CMN placement (reference diar/make_fbank.py --subseg-cmn: True
+        normalizes per window, False once per VAD segment)."""
         self.diar_window_secs = window_secs
         self.diar_period_secs = period_secs
+        self.diar_subseg_cmn = subseg_cmn
 
     def _load_audio(self, audio_path: str) -> np.ndarray:
         wav, sr = read_wav(audio_path)
@@ -306,6 +318,11 @@ class Speaker:
             return []
 
         seg_feats = self._segment_fbanks(wav, vad_segments)
+        if not self.diar_subseg_cmn:
+            # CMN once per VAD segment, before windowing (reference
+            # diar/make_fbank.py:85-86); the per-window CMN is skipped
+            # in the embed path below
+            seg_feats = [f - f.mean(axis=0) for f in seg_feats]
         subsegs, fbanks = [], []
         for (begin, end), feats in zip(vad_segments, seg_feats):
             seg_id = make_seg_id(utt, int(begin * 1000), int(end * 1000))
@@ -375,7 +392,9 @@ class Speaker:
             ),
             jnp.float32,
         )
-        self._embed_feats_fn(self.variables, window).block_until_ready()
+        self._embed_feats_fn(
+            self.variables, window, self.diar_subseg_cmn
+        ).block_until_ready()
 
     def _segment_fbanks(self, wav, vad_segments):
         """Per-VAD-segment fbank, batched by length bucket.
@@ -439,7 +458,9 @@ class Speaker:
                      np.zeros((batch_size - k,) + chunk.shape[1:],
                               chunk.dtype)]
                 )
-            emb = self._embed_feats_fn(self.variables, jnp.asarray(chunk))
+            emb = self._embed_feats_fn(
+                self.variables, jnp.asarray(chunk), self.diar_subseg_cmn
+            )
             out.append(np.asarray(emb)[:k])
         return np.concatenate(out)
 
@@ -506,6 +527,12 @@ def main():
     parser.add_argument("--vad", action="store_true")
     parser.add_argument("--diar_window_secs", type=float, default=1.5)
     parser.add_argument("--diar_period_secs", type=float, default=0.75)
+    parser.add_argument(
+        "--diar_subseg_cmn", default=True,
+        type=lambda x: x.lower() == "true",
+        help="true: CMN per window (reference default); false: CMN once "
+             "per VAD segment (diar/make_fbank.py --subseg-cmn)",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -530,6 +557,7 @@ def main():
     model.set_diarization_params(
         window_secs=args.diar_window_secs,
         period_secs=args.diar_period_secs,
+        subseg_cmn=args.diar_subseg_cmn,
     )
 
     if args.task == "embedding":
