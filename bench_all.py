@@ -409,7 +409,7 @@ def main():
     args = p.parse_args()
 
     results = []
-    for name in args.models.split(","):
+    for name in filter(None, args.models.split(",")):
         for dtype in ("f32", "bf16"):
             tp = bench_extract(name, args.batch, args.seconds, dtype)
             baseline = 1.0 / CPU_RTF[name] if name in CPU_RTF else None
