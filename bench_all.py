@@ -216,6 +216,98 @@ def bench_ssl_frontend_extract(batch=16, seconds=10.0, iters=5,
     return batch * seconds * iters / dt
 
 
+def bench_wavlm_train_step(frozen=True, batch=32, iters=5, loop_steps=1,
+                           upstream="wavlm_large", seconds=3.0,
+                           gelu_impl="erf"):
+    """WavLM-Large + ECAPA c512 joint/frozen fine-tune train step, bf16.
+
+    Mirrors the reference 8-GPU workload (conf/ecapa_tdnn_WavLM_frozen.yaml:
+    global batch 256 = 32/device, num_frms 150 at 20 ms shift = 3 s chunks,
+    aug_prob 0.6, ArcMargin) on one chip: wav aug in-graph -> frontend ->
+    CMVN -> ECAPA -> margin head -> SGD (frontend updates zeroed when
+    frozen, like s3prl.py:70 requires_grad_(False))."""
+    import dataclasses as _dc
+
+    from wespeaker_hubert_tpu.frontend import SSLEncoderConfig, SSLFrontend
+    from wespeaker_hubert_tpu.models import get_projection, get_speaker_model
+    from wespeaker_hubert_tpu.models.speaker_net import SpeakerNet
+    from wespeaker_hubert_tpu.ops.augment import speed_input_len
+    from wespeaker_hubert_tpu.train import (
+        ExponentialDecrease,
+        MarginSchedule,
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    enc_cfg = _dc.replace(
+        getattr(SSLEncoderConfig, upstream)(), gelu_impl=gelu_impl)
+    frontend = SSLFrontend(enc_cfg, frozen=frozen, multilayer_feature=True)
+    backbone = get_speaker_model("ECAPA_TDNN_GLOB_c512")(
+        feat_dim=enc_cfg.hidden_size, embed_dim=192)
+    projection = get_projection(
+        {"project_type": "arc_margin", "embed_dim": 192,
+         "num_class": 17982, "scale": 32.0}
+    )
+    net = SpeakerNet(backbone=backbone, projection=projection,
+                     frontend=frontend)
+    lr = ExponentialDecrease(
+        num_epochs=150, epoch_iter=1000, initial_lr=0.01, final_lr=5e-5,
+        warm_up_epoch=6,
+    )
+    margin = MarginSchedule(
+        epoch_iter=1000, increase_start_epoch=20, fix_start_epoch=40,
+        initial_margin=0.0, final_margin=0.2,
+    )
+    freeze = (("frontend",),) if frozen else ()
+    tx = make_optimizer(lr, "SGD", weight_decay=1e-4, freeze_paths=freeze)
+
+    chunk = int(seconds * SR)
+    in_len = speed_input_len(chunk)
+    rng = np.random.default_rng(0)
+    wav_ex = jnp.zeros((batch, chunk))
+    from wespeaker_hubert_tpu.frontend.ssl_encoder import (
+        feat_extract_output_lengths,
+    )
+
+    t_ex = int(feat_extract_output_lengths(enc_cfg, chunk))
+    state = create_train_state(
+        net, tx, jax.random.key(0),
+        jnp.zeros((batch, t_ex, enc_cfg.hidden_size)),
+        jnp.zeros((batch,), jnp.int32),
+        example_wav=wav_ex,
+    )
+    step = make_train_step(net, tx, lr, margin, chunk_samples=chunk,
+                           compute_dtype=jnp.bfloat16,
+                           num_steps=loop_steps)
+    n_rev = n_noise = int(batch * 0.6 / 2)
+    b = {
+        "wav": jnp.asarray(
+            rng.standard_normal((batch, in_len)) * 0.1, jnp.float32),
+        "speed_idx": jnp.asarray(rng.integers(0, 3, batch), jnp.int32),
+        "label": jnp.asarray(rng.integers(0, 17982, batch)),
+        "rir": jnp.asarray(rng.standard_normal((n_rev, 8000)), jnp.float32),
+        "noise": jnp.asarray(
+            rng.standard_normal((n_noise, chunk)) * 0.05, jnp.float32),
+        "snr": jnp.full((n_noise,), 10.0, jnp.float32),
+    }
+    key = jax.random.key(1)
+    if loop_steps > 1:
+        b = {k: jnp.broadcast_to(v, (loop_steps,) + v.shape)
+             for k, v in b.items()}
+    state, m0 = step(state, b, key)
+    loss0 = m0["loss"] if loop_steps == 1 else m0["loss"][-1]
+    float(loss0)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, b, key)
+    loss = metrics["loss"] if loop_steps == 1 else metrics["loss"][-1]
+    float(loss)
+    dt = time.perf_counter() - t0
+    audio_s = batch * seconds * iters * loop_steps
+    return audio_s / dt, batch * iters * loop_steps / dt
+
+
 def bench_moco_step(model_name="ECAPA_TDNN_c512", batch=64, iters=10,
                     K=65536):
     """MoCo v2 SSL train-step throughput: two aug views + fbank + query/
@@ -406,10 +498,15 @@ def main():
                    choices=("einsum", "flash"),
                    help="SSL-frontend attention implementation "
                         "(flash = Pallas kernel, TPU only)")
+    p.add_argument("--wavlm_train", action="store_true",
+                   help="benchmark WavLM-Large frozen + joint train steps")
+    p.add_argument("--gelu_impl", default="erf", choices=("erf", "tanh"),
+                   help="SSL-frontend GELU (tanh = fast approximation, "
+                        "embedding cosine 0.99998 vs erf)")
     args = p.parse_args()
 
     results = []
-    for name in filter(None, args.models.split(",")):
+    for name in filter(None, (n.strip() for n in args.models.split(","))):
         for dtype in ("f32", "bf16"):
             tp = bench_extract(name, args.batch, args.seconds, dtype)
             baseline = 1.0 / CPU_RTF[name] if name in CPU_RTF else None
@@ -474,6 +571,22 @@ def main():
         }
         results.append(row)
         print(json.dumps(row), flush=True)
+
+    if args.wavlm_train:
+        for frozen in (True, False):
+            tp, utts = bench_wavlm_train_step(
+                frozen=frozen, loop_steps=args.loop_steps,
+                gelu_impl=args.gelu_impl,
+            )
+            tag = "frozen" if frozen else "joint"
+            row = {
+                "metric": f"WavLM_Large_ECAPA_c512_train_step_{tag}_bf16",
+                "value": round(tp, 1),
+                "unit": "audio_s/s/chip",
+                "utts_per_s": round(utts, 1),
+            }
+            results.append(row)
+            print(json.dumps(row), flush=True)
     return results
 
 

@@ -468,12 +468,27 @@ def train(config: str | dict, **overrides):
     # lever when the host-device link has per-dispatch latency
     loop_steps = int(config.get("loop_steps", 1))
     aug_blocks = world if pipe_cfg.packed_aug else 1
+    # mixed precision: the reference confs enable AMP (enable_amp: True,
+    # conf/ecapa_tdnn.yaml) — here that means bf16 activations/params in
+    # the forward+backward with f32 master weights (train/executor.py).
+    # Like the reference's CUDA-only autocast, AMP engages only where the
+    # hardware wants it (TPU); CPU runs stay f32 unless `compute_dtype:
+    # bf16` is set explicitly.  `enable_amp: false` or `compute_dtype:
+    # f32` opts out everywhere.
+    amp_default = (
+        "bf16"
+        if config.get("enable_amp", True) and jax.default_backend() not in ("cpu",)
+        else "f32"
+    )
+    cd_name = str(config.get("compute_dtype", amp_default)).lower()
+    compute_dtype = jnp.bfloat16 if cd_name in ("bf16", "bfloat16") else None
     step_fn = make_train_step(
         net, tx, lr_schedule, margin_schedule,
         feature_cfg=feature_cfg, mesh=mesh,
         chunk_samples=pipe.chunk_samples,
         num_steps=loop_steps,
         aug_blocks=aug_blocks,
+        compute_dtype=compute_dtype,
     )
     # single-step program for the tail of an epoch when the batch count
     # isn't a multiple of loop_steps
@@ -482,6 +497,7 @@ def train(config: str | dict, **overrides):
         feature_cfg=feature_cfg, mesh=mesh,
         chunk_samples=pipe.chunk_samples,
         aug_blocks=aug_blocks,
+        compute_dtype=compute_dtype,
     )
 
     dump_config(config, os.path.join(exp_dir, "config.yaml"))

@@ -63,6 +63,12 @@ class SSLEncoderConfig:
     # runs the fused Pallas flash-attention kernel on TPU (online
     # softmax, no T^2 round trips) and falls back to einsum off-TPU.
     attn_impl: str = "einsum"
+    # 'erf' is the HF-exact GELU; 'tanh' is the tanh approximation —
+    # measured 24% faster end-to-end on WavLM-Large TPU extraction (the
+    # erf prologue throttles every FFN matmul fusion to 84 TF/s) with
+    # embedding cosine 0.99998 vs erf in bf16, i.e. below the bf16
+    # rounding floor itself (docs/PERF_NOTES.md round 3).
+    gelu_impl: str = "erf"
 
     @staticmethod
     def hubert_base():
@@ -146,6 +152,10 @@ class SSLEncoderConfig:
         )
 
 
+def _gelu(cfg: SSLEncoderConfig, x):
+    return nn.gelu(x, approximate=(cfg.gelu_impl == "tanh"))
+
+
 def feat_extract_output_lengths(cfg: SSLEncoderConfig, lengths):
     """Conv feature-extractor output lengths (floor((L-k)/s)+1 chain)."""
     for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
@@ -175,7 +185,7 @@ class ConvFeatureEncoder(nn.Module):
                 )(h)
             elif cfg.feat_extract_norm == "layer":
                 h = LayerNorm(epsilon=cfg.layer_norm_eps, name=f"norm_{i}")(h)
-            h = nn.gelu(h, approximate=False)
+            h = _gelu(cfg, h)
         return h
 
 
@@ -195,7 +205,7 @@ class PositionalConvEmbedding(nn.Module):
         )(x)
         if k % 2 == 0:  # SamePadLayer trims one trailing frame
             h = h[:, :-1]
-        return nn.gelu(h, approximate=False)
+        return _gelu(cfg, h)
 
 
 def _relative_positions_bucket(
@@ -331,17 +341,21 @@ class WavLMAttention(nn.Module):
             out = _flash_mha(q, k, v, ab, 1.0 / math.sqrt(hd))
             out = out.reshape(b, t, d)
         else:
-            scores = jnp.einsum(
-                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-            ) / math.sqrt(hd)
+            # The MXU accumulates in f32 regardless of output dtype, so the
+            # (B,h,T,T) scores can be STORED in the compute dtype (halving
+            # the dominant T^2 HBM traffic vs preferred_element_type=f32 —
+            # measured 29 ms of a 113 ms WavLM-Large dispatch was f32-T^2
+            # fusions); the softmax upcasts to f32 in-fusion (registers,
+            # not HBM) and probs return to the compute dtype for the PV
+            # matmul so bf16 survives the residual stream end-to-end.
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
             scores = scores + gated_position_bias
             if attn_bias is not None:
-                scores = scores + attn_bias
-            probs = jax.nn.softmax(scores, axis=-1)
-            out = jnp.einsum(
-                "bhqk,bkhd->bqhd", probs, v,
-                preferred_element_type=jnp.float32,
-            ).reshape(b, t, d)
+                scores = scores + attn_bias.astype(scores.dtype)
+            probs = jax.nn.softmax(
+                scores.astype(jnp.float32), axis=-1
+            ).astype(v.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, d)
         out = nn.Dense(d, name="out_proj")(out)
         return out, position_bias
 
@@ -363,15 +377,15 @@ class PlainAttention(nn.Module):
         if _use_flash(cfg):
             out = _flash_mha(q, k, v, attn_bias, 1.0 / math.sqrt(hd))
             return nn.Dense(d, name="out_proj")(out.reshape(b, t, d)), None
-        scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / math.sqrt(hd)
+        # scores stored in compute dtype, f32 softmax in-fusion, probs
+        # back to compute dtype (see WavLMAttention note on T^2 traffic)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
         if attn_bias is not None:
-            scores = scores + attn_bias
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum(
-            "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
-        ).reshape(b, t, d)
+            scores = scores + attn_bias.astype(scores.dtype)
+        probs = jax.nn.softmax(
+            scores.astype(jnp.float32), axis=-1
+        ).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, d)
         return nn.Dense(d, name="out_proj")(out), None
 
 
@@ -381,7 +395,7 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         h = nn.Dense(self.cfg.intermediate_size, name="intermediate_dense")(x)
-        h = nn.gelu(h, approximate=False)
+        h = _gelu(self.cfg, h)
         return nn.Dense(self.cfg.hidden_size, name="output_dense")(h)
 
 

@@ -66,9 +66,12 @@ class SSLFrontend(nn.Module):
         )
         norm_w = jax.nn.softmax(weights)
         stacked = jnp.stack(hidden_states, axis=0)  # (n, B, T, D)
+        # f32 accumulation over the n states, result back in the hidden
+        # dtype so a bf16 upstream keeps the downstream backbone bf16
         feats = jnp.einsum(
-            "n,nbtd->btd", norm_w, stacked, preferred_element_type=jnp.float32
-        )
+            "n,nbtd->btd", norm_w.astype(stacked.dtype), stacked,
+            preferred_element_type=jnp.float32,
+        ).astype(stacked.dtype)
         return feats, feat_lengths
 
     @property

@@ -90,11 +90,12 @@ class _MHA(nn.Module):
         if _use_flash(self):  # duck-typed: reads .attn_impl
             out = _flash_mha(q, k, v, None, 1.0).reshape(b, t, d)
             return nn.Dense(d, name="out")(out)
-        w = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        w = jax.nn.softmax(w, axis=-1)
-        out = jnp.einsum(
-            "bhqk,bkhd->bqhd", w, v, preferred_element_type=jnp.float32
-        ).reshape(b, t, d)
+        # scores stored in compute dtype (MXU accumulates f32 anyway),
+        # f32 softmax in-fusion, probs back to the residual dtype so bf16
+        # survives end-to-end (see ssl_encoder.WavLMAttention note)
+        w = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, t, d)
         return nn.Dense(d, name="out")(out)
 
 
@@ -131,7 +132,9 @@ class WhisperEncoder(nn.Module):
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         """(B, W) wav -> (B, T', n_state * n_concat) features."""
         cfg = self.cfg
-        mel = whisper_log_mel(wav, n_mels=cfg.n_mels)  # (B, T, M)
+        # log-mel runs f32 internally; return to the caller's compute
+        # dtype so a bf16 forward stays bf16 through the encoder stack
+        mel = whisper_log_mel(wav, n_mels=cfg.n_mels).astype(wav.dtype)
         h = nn.Conv(cfg.n_state, (3,), padding=[(1, 1)], name="conv1")(mel)
         h = nn.gelu(h, approximate=False)
         h = nn.Conv(
@@ -142,7 +145,7 @@ class WhisperEncoder(nn.Module):
         t = min(h.shape[1], cfg.n_ctx)
         h = h[:, :t]
         pos = jnp.asarray(_sinusoids(cfg.n_ctx, cfg.n_state))[:t]
-        h = h + pos[None]
+        h = h + pos[None].astype(h.dtype)  # f32 pos table must not promote h
 
         outs = []
         for i in range(cfg.n_layer):

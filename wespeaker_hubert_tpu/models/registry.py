@@ -72,6 +72,7 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     "XI_VEC_XVEC": xi_vector.XI_VEC_XVEC,
 }
 
+MODEL_REGISTRY["whisper_PMFA"] = whisper_pmfa.whisper_PMFA
 MODEL_REGISTRY["whisper_PMFA_large_v2"] = whisper_pmfa.whisper_PMFA_large_v2
 for _i in range(7):
     MODEL_REGISTRY[f"ReDimNetB{_i}"] = getattr(redimnet, f"ReDimNetB{_i}")

@@ -16,7 +16,7 @@ import jax
 from .norm import BatchNorm
 from .pooling import POOLING_LAYERS
 
-__all__ = ["WhisperPMFA", "whisper_PMFA_large_v2"]
+__all__ = ["WhisperPMFA", "whisper_PMFA", "whisper_PMFA_large_v2"]
 
 
 class WhisperPMFA(nn.Module):
@@ -38,6 +38,13 @@ class WhisperPMFA(nn.Module):
             name="bn",
         )(stats)
         return nn.Dense(self.embed_dim, name="fc")(stats)
+
+
+def whisper_PMFA(feat_dim, embed_dim, **kw):
+    """Base factory (reference models/whisper_PMFA.py:112 — the generic
+    head `get_speaker_model('whisper_PMFA')` dispatches to,
+    speaker_model.py:48); output size follows the frontend's feat_dim."""
+    return WhisperPMFA(output_size=feat_dim, embed_dim=embed_dim)
 
 
 def whisper_PMFA_large_v2(feat_dim, embed_dim, **kw):

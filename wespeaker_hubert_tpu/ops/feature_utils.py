@@ -32,30 +32,35 @@ def apply_cmvn(
     nothing at train time and uses batch=1 at eval; we support padded
     bucketed eval batches).
     """
+    # statistics in f32 (a bf16 sum over hundreds of frames drifts), but
+    # the normalized output keeps the input dtype so bf16 graphs stay bf16
+    dt = feats.dtype
+    f32 = feats.astype(jnp.float32)
     if lengths is None:
         if norm_mean:
-            feats = feats - jnp.mean(feats, axis=1, keepdims=True)
+            feats = (f32 - jnp.mean(f32, axis=1, keepdims=True)).astype(dt)
+            f32 = feats.astype(jnp.float32)
         if norm_var:
-            feats = feats / jnp.sqrt(jnp.var(feats, axis=1, keepdims=True) + 1e-7)
+            feats = (
+                f32 / jnp.sqrt(jnp.var(f32, axis=1, keepdims=True) + 1e-7)
+            ).astype(dt)
         return feats
 
     t = feats.shape[1]
-    mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(feats.dtype)
-    denom = jnp.maximum(lengths.astype(feats.dtype), 1.0)[:, None, None]
+    mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(jnp.float32)
+    denom = jnp.maximum(lengths.astype(jnp.float32), 1.0)[:, None, None]
     mask3 = mask[:, :, None]
-    mean = jnp.sum(feats * mask3, axis=1, keepdims=True) / denom
+    mean = jnp.sum(f32 * mask3, axis=1, keepdims=True) / denom
     if norm_mean:
-        feats = (feats - mean) * mask3
+        f32 = (f32 - mean) * mask3
         if norm_var:
-            var = jnp.sum(feats**2 * mask3, axis=1, keepdims=True) / denom
-            feats = feats / jnp.sqrt(var + 1e-7)
-        return feats
+            var = jnp.sum(f32**2 * mask3, axis=1, keepdims=True) / denom
+            f32 = f32 / jnp.sqrt(var + 1e-7)
+        return f32.astype(dt)
     if norm_var:
-        var = (
-            jnp.sum((feats - mean) ** 2 * mask3, axis=1, keepdims=True) / denom
-        )
-        feats = feats / jnp.sqrt(var + 1e-7)
-    return feats * mask3
+        var = jnp.sum((f32 - mean) ** 2 * mask3, axis=1, keepdims=True) / denom
+        f32 = f32 / jnp.sqrt(var + 1e-7)
+    return (f32 * mask3).astype(dt)
 
 
 def _band_mask(rng: jax.Array, size: int, max_width: int, shape=()) -> jax.Array:

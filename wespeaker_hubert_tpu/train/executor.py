@@ -202,6 +202,11 @@ def make_train_step(
                 # SSL frontend path (reference executor.py:42-58): wav ->
                 # frontend -> CMVN -> SpecAug -> backbone, all in-graph.
                 wav = prepare_wav(batch)
+                if compute_dtype is not None:
+                    # the frontend follows its input dtype: f32 wav would
+                    # promote the conv extractor and (via dtype promotion
+                    # with the cast params) the whole transformer to f32
+                    wav = wav.astype(compute_dtype)
                 feats, feat_lengths = model.apply(
                     variables,
                     wav,
@@ -362,9 +367,12 @@ def make_eval_embed(
                 t = feats.shape[1]
                 mask = jnp.arange(t)[None, :] < batch["feat_length"][:, None]
         elif use_frontend:
+            wav = batch["wav"]
+            if compute_dtype is not None:
+                wav = wav.astype(compute_dtype)  # see make_train_step note
             feats, feat_lengths = model.apply(
                 variables,
-                batch["wav"],
+                wav,
                 lengths=batch.get("length"),
                 train=False,
                 method=model.features,
