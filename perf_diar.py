@@ -64,5 +64,38 @@ def main():
         }), flush=True)
 
 
+def batch(minutes=2.0, n_convs=16):
+    """Multi-conversation throughput via Speaker.diarize_pcm_batch —
+    the VERDICT round-3 target metric (aggregate audio-s/s ≫ the
+    sequential RTF).  Two passes: compile-warm, then steady state."""
+    seconds = minutes * 60
+
+    from perf_serve import make_model_dir
+    from wespeaker_hubert_tpu.cli.speaker import Speaker
+
+    root = make_model_dir("/tmp/diar_bench_model")
+    model = Speaker(root)
+
+    rng = np.random.default_rng(0)
+    for tag in ("warm (compiles)", "steady"):
+        wavs = [make_conversation(rng, seconds) for _ in range(n_convs)]
+        t0 = time.perf_counter()
+        outs = model.diarize_pcm_batch(
+            wavs, utts=[f"c{i}" for i in range(n_convs)],
+            clusterer="spectral",
+        )
+        dt = time.perf_counter() - t0
+        total = seconds * n_convs
+        print(json.dumps({
+            "pass": tag, "n_convs": n_convs, "audio_s": total,
+            "wall_s": round(dt, 2), "rtf": round(dt / total, 5),
+            "audio_s_per_s": round(total / dt, 1),
+            "n_segments": sum(len(o) for o in outs),
+        }), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "batch":
+        batch(*(float(a) if "." in a else int(a) for a in sys.argv[2:]))
+    else:
+        main()

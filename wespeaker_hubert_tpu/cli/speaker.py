@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -358,6 +358,126 @@ class Speaker:
         merged = merge_segments({utt: items})
         return [(u, b, e, int(lab)) for (u, b, e, lab) in merged]
 
+    # -------------------------------------------- batched diarization
+    def _vad_segments_batch(self, wavs):
+        """Per-conversation (begin_s, end_s) lists with ONE silero
+        dispatch per pow2 bucket across the whole conversation batch
+        (diar/silero.silero_probs_batch); the threshold state machine
+        stays per-conversation on host.  Row-independent math keeps the
+        segments identical to `_vad_segments` per conversation."""
+        if self.vad_model is None:
+            return [energy_vad(w, self.resample_rate) for w in wavs]
+        from ..diar.silero import SR as VAD_SR
+        from ..diar.silero import get_speech_timestamps, silero_probs_batch
+
+        vad_wavs = []
+        for wav in wavs:
+            if self.resample_rate != VAD_SR:
+                import math
+
+                from scipy.signal import resample_poly
+
+                g = math.gcd(self.resample_rate, VAD_SR)
+                wav = resample_poly(
+                    wav, VAD_SR // g, self.resample_rate // g
+                ).astype(np.float32)
+            vad_wavs.append(wav)
+        probs = silero_probs_batch(self.vad_model.params, vad_wavs)
+        out = []
+        for w, p in zip(vad_wavs, probs):
+            ts = get_speech_timestamps(w, model=lambda _w, _p=p: _p)
+            out.append([(t["start"] / VAD_SR, t["end"] / VAD_SR) for t in ts])
+        return out
+
+    def diarize_pcm_batch(
+        self,
+        wavs: List[np.ndarray],
+        utts: Optional[List[str]] = None,
+        clusterer: str = "density",
+        cluster_workers: int = 4,
+    ) -> List[List[Tuple[str, float, float, int]]]:
+        """Throughput-oriented multi-conversation diarization.
+
+        Role of the reference's Triton diarization ensemble
+        (runtime/server/diarization_gpu/model_repo/run/1/model.py:9) —
+        but instead of per-conversation streams, the batch POOLS device
+        work across conversations: one VAD dispatch per length bucket,
+        one fbank dispatch per segment bucket (segments from all
+        conversations share buckets), and full embedding batches over the
+        pooled subsegment windows.  Host-side clustering runs in a thread
+        pool (BLAS/eigh release the GIL).  Every per-conversation result
+        is bit-identical to `diarize_pcm` (tests/test_diar_batch.py): the
+        pooled programs are the same shapes and row-independent."""
+        if utts is None:
+            utts = [f"utt{i}" for i in range(len(wavs))]
+        vad_segs = self._vad_segments_batch(wavs)
+
+        # pool all VAD segments from all conversations into one fbank run
+        slices, owner = [], []
+        for ci, (wav, segs) in enumerate(zip(wavs, vad_segs)):
+            for begin, end in segs:
+                b_idx = int(begin * self.resample_rate)
+                e_idx = int(end * self.resample_rate)
+                slices.append(wav[b_idx:e_idx])
+                owner.append(ci)
+        flat_feats = self._fbank_slices(slices) if slices else []
+        if not self.diar_subseg_cmn:
+            flat_feats = [f - f.mean(axis=0) for f in flat_feats]
+
+        # subsegment windows per conversation (host), pooled for embed
+        fs_ms = self.fbank_cfg.frame_shift_ms
+        win = int(self.diar_window_secs * 1000 / fs_ms)
+        period = int(self.diar_period_secs * 1000 / fs_ms)
+        conv_subsegs: List[List[str]] = [[] for _ in wavs]
+        all_fbanks: List[np.ndarray] = []
+        counts = [0] * len(wavs)
+        seg_ptr = 0
+        for ci, segs in enumerate(vad_segs):
+            for begin, end in segs:
+                feats = flat_feats[seg_ptr]
+                seg_ptr += 1
+                seg_id = make_seg_id(
+                    utts[ci], int(begin * 1000), int(end * 1000)
+                )
+                s, m = subsegment_fbank(
+                    feats, seg_id, window_fs=win, period_fs=period,
+                    frame_shift=int(fs_ms),
+                )
+                conv_subsegs[ci] += s
+                all_fbanks += m
+                counts[ci] += len(s)
+
+        if all_fbanks:
+            embeddings = self._extract_embedding_feats(np.stack(all_fbanks))
+        else:
+            embeddings = np.zeros((0, 1), np.float32)
+
+        # per-conversation clustering on host threads
+        from concurrent.futures import ThreadPoolExecutor
+
+        bounds = np.cumsum([0] + counts)
+        cluster_fn = (
+            spectral_cluster if clusterer == "spectral" else density_cluster
+        )
+
+        def one(ci):
+            emb = embeddings[bounds[ci]:bounds[ci + 1]]
+            if not len(emb):
+                return []
+            labels = cluster_fn(emb)
+            from ..diar.subsegment import parse_subseg_id
+
+            items = []
+            for sub, lab in zip(conv_subsegs[ci], labels):
+                u, b, e = parse_subseg_id(sub, frame_shift=int(fs_ms))
+                items.append((b, e, str(lab)))
+            items.sort()
+            merged = merge_segments({utts[ci]: items})
+            return [(u, b, e, int(lab)) for (u, b, e, lab) in merged]
+
+        with ThreadPoolExecutor(max_workers=max(1, cluster_workers)) as ex:
+            return list(ex.map(one, range(len(wavs))))
+
     def warm_diarize(self, max_seconds: float = 30.0) -> None:
         """Pre-compile every XLA program the diarization path can hit up
         to `max_seconds`-long VAD segments: the VAD model, one fbank
@@ -411,6 +531,12 @@ class Speaker:
             b_idx = int(begin * self.resample_rate)
             e_idx = int(end * self.resample_rate)
             segs.append(wav[b_idx:e_idx])
+        return self._fbank_slices(segs)
+
+    def _fbank_slices(self, segs):
+        """Bucket-batched fbank over a flat list of waveform slices
+        (shared by the single-conversation path and diarize_batch, which
+        pools segments from MANY conversations into the same buckets)."""
         order = sorted(range(len(segs)), key=lambda i: len(segs[i]))
         out: Dict[int, np.ndarray] = {}
         i = 0
@@ -464,16 +590,28 @@ class Speaker:
             out.append(np.asarray(emb)[:k])
         return np.concatenate(out)
 
-    def diarize_list(self, scp_path: str):
-        """wav.scp -> list of per-utt merged segments (reference :272)."""
-        results = {}
+    def diarize_list(self, scp_path: str, clusterer: str = "density",
+                     batch: int = 8):
+        """wav.scp -> dict of per-utt merged segments (reference :272).
+
+        Conversations are diarized through `diarize_pcm_batch` in groups
+        of `batch` — per-utt results are identical to one-at-a-time
+        `diarize` but device dispatches pool across the group."""
+        entries = []
         with open(scp_path) as f:
             for line in f:
                 parts = line.split()
-                if len(parts) < 2:
-                    continue
-                utt, path = parts[0], parts[1]
-                results[utt] = self.diarize(path, utt=utt)
+                if len(parts) >= 2:
+                    entries.append((parts[0], parts[1]))
+        results = {}
+        for s in range(0, len(entries), max(1, batch)):
+            group = entries[s : s + max(1, batch)]
+            wavs = [self._load_audio(p) for _, p in group]
+            outs = self.diarize_pcm_batch(
+                wavs, utts=[u for u, _ in group], clusterer=clusterer
+            )
+            for (u, _), segs in zip(group, outs):
+                results[u] = segs
         return results
 
     def make_rttm(self, merged_segments, outfile: str):

@@ -261,6 +261,49 @@ def silero_probs(params: Dict, wav: np.ndarray) -> np.ndarray:
     return probs[:n_chunks]
 
 
+@functools.partial(jax.jit, static_argnames=("n_chunks",))
+def _silero_probs_batch_impl(params: Dict, wavs: jnp.ndarray, n_chunks: int):
+    return jax.vmap(
+        lambda w: _silero_probs_impl(params, w, n_chunks)
+    )(wavs)
+
+
+def silero_probs_batch(params: Dict, wavs) -> List[np.ndarray]:
+    """Batched `silero_probs` over many conversations.
+
+    The single-wav path scans a (128,)-state LSTM — each step is a
+    vector-matrix product that leaves the MXU idle, and a conversation
+    list costs one dispatch each.  vmapping over same-bucket wavs turns
+    every step into (B,128)@(128,512) matmuls and the whole batch into
+    ONE dispatch per pow2 bucket.  Per-row math is row-independent, so
+    outputs match the sequential path (asserted by
+    tests/test_diar_batch.py)."""
+    wavs = [np.asarray(w, np.float32) for w in wavs]
+    chunks = [max(1, -(-len(w) // WINDOW)) for w in wavs]
+    order = sorted(range(len(wavs)), key=lambda i: chunks[i])
+    out: Dict[int, np.ndarray] = {}
+    i = 0
+    while i < len(order):
+        bucket = max(32, 1 << (chunks[order[i]] - 1).bit_length())
+        idx = []
+        while (
+            i < len(order)
+            and chunks[order[i]] <= bucket
+            and len(idx) < 16
+        ):
+            idx.append(order[i])
+            i += 1
+        batch = np.zeros((16, bucket * WINDOW), np.float32)
+        for row, j in enumerate(idx):
+            batch[row, : len(wavs[j])] = wavs[j][: bucket * WINDOW]
+        probs = np.asarray(
+            _silero_probs_batch_impl(params, jnp.asarray(batch), bucket)
+        )
+        for row, j in enumerate(idx):
+            out[j] = probs[row, : chunks[j]]
+    return [out[j] for j in range(len(wavs))]
+
+
 class SileroVAD:
     """Stateful convenience wrapper mirroring the reference CLI usage."""
 
