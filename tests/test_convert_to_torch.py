@@ -1,0 +1,183 @@
+"""Flax -> torch reverse conversion round trip (deployment interop).
+
+For each family: randomly initialize the REFERENCE torch module, import
+its weights with convert_torch (torch -> flax), export them back with
+convert_to_torch (flax -> torch), and require
+
+  1. the exported state_dict loads with strict=True, and every tensor
+     is bit-identical to the original (pure-relayout inversion), and
+  2. the reloaded torch model produces identical embeddings.
+
+This is the gate that lets TPU-trained checkpoints flow into the
+reference's own export_onnx.py / export_jit.py and their ORT/MNN/Triton
+consumers (reference wespeaker/bin/export_onnx.py:46,
+runtime/core/speaker/onnx_speaker_model.cc:40).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "wespeaker")),
+    reason="reference checkout unavailable",
+)
+
+
+def _ref_module(modname):
+    if "wespeaker" not in sys.modules or not hasattr(
+        sys.modules.get("wespeaker"), "__path__"
+    ):
+        pkg = types.ModuleType("wespeaker")
+        pkg.__path__ = [os.path.join(REF, "wespeaker")]
+        sys.modules["wespeaker"] = pkg
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import importlib
+
+    return importlib.import_module(f"wespeaker.models.{modname}")
+
+
+CASES = [
+    # (ref module, ref factory, our model name, model_args)
+    ("ecapa_tdnn", "ECAPA_TDNN_c512", "ECAPA_TDNN_c512",
+     {"feat_dim": 80, "embed_dim": 192}),
+    ("resnet", "ResNet34", "ResNet34",
+     {"feat_dim": 80, "embed_dim": 256}),
+    ("campplus", "CAMPPlus", "CAMPPlus",
+     {"feat_dim": 80, "embed_dim": 512}),
+    ("tdnn", "XVEC", "XVEC", {"feat_dim": 80, "embed_dim": 512}),
+    ("res2net", "Res2Net34_Base", "Res2Net34_Base",
+     {"feat_dim": 80, "embed_dim": 256}),
+]
+
+
+@pytest.mark.parametrize(
+    "modname,factory,model,margs", CASES, ids=[c[2] for c in CASES]
+)
+def test_round_trip(modname, factory, model, margs):
+    from wespeaker_hubert_tpu.models.convert_to_torch import (
+        to_torch_state_dict,
+    )
+    from wespeaker_hubert_tpu.models.convert_torch import convert_checkpoint
+
+    mod = _ref_module(modname)
+    torch.manual_seed(0)
+    ref = getattr(mod, factory)(**margs)
+    ref.eval()
+    sd = ref.state_dict()
+
+    params, batch_stats = convert_checkpoint(
+        model, sd, **{k: v for k, v in margs.items() if k != "embed_dim"}
+    )
+    back = to_torch_state_dict(
+        model, {"params": params, "batch_stats": batch_stats}, sd,
+        **{k: v for k, v in margs.items() if k != "embed_dim"},
+    )
+
+    assert set(back) == set(sd)
+    for k in sd:
+        orig = sd[k].detach().cpu().numpy()
+        got = np.asarray(back[k])
+        assert got.shape == tuple(orig.shape), k
+        if orig.dtype.kind == "f":
+            np.testing.assert_array_equal(got, orig.astype(np.float32),
+                                          err_msg=k)
+
+    x = torch.randn(2, 200, margs["feat_dim"])
+    with torch.no_grad():
+        out0 = ref(x)
+        emb0 = (out0[-1] if isinstance(out0, tuple) else out0).numpy()
+    ref.load_state_dict({k: torch.tensor(v) for k, v in back.items()},
+                        strict=True)
+    ref.eval()
+    with torch.no_grad():
+        out1 = ref(x)
+        emb1 = (out1[-1] if isinstance(out1, tuple) else out1).numpy()
+    np.testing.assert_array_equal(emb1, emb0)
+
+
+def test_tpu_trained_params_export(tmp_path):
+    """The production direction: a flax-native (TPU-trained) parameter
+    tree — NOT one imported from torch — exports into the reference
+    module and produces cosine-1.0 embeddings vs the flax forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from wespeaker_hubert_tpu.models import (
+        embedding_from_outputs,
+        get_speaker_model,
+    )
+    from wespeaker_hubert_tpu.models.convert_to_torch import (
+        to_torch_state_dict,
+    )
+
+    mod = _ref_module("ecapa_tdnn")
+    torch.manual_seed(1)
+    ref = mod.ECAPA_TDNN_c512(feat_dim=40, embed_dim=64)
+    ref.eval()
+
+    ours = get_speaker_model("ECAPA_TDNN_c512")(feat_dim=40, embed_dim=64)
+    variables = ours.init(
+        jax.random.key(3), jnp.zeros((1, 100, 40)), train=False
+    )
+    sd = to_torch_state_dict(
+        "ECAPA_TDNN_c512", dict(variables), ref.state_dict(), feat_dim=40
+    )
+    ref.load_state_dict({k: torch.tensor(v) for k, v in sd.items()},
+                        strict=True)
+    ref.eval()
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 200, 40)).astype(np.float32)
+    emb_flax = np.asarray(embedding_from_outputs(
+        ours.apply(variables, jnp.asarray(x), train=False)
+    ))
+    with torch.no_grad():
+        out = ref(torch.tensor(x))
+        emb_torch = (out[-1] if isinstance(out, tuple) else out).numpy()
+    cos = np.sum(emb_flax * emb_torch, 1) / (
+        np.linalg.norm(emb_flax, axis=1) * np.linalg.norm(emb_torch, axis=1)
+    )
+    assert cos.min() > 0.99999, cos
+
+
+def test_export_torch_cli(tmp_path):
+    """bin/export_torch end to end: train-shaped checkpoint dir ->
+    .pt file that loads strict into the reference module."""
+    import jax
+    import jax.numpy as jnp
+
+    from wespeaker_hubert_tpu.bin.export_torch import export_torch
+    from wespeaker_hubert_tpu.bin.train import build_speaker_net
+    from wespeaker_hubert_tpu.utils.checkpoint import save_checkpoint
+    from wespeaker_hubert_tpu.utils.config import dump_config
+
+    exp = str(tmp_path / "exp")
+    os.makedirs(exp)
+    config = {
+        "model": "ECAPA_TDNN_c512",
+        "model_args": {"feat_dim": 40, "embed_dim": 64},
+        "dataset_args": {"fbank_args": {"num_mel_bins": 40}},
+    }
+    net = build_speaker_net(config, num_class=3)
+    variables = net.init(
+        jax.random.key(0), jnp.zeros((1, 100, 40)),
+        jnp.zeros((1,), "int32"), 0.0, train=False,
+    )
+    dump_config(config, os.path.join(exp, "config.yaml"))
+    save_checkpoint(os.path.join(exp, "avg_model.ckpt"), {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+    })
+    out = export_torch(exp, str(tmp_path / "model.pt"), ref_repo=REF)
+    sd = torch.load(out, weights_only=True)
+    mod = _ref_module("ecapa_tdnn")
+    ref = mod.ECAPA_TDNN_c512(feat_dim=40, embed_dim=64)
+    ref.load_state_dict(sd, strict=True)

@@ -1,0 +1,173 @@
+"""Flax parameter tree -> torch-reference state_dict (the REVERSE of
+models/convert_torch.py).
+
+Role: deployment interop — TPU-trained checkpoints load into the
+reference torch modules unchanged, so the reference's own exporters
+(wespeaker/bin/export_onnx.py:46 dynamic-axes opset-14 export,
+export_jit.py, export_mnn.py) and its ORT/MNN/Triton consumers
+(runtime/core/speaker/onnx_speaker_model.cc:40) work on our models.
+It is also the strongest offline parity gate: a flax->torch->flax round
+trip must be bit-exact, and torch embeddings from exported weights must
+match flax embeddings (tests/test_convert_to_torch.py).
+
+Design: rather than hand-maintaining a second mapping per family, the
+forward converter IS the mapping — every `*_from_torch` is a pure
+relayout (transposes / reshapes / row permutations / concats), so
+probing it once with a state_dict whose every element carries a unique
+global index records exactly where each torch element lands in the flax
+tree.  Inverting that index map converts any real parameter tree back.
+Families whose forward conversion does arithmetic (e.g. a fused
+reparameterization) would produce non-integer probe values and are
+rejected with a clear error instead of silently corrupting weights.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from .convert_torch import convert_checkpoint
+
+__all__ = ["to_torch_state_dict", "build_index_map"]
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+    else:
+        out[prefix] = np.asarray(tree)
+    return out
+
+
+def build_index_map(
+    model: str, template_sd: Dict, **model_args
+) -> Dict[Tuple[str, ...], Tuple[np.ndarray, ...]]:
+    """Probe `convert_checkpoint(model, ...)` with globally-unique
+    integer values and return, per flax leaf path, the (torch flat
+    index) array telling where each flax element came from.
+
+    template_sd: a state_dict of the reference torch module (shapes
+    only are used — e.g. `ref_model.state_dict()`).
+    Returns {flax_path: (flat torch_global_index per flax element,)}
+    plus the bookkeeping needed by `to_torch_state_dict`.
+    """
+    keys = list(template_sd.keys())
+    shapes = {}
+    bases = {}
+    probe = {}
+    base = 1  # 0 marks "not from the state_dict" (fresh-init leaves)
+    for k in keys:
+        v = template_sd[k]
+        arr = np.asarray(
+            v.detach().cpu().numpy() if hasattr(v, "detach") else v
+        )
+        shapes[k] = arr.shape
+        n = int(arr.size)
+        bases[k] = base
+        # float64 holds integers exactly up to 2^53 — far beyond any
+        # parameter count here
+        probe[k] = (
+            np.arange(base, base + n, dtype=np.float64).reshape(arr.shape)
+            if n
+            else arr.astype(np.float64)
+        )
+        base += n
+
+    params, batch_stats = convert_checkpoint(model, probe, **model_args)
+    flat = _flatten({"params": params, "batch_stats": batch_stats})
+    index_map = {}
+    fresh = set()
+    for path, leaf in flat.items():
+        vals = np.asarray(leaf, np.float64).reshape(-1)
+        if vals.size == 0:
+            continue
+        if not vals.any():
+            # constant leaf the converter synthesizes (e.g. a zero bias
+            # the torch module doesn't have) — nothing to export
+            fresh.add(path)
+            continue
+        ok = (vals == np.round(vals)) & (vals >= 1) & (vals < base)
+        if not ok.all():
+            raise ValueError(
+                f"{model}: leaf {'/'.join(path)} is not a pure relayout "
+                "of torch parameters (forward converter does arithmetic); "
+                "this family cannot be auto-inverted"
+            )
+        index_map[path] = vals.astype(np.int64)
+    return {"index_map": index_map, "bases": bases, "shapes": shapes,
+            "total": base, "fresh": fresh}
+
+
+def to_torch_state_dict(
+    model: str,
+    variables: Dict,
+    template_sd: Dict,
+    strict: bool = True,
+    **model_args,
+) -> Dict[str, np.ndarray]:
+    """Flax variables ({'params': ..., 'batch_stats': ...}) -> numpy
+    state_dict loadable into the reference torch module
+    (`ref.load_state_dict({k: torch.tensor(v) ...})`).
+
+    Torch keys never consumed by the forward converter (e.g.
+    num_batches_tracked counters) keep their template values.  With
+    strict=True every flax leaf must be consumed and every torch
+    parameter fully covered."""
+    info = build_index_map(model, template_sd, **model_args)
+    index_map, bases, shapes = (
+        info["index_map"], info["bases"], info["shapes"],
+    )
+
+    flat = _flatten({
+        "params": variables.get("params", variables),
+        "batch_stats": variables.get("batch_stats", {}),
+    })
+    out_flat = np.full((info["total"],), np.nan, np.float64)
+    used = set()
+    for path, idx in index_map.items():
+        if path not in flat:
+            raise KeyError(
+                f"flax tree is missing leaf {'/'.join(path)} expected for "
+                f"{model}"
+            )
+        leaf = np.asarray(flat[path], np.float64).reshape(-1)
+        if leaf.size != idx.size:
+            raise ValueError(
+                f"leaf {'/'.join(path)}: {leaf.size} elements, converter "
+                f"map expects {idx.size}"
+            )
+        out_flat[idx] = leaf
+        used.add(path)
+
+    if strict:
+        missing = [
+            "/".join(p) for p in flat
+            if p not in used
+            and p not in info["fresh"]
+            and np.asarray(flat[p]).size
+        ]
+        if missing:
+            raise ValueError(
+                f"{model}: flax leaves not consumed by the torch mapping "
+                f"(would be dropped): {missing[:8]}"
+            )
+
+    sd = {}
+    for k, base in bases.items():
+        n = int(np.prod(shapes[k], dtype=np.int64)) if shapes[k] else 1
+        if shapes[k] == ():
+            n = 1
+        vals = out_flat[base : base + n]
+        if np.isnan(vals).any():
+            # untouched by the converter: keep the template value
+            # (e.g. BatchNorm num_batches_tracked)
+            tv = template_sd[k]
+            sd[k] = np.asarray(
+                tv.detach().cpu().numpy() if hasattr(tv, "detach") else tv
+            )
+        else:
+            sd[k] = vals.astype(np.float32).reshape(shapes[k])
+    return sd
