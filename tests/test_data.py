@@ -543,8 +543,10 @@ class TestParallelLoaders:
         assert any(not np.array_equal(x["wav"], y["wav"])
                    for x, y in zip(a, c))
 
-    def test_native_shard_rejects_compressed(self, shard_corpus,
-                                                       tmp_path):
+    def test_native_shard_gzip(self, shard_corpus, tmp_path):
+        """Gzip shards stream through the SAME native worker pool
+        (zlib gz* reader) and produce exactly the batches the plain
+        tars produce — no silent fallback to the slow python path."""
         import gzip as _gzip
 
         from wespeaker_hubert_tpu.data import NativeTrainPipeline
@@ -552,17 +554,42 @@ class TestParallelLoaders:
 
         if not native_available():
             pytest.skip("no native loader")
-        gz = str(tmp_path / "bad.tar.gz")
-        with open(shard_corpus["shards"][0], "rb") as f:
-            data = f.read()
-        with _gzip.open(gz, "wb") as f:
-            f.write(data)
+        gz_shards = []
+        for i, sp in enumerate(shard_corpus["shards"]):
+            gz = str(tmp_path / f"shard{i}.tar.gz")
+            with open(sp, "rb") as f, _gzip.open(gz, "wb") as out:
+                out.write(f.read())
+            gz_shards.append(gz)
         cfg = self._cfg(data_type="shard", shuffle_size=16)
-        # constructor probes shard magics: compressed shards must raise so
-        # bin/train falls back to the python pipeline (which handles them)
-        # instead of silently training on an empty stream
+        plain = NativeTrainPipeline(shard_corpus["shards"],
+                                    shard_corpus["spk2id"], cfg,
+                                    num_threads=2)
+        plain.set_epoch(0)
+        a = list(plain)
+        gzp = NativeTrainPipeline(gz_shards, shard_corpus["spk2id"], cfg,
+                                  num_threads=2)
+        gzp.set_epoch(0)
+        b = list(gzp)
+        assert len(a) == len(b) > 0
+        assert gzp._loader.decode_failures() == 0
+        for x, y in zip(a, b):
+            for kk in x:
+                np.testing.assert_array_equal(x[kk], y[kk])
+
+    def test_native_shard_rejects_zstd(self, shard_corpus, tmp_path):
+        from wespeaker_hubert_tpu.data import NativeTrainPipeline
+        from wespeaker_hubert_tpu.data.native_loader import native_available
+
+        if not native_available():
+            pytest.skip("no native loader")
+        bad = str(tmp_path / "bad.tar.zst")
+        with open(bad, "wb") as f:
+            f.write(bytes([0x28, 0xB5, 0x2F, 0xFD]) + b"x" * 100)
+        cfg = self._cfg(data_type="shard", shuffle_size=16)
+        # zstd/xz stay python-pipeline-only: the constructor must raise
+        # so bin/train falls back instead of training on an empty stream
         with pytest.raises(ValueError, match="compressed shard"):
-            NativeTrainPipeline([gz], shard_corpus["spk2id"], cfg,
+            NativeTrainPipeline([bad], shard_corpus["spk2id"], cfg,
                                 num_threads=1)
 
     def test_native_loader_content_matches_label(self, tmp_path):

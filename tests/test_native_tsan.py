@@ -24,7 +24,7 @@ def _build_tsan(tmp_path):
                 "-fsanitize=thread",
                 os.path.join(NATIVE, "loader.cc"),
                 os.path.join(NATIVE, "loader_test_main.cc"),
-                "-o", binary,
+                "-o", binary, "-lz",
             ],
             check=True, capture_output=True,
         )

@@ -627,8 +627,9 @@ class NativeTrainPipeline:
 
     Raw JSONL lists use the reorder-window Loader2; tar-shard lists use
     the shard-striped Loader3 (per-worker bounded-buffer shuffle,
-    round-robin batch emission — also deterministic).  Entries with VAD
-    crops, compressed shards, or unpacked-aug/unshuffled/keep-last
+    round-robin batch emission — also deterministic; plain or gzip
+    tars).  Entries with VAD
+    crops, zstd/xz shards, or unpacked-aug/unshuffled/keep-last
     configs need the python pipeline (bin/train falls back
     automatically).
     """
@@ -697,19 +698,19 @@ class NativeTrainPipeline:
         )
         num_spks = len(spk2id) if cfg.speed_perturb else 0
         if cfg.data_type == "shard":
-            # the C++ tar reader handles PLAIN tars only — probe magics
-            # up front so compressed shards raise here and bin/train
-            # falls back to the python pipeline instead of training on
-            # an empty stream
-            compressed = ((0x1F, 0x8B), (0x28, 0xB5), (0xFD, 0x37))
+            # the C++ tar reader streams plain AND gzip tars (zlib);
+            # zstd/xz would decode to an empty stream, so probe magics
+            # up front and raise — bin/train then falls back to the
+            # python pipeline
+            compressed = ((0x28, 0xB5), (0xFD, 0x37))
             for sp in data_list:
                 with open(sp, "rb") as f:
                     magic = f.read(2)
                 if len(magic) == 2 and (magic[0], magic[1]) in compressed:
                     raise ValueError(
                         f"compressed shard {sp!r}: the native tar reader "
-                        "needs plain tars (python pipeline handles "
-                        "compression)"
+                        "handles plain/gzip tars only (python pipeline "
+                        "handles zstd/xz)"
                     )
             # tar shards: shard-striped C++ worker pool + per-worker
             # bounded-buffer shuffle, round-robin batch emission (Loader3)

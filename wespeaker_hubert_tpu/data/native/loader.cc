@@ -18,6 +18,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <zlib.h>
 #include <mutex>
 #include <queue>
 #include <random>
@@ -419,38 +420,50 @@ struct Loader2 {
 // function of (seed, epoch, rank, world, num_workers) — deterministic
 // for any thread timing, like the python PrefetchPipeline but off-GIL.
 //
-// Plain (uncompressed) POSIX/GNU tar only — compressed shards fall back
-// to the python pipeline (decode_failures counts skipped shards).
+// POSIX/GNU tar, plain or GZIP-compressed (tools/make_shard_list.py can
+// emit .tar.gz; zlib's gz* API reads both transparently, so compressed
+// shards stream through the SAME worker pool instead of falling back to
+// the slow python pipeline — VERDICT r2 #8).  zstd/xz remain
+// unsupported (decode_failures counts skipped shards).
 
 struct TarEntry {
   std::string name;
   std::vector<uint8_t> data;
 };
 
-// streams regular-file entries from an uncompressed tar
+// streams regular-file entries from a (possibly gzipped) tar
 struct TarReader {
-  FILE* f = nullptr;
+  gzFile f = nullptr;
   bool ok = false;
 
   explicit TarReader(const std::string& path) {
-    f = fopen(path.c_str(), "rb");
-    if (!f) return;
-    // compressed shards (gzip 1f 8b, zstd 28 b5, xz fd 37) unsupported
-    uint8_t magic[2];
-    if (fread(magic, 1, 2, f) != 2 ||
-        (magic[0] == 0x1f && magic[1] == 0x8b) ||
-        (magic[0] == 0x28 && magic[1] == 0xb5) ||
-        (magic[0] == 0xfd && magic[1] == 0x37)) {
-      fclose(f);
-      f = nullptr;
+    // zlib handles plain + gzip; reject zstd (28 b5) / xz (fd 37)
+    FILE* probe = fopen(path.c_str(), "rb");
+    if (!probe) return;
+    uint8_t magic[2] = {0, 0};
+    size_t got = fread(magic, 1, 2, probe);
+    fclose(probe);
+    if (got != 2 || (magic[0] == 0x28 && magic[1] == 0xb5) ||
+        (magic[0] == 0xfd && magic[1] == 0x37))
       return;
-    }
-    fseek(f, 0, SEEK_SET);
+    f = gzopen(path.c_str(), "rb");
+    if (!f) return;
+    // bigger inflate buffer: tar member payloads are ~100-500 KB wavs
+    gzbuffer(f, 1 << 18);
     ok = true;
   }
 
   ~TarReader() {
-    if (f) fclose(f);
+    if (f) gzclose(f);
+  }
+
+  bool ReadFull(void* dst, size_t n) {
+    return gzread(f, dst, static_cast<unsigned>(n)) ==
+           static_cast<int>(n);
+  }
+
+  bool Skip(long n) {  // gzseek SEEK_CUR inflates through, works gz+plain
+    return n == 0 || gzseek(f, n, SEEK_CUR) >= 0;
   }
 
   bool Next(TarEntry* e) {
@@ -458,7 +471,7 @@ struct TarReader {
     uint8_t hdr[512];
     std::string longname;
     while (true) {
-      if (fread(hdr, 1, 512, f) != 512) return false;
+      if (!ReadFull(hdr, 512)) return false;
       bool empty = true;
       for (int i = 0; i < 512; ++i)
         if (hdr[i]) { empty = false; break; }
@@ -472,14 +485,13 @@ struct TarReader {
       char type = static_cast<char>(hdr[156]);
       if (type == 'L') {  // GNU long name: payload is the next entry's name
         std::vector<char> nm(size + 1, 0);
-        if (fread(nm.data(), 1, size, f) != static_cast<size_t>(size))
-          return false;
-        fseek(f, padded - size, SEEK_CUR);
+        if (!ReadFull(nm.data(), size)) return false;
+        if (!Skip(padded - size)) return false;
         longname.assign(nm.data());
         continue;
       }
       if (type != '0' && type != 0) {  // not a regular file: skip payload
-        fseek(f, padded, SEEK_CUR);
+        if (!Skip(padded)) return false;
         longname.clear();  // an 'L' name applies only to the NEXT entry
         continue;
       }
@@ -497,10 +509,8 @@ struct TarReader {
       }
       e->name = std::move(name);
       e->data.resize(size);
-      if (size &&
-          fread(e->data.data(), 1, size, f) != static_cast<size_t>(size))
-        return false;
-      fseek(f, padded - size, SEEK_CUR);
+      if (size && !ReadFull(e->data.data(), size)) return false;
+      if (!Skip(padded - size)) return false;
       return true;
     }
   }

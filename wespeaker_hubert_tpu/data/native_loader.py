@@ -48,7 +48,7 @@ def _build() -> Optional[str]:
         try:
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-                 _SRC, "-o", tmp],
+                 _SRC, "-o", tmp, "-lz"],
                 check=True, capture_output=True,
             )
             os.replace(tmp, _SO)
@@ -264,7 +264,7 @@ class DeterministicNativeShardLoader:
     worker threads; each worker streams tar entries, applies the
     filter/chunk/speed policy + a bounded-buffer shuffle, and assembles
     full batches; batches emit round-robin over workers — deterministic
-    for any thread timing.  Plain (uncompressed) tars only."""
+    for any thread timing.  Plain and gzip tars (zlib gz* stream)."""
 
     def __init__(
         self,
