@@ -86,16 +86,97 @@ def main():
 
     audio_seconds = BATCH * SECONDS * iters * SCAN_K
     throughput = audio_seconds / dt
-    print(
-        json.dumps(
-            {
-                "metric": METRIC,
-                "value": round(throughput, 1),
-                "unit": "audio_s/s",
-                "vs_baseline": round(throughput / BASELINE_AUDIO_S_PER_S, 2),
-            }
-        )
+    row = {
+        "metric": METRIC,
+        "value": round(throughput, 1),
+        "unit": "audio_s/s",
+        "vs_baseline": round(throughput / BASELINE_AUDIO_S_PER_S, 2),
+    }
+    # Full machine-checked metric set (VERDICT r2 #7): the driver
+    # contract is ONE stdout JSON line, so the extra metrics ride inside
+    # it (and in BENCH_FULL.json) instead of as extra lines.  Disable
+    # with BENCH_FULL=0 for a quick headline-only run.
+    import os
+
+    if os.environ.get("BENCH_FULL", "1") != "0":
+        row["extra_metrics"] = _extra_metrics()
+        try:
+            with open("BENCH_FULL.json", "w") as f:
+                json.dump(row, f, indent=1)
+        except OSError:
+            pass
+    print(json.dumps(row))
+
+
+def _extra_metrics():
+    """Regression set beyond the headline: train steps (ECAPA c1024,
+    ResNet34), deep-ResNet + WavLM-Large extraction, the DINO SSL step,
+    and batched multi-conversation diarization.  Each sub-bench is
+    independently budgeted and failure-isolated; values are
+    audio-s/s/chip unless noted."""
+    import signal
+    import sys
+    import traceback
+
+    import bench_all
+
+    out = {}
+
+    def run(name, budget_s, fn):
+        def on_alarm(signum, frame):
+            raise TimeoutError(f"{name}: exceeded {budget_s}s budget")
+
+        old = signal.signal(signal.SIGALRM, on_alarm)
+        signal.alarm(budget_s)
+        t0 = time.perf_counter()
+        try:
+            out[name] = round(float(fn()), 1)
+            print(f"[bench] {name}={out[name]} "
+                  f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr)
+        except Exception:
+            out[name] = None
+            traceback.print_exc(file=sys.stderr)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
+    run("ECAPA_c1024_train_step_bf16", 900,
+        lambda: bench_all.bench_train_step(
+            "ECAPA_TDNN_GLOB_c1024", 128, compute_dtype=jnp.bfloat16,
+            loop_steps=8, iters=4)[0])
+    run("ResNet34_train_step_bf16", 900,
+        lambda: bench_all.bench_train_step(
+            "ResNet34", 128, compute_dtype=jnp.bfloat16,
+            loop_steps=4, iters=4)[0])
+    run("ResNet293_extract_bf16", 900,
+        lambda: bench_all.bench_extract("ResNet293", 64, 10.0, "bf16",
+                                        iters=4))
+    run("WavLM_Large_extract_bf16", 900,
+        lambda: bench_all.bench_ssl_frontend_extract(iters=3))
+    run("DINO_ECAPA_c512_train_step", 900,
+        lambda: bench_all.bench_dino_step(iters=5)[0])
+    run("diar_batch_audio_s_per_s", 900, _bench_diar_batch)
+    return out
+
+
+def _bench_diar_batch(n_convs=8, seconds=60.0):
+    """Aggregate multi-conversation diarization throughput
+    (Speaker.diarize_pcm_batch, spectral clustering)."""
+    from perf_diar import make_conversation
+    from perf_serve import make_model_dir
+    from wespeaker_hubert_tpu.cli.speaker import Speaker
+
+    root = make_model_dir("/tmp/bench_diar_model")
+    model = Speaker(root)
+    rng = np.random.default_rng(0)
+    wavs = [make_conversation(rng, seconds) for _ in range(n_convs)]
+    model.diarize_pcm_batch(wavs[:2], utts=["w0", "w1"],
+                            clusterer="spectral")  # compile-warm
+    t0 = time.perf_counter()
+    model.diarize_pcm_batch(
+        wavs, utts=[f"c{i}" for i in range(n_convs)], clusterer="spectral"
     )
+    return n_convs * seconds / (time.perf_counter() - t0)
 
 
 def _wait_for_device(max_wait_s: float = 900.0, probe_timeout: float = 150.0):

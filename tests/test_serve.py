@@ -94,7 +94,14 @@ def server(tmp_path_factory):
     port = httpd.server_address[1]
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
-    yield f"http://127.0.0.1:{port}"
+    url = f"http://127.0.0.1:{port}"
+
+    class _Server(str):
+        pass
+
+    srv = _Server(url)
+    srv.service = service
+    yield srv
     httpd.shutdown()
     service.close()
 
@@ -233,3 +240,39 @@ def test_diarize_endpoint(server):
         raise AssertionError("prefixed path should 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_grpc_kserve_protocol(server):
+    """KServe v2 gRPC endpoint (serving/grpc_service): live/metadata/
+    infer over a real insecure channel, raw and typed tensor packings,
+    result matching the HTTP /embed path bit-for-bit."""
+    pytest.importorskip("grpc")
+    from wespeaker_hubert_tpu.serving.grpc_service import (
+        GrpcSpeakerClient,
+        build_grpc_server,
+    )
+
+    service = server.service
+    import socket
+
+    with socket.socket() as s:  # probe a free port (grpc has no getter)
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    grpc_server = build_grpc_server(service, host="127.0.0.1", port=port)
+    try:
+        client = GrpcSpeakerClient(f"127.0.0.1:{port}")
+        assert client.server_live()
+        meta = client.model_metadata()
+        assert meta.outputs[0].name == "EMB"
+        rng = np.random.default_rng(3)
+        wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+        emb_raw = client.infer_embedding(wav, raw=True)
+        emb_typed = client.infer_embedding(wav, raw=False)
+        assert emb_raw.shape == (1, service.embed_dim)
+        np.testing.assert_array_equal(emb_raw, emb_typed)
+        # parity with the HTTP /embed path (same service, same samples)
+        ref = service.embed_samples(wav)
+        np.testing.assert_allclose(emb_raw[0], ref, rtol=0, atol=0)
+        client.close()
+    finally:
+        grpc_server.stop(grace=None)

@@ -34,7 +34,7 @@ import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -286,11 +286,25 @@ def _make_handler(service: EmbeddingService):
     return Handler
 
 
-def serve(model_dir: str, host: str = "0.0.0.0", port: int = 8501, **kwargs):
+def serve(model_dir: str, host: str = "0.0.0.0", port: int = 8501,
+          grpc_port: Optional[int] = None, **kwargs):
     service = EmbeddingService(model_dir, **kwargs)
+    grpc_server = None
+    if grpc_port:
+        # KServe/Triton gRPC endpoint (tritonclient.grpc-compatible wire
+        # protocol — the reference's clients speak this,
+        # runtime/server/x86_gpu/client/client.py)
+        from ..serving.grpc_service import build_grpc_server
+
+        grpc_server = build_grpc_server(service, host=host, port=grpc_port)
+        print(f"gRPC (KServe v2) on {host}:{grpc_port}")
     server = ThreadingHTTPServer((host, port), _make_handler(service))
     print(f"serving {model_dir} on {host}:{port}")
-    server.serve_forever()
+    try:
+        server.serve_forever()
+    finally:
+        if grpc_server is not None:
+            grpc_server.stop(grace=1.0)
 
 
 def main():
@@ -300,12 +314,14 @@ def main():
     p.add_argument("--model_dir", required=True)
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8501)
+    p.add_argument("--grpc_port", type=int, default=None,
+                   help="also serve the KServe v2 gRPC protocol here")
     p.add_argument("--max_batch", type=int, default=16)
     p.add_argument("--f32", action="store_true",
                    help="disable bf16 inference (default: bf16 on)")
     args = p.parse_args()
-    serve(args.model_dir, args.host, args.port, max_batch=args.max_batch,
-          bf16=not args.f32)
+    serve(args.model_dir, args.host, args.port, grpc_port=args.grpc_port,
+          max_batch=args.max_batch, bf16=not args.f32)
 
 
 if __name__ == "__main__":
