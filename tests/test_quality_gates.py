@@ -284,5 +284,59 @@ def test_voxconverse_driver_end_to_end(protocol, tmp_path):
     assert m and float(m.group(1)) <= MAX_MEAN_DER * 2, out[-2000:]
 
 
+def test_voxconverse_v1_driver_oracle_sad(protocol, tmp_path):
+    """The voxconverse v1 recipe DRIVER (examples/voxconverse/v1/run.py):
+    oracle SAD from ground-truth RTTM -> one-shot spectral clustering ->
+    RTTM -> DER, through the actual script (reference
+    examples/voxconverse/v1/run.sh stages 3-6)."""
+    import subprocess
+    import sys
+
+    from wespeaker_hubert_tpu.diar import read_rttm, write_rttm
+
+    sr = 16000
+    rng = np.random.default_rng(12)
+    turns, parts, cur = [], [], 0.0
+    for i in range(8):
+        spk = (1, 9)[i % 2]
+        dur = float(rng.uniform(1.6, 2.4))
+        parts.append(_utt(rng, spk, int(dur * sr)))
+        turns.append(("c1", cur, cur + dur, f"spk{spk}"))
+        cur += dur
+        gap = float(rng.uniform(0.4, 0.8))
+        parts.append(np.zeros(int(gap * sr), np.float32))
+        cur += gap
+    wav_path = str(tmp_path / "c1.wav")
+    write_wav(wav_path, np.concatenate(parts))
+    (tmp_path / "wav.scp").write_text(f"c1 {wav_path}\n")
+    rttm_dir = tmp_path / "rttms"
+    rttm_dir.mkdir()
+    write_rttm(str(rttm_dir / "c1.rttm"), turns)
+
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "voxconverse", "v1",
+        "run.py",
+    )
+    out_rttm = str(tmp_path / "hyp_v1.rttm")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [
+            sys.executable, script,
+            "--model_dir", protocol["exp"],
+            "--wav_scp", str(tmp_path / "wav.scp"),
+            "--sad_type", "oracle",
+            "--ref_rttm_dir", str(rttm_dir),
+            "--out_rttm", out_rttm,
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(script),
+    )
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out[-4000:]
+    assert "DER" in out, out[-2000:]
+    hyp = read_rttm(out_rttm)
+    assert "c1" in hyp and len(hyp["c1"]) >= 2
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q", "-s"])

@@ -30,9 +30,9 @@ EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
 
 # pinned on first measurement (seeded corpus, CPU), with headroom for
 # numeric drift; chance level is ~50%
-MAX_EER_WAVLM_FROZEN = 25.0   # measured 14.67%
-MAX_EER_WAVLM_JOINT = 22.0    # measured 12.00%
-MAX_EER_DINO = 30.0           # measured 18.67%
+MAX_EER_WAVLM_FROZEN = 25.0   # measured 13.33%
+MAX_EER_WAVLM_JOINT = 22.0    # measured 11.67% (joint-lmft < frozen ✓)
+MAX_EER_DINO = 30.0           # measured 22.13%
 
 
 def _corpus(root, rng, train_spks=16, train_utts=6):
@@ -71,7 +71,7 @@ def _corpus(root, rng, train_spks=16, train_utts=6):
 
 def _cosine_eer(config_path, ckpt, eval_list, trials, out_npz):
     """bin.extract + bin.score cosine EER (the v2 stage-5 role)."""
-    from wespeaker_hubert_tpu.backend.metrics import compute_eer
+    from wespeaker_hubert_tpu.backend.metrics import eer_from_scores
     from wespeaker_hubert_tpu.bin.extract import extract
     from wespeaker_hubert_tpu.bin.score import read_trials
     from wespeaker_hubert_tpu.utils.embeddings import embeddings_dict
@@ -85,7 +85,7 @@ def _cosine_eer(config_path, ckpt, eval_list, trials, out_npz):
         scores.append(float(np.dot(a, b) / (
             np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)))
         labs.append(1 if lab == "target" else 0)
-    eer, _ = compute_eer(np.asarray(scores), np.asarray(labs))
+    eer = eer_from_scores(np.asarray(scores), np.asarray(labs))[0]
     return eer * 100.0
 
 

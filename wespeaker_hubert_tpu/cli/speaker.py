@@ -304,16 +304,32 @@ class Speaker:
             self._load_audio(audio_path), utt=utt, clusterer=clusterer
         )
 
+    def diarize_segments(
+        self,
+        wav: np.ndarray,
+        vad_segments: List[Tuple[float, float]],
+        utt: str = "unk",
+        clusterer: str = "density",
+    ) -> List[Tuple[str, float, float, int]]:
+        """Diarize with EXTERNAL speech segments (oracle SAD — reference
+        voxconverse run.sh sad_type=oracle feeds make_oracle_sad.py
+        output into the clusterer instead of running the VAD)."""
+        return self.diarize_pcm(
+            wav, utt=utt, clusterer=clusterer, vad_segments=vad_segments
+        )
+
     def diarize_pcm(
         self,
         wav: np.ndarray,
         utt: str = "unk",
         clusterer: str = "density",
+        vad_segments: Optional[List[Tuple[float, float]]] = None,
     ) -> List[Tuple[str, float, float, int]]:
         """diarize() on in-memory samples (the serving entry point —
         reference runtime/server/diarization_gpu run ensemble consumes
         a raw waveform tensor the same way)."""
-        vad_segments = self._vad_segments(wav)
+        if vad_segments is None:
+            vad_segments = self._vad_segments(wav)
         if not vad_segments:
             return []
 
@@ -359,6 +375,134 @@ class Speaker:
         return [(u, b, e, int(lab)) for (u, b, e, lab) in merged]
 
     # -------------------------------------------- batched diarization
+    def _fbank_slices_device(self, segs):
+        """Bucket-batched fbank over waveform slices, KEPT ON DEVICE.
+
+        Same bucketing as `_fbank_slices`, but the (32, Tb, 80) feature
+        batches stay as jax arrays and the caller receives, per slice,
+        (batch_index, row, n_frames).  Device-resident features are what
+        make multi-conversation diarization host-bandwidth-free: the
+        sliding windows are GATHERED on device (`_embed_windows_device`)
+        instead of downloading every segment fbank and re-uploading ~2x
+        the bytes as overlapping windows (measured 70 of 94 wall-seconds
+        over the dev tunnel)."""
+        # ONE flat upload of the exact segment bytes; the (32, bucket)
+        # padded batch rows are sliced out ON DEVICE.  Uploading padded
+        # rows instead costs ~25x the bytes (pow2 padding x 32-row
+        # batches), which dominated wall time over constrained
+        # host->device links.
+        flat = (
+            np.concatenate(segs) if segs else np.zeros((1,), np.float32)
+        )
+        starts_all = np.zeros(len(segs), np.int64)
+        off = 0
+        for j, s in enumerate(segs):
+            starts_all[j] = off
+            off += len(s)
+        pad_flat = _pow2_bucket(max(len(flat), 1))
+        flat_dev = jnp.asarray(
+            np.pad(flat.astype(np.float32), (0, pad_flat - len(flat)))
+        )
+
+        if not hasattr(self, "_slice_fbank_fns"):
+            self._slice_fbank_fns = {}
+
+        def slice_fbank_fn(bucket):
+            key = (bucket, pad_flat, self.diar_subseg_cmn)
+            if key not in self._slice_fbank_fns:
+                cfg = self.fbank_cfg
+                cmn_per_seg = not self.diar_subseg_cmn
+
+                @jax.jit
+                def _fn(flat_w, starts, lens):
+                    pos = jnp.arange(bucket)[None, :]
+                    idx = jnp.minimum(
+                        starts[:, None] + pos, flat_w.shape[0] - 1
+                    )
+                    w = flat_w[idx] * (pos < lens[:, None])
+                    feats, feat_lens = fbank(w, cfg, lengths=lens)
+                    if cmn_per_seg:
+                        # CMN once per VAD segment (masked, on device) —
+                        # the host path's f - f.mean(axis=0) per prefix
+                        feats = apply_cmvn(feats, lengths=feat_lens)
+                    return feats, feat_lens
+
+                self._slice_fbank_fns[key] = _fn
+            return self._slice_fbank_fns[key]
+
+        # 128 segment rows per dispatch: every dispatch pays the full
+        # host->device round trip, so fewer/bigger programs win (results
+        # are row-independent, hence identical to the 32-row host path)
+        rows_per = 128
+        order = sorted(range(len(segs)), key=lambda i: len(segs[i]))
+        batches = []
+        meta = [None] * len(segs)
+        i = 0
+        while i < len(order):
+            bucket = _pow2_bucket(len(segs[order[i]]))
+            idx = []
+            while (
+                i < len(order)
+                and len(segs[order[i]]) <= bucket
+                and len(idx) < rows_per
+            ):
+                idx.append(order[i])
+                i += 1
+            starts = np.zeros((rows_per,), np.int32)
+            lens = np.zeros((rows_per,), np.int32)
+            for row, j in enumerate(idx):
+                starts[row] = starts_all[j]
+                lens[row] = len(segs[j])
+            feats, feat_lens = slice_fbank_fn(bucket)(
+                flat_dev, jnp.asarray(starts), jnp.asarray(lens)
+            )
+            feat_lens = np.asarray(feat_lens)
+            batches.append(feats)
+            for row, j in enumerate(idx):
+                meta[j] = (len(batches) - 1, row, int(feat_lens[row]))
+        return batches, meta
+
+    def _embed_windows_device(self, feats_dev, windows, chunk=512):
+        """Embed sliding windows gathered ON DEVICE from a (32, Tb, 80)
+        feature batch.  windows: (row, start, m) with m = valid frames
+        (np.resize tile semantics: window row r reads frame
+        start + (r mod m); m == 0 yields zeros).  Returns (N, D)."""
+        win = int(self.diar_window_secs * 1000
+                  / self.fbank_cfg.frame_shift_ms)
+        if getattr(self, "_win_embed_win", None) != win:
+            self._win_embed_win = win
+
+            def _fn(v, feats, rows, starts, ms, cmn):
+                r = jnp.arange(win)[None, :]
+                m = jnp.maximum(ms[:, None], 1)
+                idx = starts[:, None] + r % m
+                w = feats[rows[:, None], idx]  # (N, win, F) gather
+                w = jnp.where((ms > 0)[:, None, None], w, 0.0)
+                if cmn:
+                    w = apply_cmvn(w)
+                return self.net.apply(
+                    v, w, train=False, method=self.net.embed
+                )
+
+            self._win_embed_fn = jax.jit(_fn, static_argnums=5)
+        out = []
+        n = len(windows)
+        for s in range(0, n, chunk):
+            part = windows[s : s + chunk]
+            k = len(part)
+            rows = np.zeros((chunk,), np.int32)
+            starts = np.zeros((chunk,), np.int32)
+            ms = np.zeros((chunk,), np.int32)
+            for t, (row, start, m) in enumerate(part):
+                rows[t], starts[t], ms[t] = row, start, m
+            emb = self._win_embed_fn(
+                self.variables, feats_dev, jnp.asarray(rows),
+                jnp.asarray(starts), jnp.asarray(ms),
+                self.diar_subseg_cmn,
+            )
+            out.append(np.asarray(emb)[:k])
+        return np.concatenate(out) if out else np.zeros((0, 1), np.float32)
+
     def _vad_segments_batch(self, wavs):
         """Per-conversation (begin_s, end_s) lists with ONE silero
         dispatch per pow2 bucket across the whole conversation batch
@@ -413,44 +557,64 @@ class Speaker:
         vad_segs = self._vad_segments_batch(wavs)
 
         # pool all VAD segments from all conversations into one fbank run
-        slices, owner = [], []
-        for ci, (wav, segs) in enumerate(zip(wavs, vad_segs)):
+        # whose outputs STAY ON DEVICE (bytes to host: embeddings only)
+        slices = []
+        for wav, segs in zip(wavs, vad_segs):
             for begin, end in segs:
                 b_idx = int(begin * self.resample_rate)
                 e_idx = int(end * self.resample_rate)
                 slices.append(wav[b_idx:e_idx])
-                owner.append(ci)
-        flat_feats = self._fbank_slices(slices) if slices else []
-        if not self.diar_subseg_cmn:
-            flat_feats = [f - f.mean(axis=0) for f in flat_feats]
+        if slices:
+            feat_batches, meta = self._fbank_slices_device(slices)
+        else:
+            feat_batches, meta = [], []
 
-        # subsegment windows per conversation (host), pooled for embed
+        # window TABLES per conversation (host: ids + (row, start, m));
+        # contents are gathered on device per fbank batch
+        from ..diar.subsegment import subsegment_windows
+
         fs_ms = self.fbank_cfg.frame_shift_ms
         win = int(self.diar_window_secs * 1000 / fs_ms)
         period = int(self.diar_period_secs * 1000 / fs_ms)
         conv_subsegs: List[List[str]] = [[] for _ in wavs]
-        all_fbanks: List[np.ndarray] = []
         counts = [0] * len(wavs)
+        per_batch: List[List[Tuple[int, int, int, int]]] = [
+            [] for _ in feat_batches
+        ]
+        n_windows = 0
         seg_ptr = 0
         for ci, segs in enumerate(vad_segs):
             for begin, end in segs:
-                feats = flat_feats[seg_ptr]
+                b_idx, row, n_frames = meta[seg_ptr]
                 seg_ptr += 1
                 seg_id = make_seg_id(
                     utts[ci], int(begin * 1000), int(end * 1000)
                 )
-                s, m = subsegment_fbank(
-                    feats, seg_id, window_fs=win, period_fs=period,
+                ids, table = subsegment_windows(
+                    seg_id, n_frames, window_fs=win, period_fs=period,
                     frame_shift=int(fs_ms),
                 )
-                conv_subsegs[ci] += s
-                all_fbanks += m
-                counts[ci] += len(s)
+                conv_subsegs[ci] += ids
+                counts[ci] += len(ids)
+                for start, m in table:
+                    per_batch[b_idx].append((n_windows, row, start, m))
+                    n_windows += 1
 
-        if all_fbanks:
-            embeddings = self._extract_embedding_feats(np.stack(all_fbanks))
-        else:
-            embeddings = np.zeros((0, 1), np.float32)
+        embeddings = np.zeros((max(n_windows, 1), 1), np.float32)
+        if n_windows:
+            embeddings = None
+            for b_idx, wins in enumerate(per_batch):
+                if not wins:
+                    continue
+                emb = self._embed_windows_device(
+                    feat_batches[b_idx], [w[1:] for w in wins]
+                )
+                if embeddings is None:
+                    embeddings = np.zeros(
+                        (n_windows, emb.shape[-1]), emb.dtype
+                    )
+                for (gidx, _, _, _), e in zip(wins, emb):
+                    embeddings[gidx] = e
 
         # per-conversation clustering on host threads
         from concurrent.futures import ThreadPoolExecutor
