@@ -169,13 +169,14 @@ def _bench_diar_batch(n_convs=8, seconds=60.0):
     root = make_model_dir("/tmp/bench_diar_model")
     model = Speaker(root)
     rng = np.random.default_rng(0)
+    utts = [f"c{i}" for i in range(n_convs)]
+    # full-size warm pass: the batch path compiles one program per
+    # segment-length bucket, so only a same-scale pass covers them all
+    warm = [make_conversation(rng, seconds) for _ in range(n_convs)]
+    model.diarize_pcm_batch(warm, utts=utts, clusterer="spectral")
     wavs = [make_conversation(rng, seconds) for _ in range(n_convs)]
-    model.diarize_pcm_batch(wavs[:2], utts=["w0", "w1"],
-                            clusterer="spectral")  # compile-warm
     t0 = time.perf_counter()
-    model.diarize_pcm_batch(
-        wavs, utts=[f"c{i}" for i in range(n_convs)], clusterer="spectral"
-    )
+    model.diarize_pcm_batch(wavs, utts=utts, clusterer="spectral")
     return n_convs * seconds / (time.perf_counter() - t0)
 
 
