@@ -159,9 +159,15 @@ def _extra_metrics():
     return out
 
 
-def _bench_diar_batch(n_convs=8, seconds=60.0):
+def _bench_diar_batch(n_convs=16, seconds=120.0):
     """Aggregate multi-conversation diarization throughput
-    (Speaker.diarize_pcm_batch, spectral clustering)."""
+    (Speaker.diarize_pcm_batch, spectral clustering).
+
+    Warm pass on the same conversations, then a timed steady-state pass:
+    the batch path compiles one program per segment-length bucket, so
+    fresh random conversations can pull a multi-second XLA compile into
+    the measurement (repeat-pass ≈ fresh-pass wall once compiled —
+    docs/PERF_NOTES.md round-3 diarization table)."""
     from perf_diar import make_conversation
     from perf_serve import make_model_dir
     from wespeaker_hubert_tpu.cli.speaker import Speaker
@@ -170,11 +176,8 @@ def _bench_diar_batch(n_convs=8, seconds=60.0):
     model = Speaker(root)
     rng = np.random.default_rng(0)
     utts = [f"c{i}" for i in range(n_convs)]
-    # full-size warm pass: the batch path compiles one program per
-    # segment-length bucket, so only a same-scale pass covers them all
-    warm = [make_conversation(rng, seconds) for _ in range(n_convs)]
-    model.diarize_pcm_batch(warm, utts=utts, clusterer="spectral")
     wavs = [make_conversation(rng, seconds) for _ in range(n_convs)]
+    model.diarize_pcm_batch(wavs, utts=utts, clusterer="spectral")
     t0 = time.perf_counter()
     model.diarize_pcm_batch(wavs, utts=utts, clusterer="spectral")
     return n_convs * seconds / (time.perf_counter() - t0)

@@ -19,7 +19,10 @@ CPU_RTF = {
     "ECAPA_TDNN_c512": 0.018351,
     "ECAPA_TDNN_c1024": 0.041724,
     "ResNet34": 0.060735,
-    "ResNet152": 0.19366 if True else None,
+    "ResNet50": 0.073231,
+    "ResNet101": 0.124613,
+    "ResNet152": 0.179379,
+    "REPVGG_TINY_A0": 0.055117,
     "ResNet221": 0.267511,
     "ResNet293": 0.364011,
     "CAMPPlus": 0.022978,
@@ -28,7 +31,8 @@ CPU_RTF = {
 SR = 16000
 
 
-def bench_extract(model_name, batch, seconds, dtype, iters=10):
+def bench_extract(model_name, batch, seconds, dtype, iters=10,
+                  feat_dim=None):
     from wespeaker_hubert_tpu.models import (
         embedding_from_outputs,
         get_speaker_model,
@@ -39,11 +43,14 @@ def bench_extract(model_name, batch, seconds, dtype, iters=10):
         wav_to_features,
     )
 
-    model = get_speaker_model(model_name)(feat_dim=80, embed_dim=192)
+    if feat_dim is None:
+        # ReDimNet's stage geometry requires its published mel count
+        feat_dim = 72 if model_name.startswith("ReDimNet") else 80
+    model = get_speaker_model(model_name)(feat_dim=feat_dim, embed_dim=192)
     n = int(seconds * SR)
     frames = 1 + (n - 400) // 160
     variables = model.init(
-        jax.random.key(0), jnp.zeros((batch, frames, 80)), train=False
+        jax.random.key(0), jnp.zeros((batch, frames, feat_dim)), train=False
     )
     if dtype == "bf16":
         variables = jax.tree.map(
@@ -54,7 +61,9 @@ def bench_extract(model_name, batch, seconds, dtype, iters=10):
         )
     # pallas spectrum: +7% end-to-end vs matmul-DFT (falls back off-TPU)
     cfg = FeaturePipelineConfig(
-        fbank=FbankConfig(dither=0.0, spectrum_impl="pallas"), spec_aug=False
+        fbank=FbankConfig(dither=0.0, spectrum_impl="pallas",
+                          num_mel_bins=feat_dim),
+        spec_aug=False,
     )
 
     @jax.jit

@@ -399,7 +399,17 @@ class Speaker:
         for j, s in enumerate(segs):
             starts_all[j] = off
             off += len(s)
-        pad_flat = _pow2_bucket(max(len(flat), 1))
+        # GROW-ONLY flat capacity: a per-call pow2 would change the
+        # compiled program's input shape whenever total voiced length
+        # crosses a boundary, recompiling every bucket program mid-
+        # serving; growing monotonically converges after the first
+        # largest batch and stays compiled
+        cap = max(
+            _pow2_bucket(max(len(flat), 1)),
+            getattr(self, "_flat_capacity", 0),
+        )
+        self._flat_capacity = cap
+        pad_flat = cap
         flat_dev = jnp.asarray(
             np.pad(flat.astype(np.float32), (0, pad_flat - len(flat)))
         )
