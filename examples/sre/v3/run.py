@@ -66,6 +66,7 @@ def prepare_cts(cts_dir, out_dir):
     key = os.path.join(cts_dir, "docs", "cts_superset_segment_key.tsv")
     os.makedirs(out_dir, exist_ok=True)
     spk2utt = {}
+    n_sph = 0
     with open(key) as f, open(os.path.join(out_dir, "wav.scp"), "w") as ws, \
             open(os.path.join(out_dir, "utt2spk"), "w") as us:
         next(f)  # header
@@ -80,9 +81,24 @@ def prepare_cts(cts_dir, out_dir):
                 (base + ext for ext in (".wav", ".sph", "")
                  if os.path.exists(base + ext)), base + ".sph",
             )
+            if path.endswith(".sph"):
+                n_sph += 1
             ws.write(f"{utt} {path}\n")
             us.write(f"{utt} {spk}\n")
             spk2utt.setdefault(spk, []).append(utt)
+    if n_sph:
+        # the wav loader reads RIFF/WAVE only — LDC ships NIST SPHERE;
+        # fail HERE with the remedy instead of at the first SAD read
+        # (the reference pipes through ffmpeg in wav.scp,
+        # local/prepare_cts_superset.sh:26)
+        raise SystemExit(
+            f"prepare_cts: {n_sph} utterances are NIST SPHERE (.sph); "
+            "convert them to RIFF wav first, e.g.\n"
+            "  for f in data/*.sph; do "
+            "ffmpeg -i $f -ar 8000 ${f%.sph}.wav; done\n"
+            "then re-run stage 1 (the .wav next to each .sph is "
+            "preferred automatically)."
+        )
     with open(os.path.join(out_dir, "spk2utt"), "w") as f:
         for spk in sorted(spk2utt):
             f.write(spk + " " + " ".join(spk2utt[spk]) + "\n")
@@ -111,6 +127,19 @@ def make_system_sad_file(wav_scp, vad_out, vad_npz=None,
                 continue
             utt, path = parts[0], parts[1]
             wav, sr = read_wav(path)
+            if vad_model is not None and sr != 16000:
+                # silero runs at 16 kHz only; CTS telephony is 8 kHz
+                # (reference make_system_sad.py resamples the same way);
+                # timestamps are seconds so they map back directly
+                import math
+
+                from scipy.signal import resample_poly
+
+                g = math.gcd(sr, 16000)
+                wav = resample_poly(wav, 16000 // g, sr // g).astype(
+                    "float32"
+                )
+                sr = 16000
             segs = system_sad(
                 wav, sr, vad_model=vad_model,
                 min_duration=min_duration, threshold=threshold,

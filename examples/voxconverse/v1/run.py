@@ -41,6 +41,10 @@ def main():
     args = p.parse_args()
 
     model = load_model(args.model_dir)
+    if args.sad_type == "system":
+        # silero weights from the model dir's vad.npz when present
+        # (energy VAD otherwise — Speaker.set_vad fallback policy)
+        model.set_vad(True)
     os.makedirs(os.path.dirname(args.out_rttm) or ".", exist_ok=True)
 
     entries = []

@@ -468,16 +468,18 @@ def train(config: str | dict, **overrides):
     # lever when the host-device link has per-dispatch latency
     loop_steps = int(config.get("loop_steps", 1))
     aug_blocks = world if pipe_cfg.packed_aug else 1
-    # mixed precision: the reference confs enable AMP (enable_amp: True,
-    # conf/ecapa_tdnn.yaml) — here that means bf16 activations/params in
-    # the forward+backward with f32 master weights (train/executor.py).
-    # Like the reference's CUDA-only autocast, AMP engages only where the
-    # hardware wants it (TPU); CPU runs stay f32 unless `compute_dtype:
-    # bf16` is set explicitly.  `enable_amp: false` or `compute_dtype:
-    # f32` opts out everywhere.
+    # mixed precision: `enable_amp: true` (the reference's WavLM confs,
+    # e.g. conf/ecapa_tdnn_WavLM_frozen.yaml:5) means bf16 activations/
+    # params in the forward+backward with f32 master weights
+    # (train/executor.py).  Default FALSE, matching the reference's
+    # non-SSL confs (conf/ecapa_tdnn.yaml sets enable_amp: False) — bf16
+    # is an explicit per-conf choice, not a silent default.  Like the
+    # reference's CUDA-only autocast it engages only on accelerators;
+    # `compute_dtype: bf16|f32` overrides either way.
     amp_default = (
         "bf16"
-        if config.get("enable_amp", True) and jax.default_backend() not in ("cpu",)
+        if config.get("enable_amp", False)
+        and jax.default_backend() not in ("cpu",)
         else "f32"
     )
     cd_name = str(config.get("compute_dtype", amp_default)).lower()

@@ -399,17 +399,12 @@ class Speaker:
         for j, s in enumerate(segs):
             starts_all[j] = off
             off += len(s)
-        # GROW-ONLY flat capacity: a per-call pow2 would change the
-        # compiled program's input shape whenever total voiced length
-        # crosses a boundary, recompiling every bucket program mid-
-        # serving; growing monotonically converges after the first
-        # largest batch and stays compiled
-        cap = max(
-            _pow2_bucket(max(len(flat), 1)),
-            getattr(self, "_flat_capacity", 0),
-        )
-        self._flat_capacity = cap
-        pad_flat = cap
+        # per-call pow2 capacity: pow2 quantization means only log-many
+        # distinct flat shapes ever exist, each bucket program compiles
+        # once per (bucket, capacity) pair and stays cached — and unlike
+        # a grow-only capacity, a small batch never pays a historical
+        # maximum's upload bytes
+        pad_flat = _pow2_bucket(max(len(flat), 1))
         flat_dev = jnp.asarray(
             np.pad(flat.astype(np.float32), (0, pad_flat - len(flat)))
         )
@@ -418,7 +413,10 @@ class Speaker:
             self._slice_fbank_fns = {}
 
         def slice_fbank_fn(bucket):
-            key = (bucket, pad_flat, self.diar_subseg_cmn)
+            # fbank_cfg in the key: set_window_type/set_wavform_norm/
+            # set_resample_rate replace it, and a stale cached program
+            # would silently keep the old window/scale/sample-rate
+            key = (bucket, pad_flat, self.diar_subseg_cmn, self.fbank_cfg)
             if key not in self._slice_fbank_fns:
                 cfg = self.fbank_cfg
                 cmn_per_seg = not self.diar_subseg_cmn

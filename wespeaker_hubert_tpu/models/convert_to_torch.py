@@ -161,13 +161,25 @@ def to_torch_state_dict(
         if shapes[k] == ():
             n = 1
         vals = out_flat[base : base + n]
-        if np.isnan(vals).any():
+        covered = ~np.isnan(vals)
+        if not covered.any():
             # untouched by the converter: keep the template value
             # (e.g. BatchNorm num_batches_tracked)
             tv = template_sd[k]
             sd[k] = np.asarray(
                 tv.detach().cpu().numpy() if hasattr(tv, "detach") else tv
             )
-        else:
+        elif covered.all():
             sd[k] = vals.astype(np.float32).reshape(shapes[k])
+        else:
+            # a PARTIALLY covered torch tensor means the forward
+            # converter consumed only a slice of it — exporting the
+            # template for the rest would silently mix random init with
+            # trained weights; refuse loudly
+            raise ValueError(
+                f"{model}: torch tensor {k!r} is only "
+                f"{int(covered.sum())}/{n} covered by the flax mapping; "
+                "this family's converter slices it and cannot be "
+                "round-tripped safely"
+            )
     return sd

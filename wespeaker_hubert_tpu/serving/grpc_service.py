@@ -152,7 +152,11 @@ def build_grpc_server(service, host="0.0.0.0", port=8502, model_name=None,
 
     server = grpc.server(futures.ThreadPoolExecutor(max_workers=max_workers))
     server.add_generic_rpc_handlers((handler,))
-    server.add_insecure_port(f"{host}:{port}")
+    bound = server.add_insecure_port(f"{host}:{port}")
+    if bound == 0:
+        # grpc signals bind failure by returning port 0, not raising —
+        # a "started" server that listens on nothing must be loud
+        raise OSError(f"gRPC could not bind {host}:{port} (port in use?)")
     server.start()
     return server
 
