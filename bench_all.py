@@ -318,7 +318,7 @@ def bench_wavlm_train_step(frozen=True, batch=32, iters=5, loop_steps=1,
 
 
 def bench_moco_step(model_name="ECAPA_TDNN_c512", batch=64, iters=10,
-                    K=65536):
+                    K=65536, compute_dtype=None):
     """MoCo v2 SSL train-step throughput: two aug views + fbank + query/
     key encoders + queue update (ssl/contrastive.py)."""
     import optax
@@ -352,7 +352,7 @@ def bench_moco_step(model_name="ECAPA_TDNN_c512", batch=64, iters=10,
     feats_ex = jnp.zeros((batch, 200, 80))
     state = create_moco_state(net, tx, jax.random.key(0), feats_ex, 192,
                               K=K)
-    step = make_moco_train_step(net, tx)
+    step = make_moco_train_step(net, tx, compute_dtype=compute_dtype)
 
     rng_np = np.random.default_rng(0)
     b = {
@@ -395,7 +395,8 @@ def bench_moco_step(model_name="ECAPA_TDNN_c512", batch=64, iters=10,
 
 
 def bench_dino_step(model_name="ECAPA_TDNN_c512", batch=64, iters=10,
-                    n_global=2, n_local=4, out_dim=65536):
+                    n_global=2, n_local=4, out_dim=65536,
+                    compute_dtype=None):
     """DINO SSL train-step throughput: multi-crop aug + fbank + student/
     teacher forward + EMA + centering, one jitted step (ssl/dino.py)."""
     import optax
@@ -449,6 +450,7 @@ def bench_dino_step(model_name="ECAPA_TDNN_c512", batch=64, iters=10,
         teacher_temp_schedule=cosine_schedule(0.04, 0.07, total // 5),
         n_global=n_global, n_local=n_local,
         preprocess_fn=preprocess,
+        compute_dtype=compute_dtype,
     )
 
     rng_np = np.random.default_rng(0)

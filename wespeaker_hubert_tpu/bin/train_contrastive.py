@@ -117,6 +117,13 @@ def train_contrastive(config, **overrides):
         (batch_size, dataset_args.get("chunk_len", 200),
          fb.get("num_mel_bins", 80))
     )
+    # reference enable_amp role (accelerator-only, explicit opt-in)
+    compute_dtype = (
+        jnp.bfloat16
+        if config.get("enable_amp", False)
+        and jax.default_backend() not in ("cpu",)
+        else None
+    )
     if method == "moco":
         state = create_moco_state(
             net, tx, jax.random.key(0), feats_ex, embed_dim,
@@ -126,6 +133,7 @@ def train_contrastive(config, **overrides):
             net, tx,
             m=config.get("moco_args", {}).get("m", 0.999),
             T=config.get("moco_args", {}).get("T", 0.07),
+            compute_dtype=compute_dtype,
         )
         param_key = "params_q"
     else:
@@ -137,7 +145,8 @@ def train_contrastive(config, **overrides):
             opt_state=tx.init(variables["params"]),
         )
         step = make_simclr_train_step(
-            net, tx, T=config.get("simclr_args", {}).get("T", 0.07)
+            net, tx, T=config.get("simclr_args", {}).get("T", 0.07),
+            compute_dtype=compute_dtype,
         )
         param_key = "params"
 

@@ -171,6 +171,15 @@ def train_dino(config, **overrides):
         * epoch_iter,
         preprocess_fn=preprocess,
         mesh=mesh,
+        # the reference DINO executor runs under autocast when
+        # enable_amp (ssl/utils/dino_executor.py:71); same policy as
+        # bin/train: explicit opt-in, accelerator-only
+        compute_dtype=(
+            jnp.bfloat16
+            if config.get("enable_amp", False)
+            and jax.default_backend() not in ("cpu",)
+            else None
+        ),
     )
 
     dump_config(config, os.path.join(exp_dir, "config.yaml"))

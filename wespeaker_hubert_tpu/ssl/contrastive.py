@@ -81,17 +81,26 @@ def make_moco_train_step(
     m: float = 0.999,
     T: float = 0.07,
     mesh=None,
+    compute_dtype=None,
 ):
-    """Batch: {'query_feat': (B, T, F), 'key_feat': (B, T, F)}."""
+    """Batch: {'query_feat': (B, T, F), 'key_feat': (B, T, F)}.
+    `compute_dtype=jnp.bfloat16` = the reference's enable_amp role:
+    bf16 encoder fwd/bwd, f32 master weights, queue and InfoNCE f32."""
 
     def forward(params, stats, feats):
+        if compute_dtype is not None:
+            cast = lambda x: (
+                x.astype(compute_dtype) if x.dtype == jnp.float32 else x
+            )
+            params = jax.tree.map(cast, params)
+            feats = feats.astype(compute_dtype)
         variables = {"params": params}
         if stats:
             variables["batch_stats"] = stats
         out, updates = net.apply(
             variables, feats, train=True, mutable=["batch_stats"]
         )
-        emb = embedding_from_outputs(out)
+        emb = embedding_from_outputs(out).astype(jnp.float32)
         return _l2(emb), updates.get("batch_stats", {})
 
     def step_fn(state: MoCoState, batch, rng):
@@ -188,8 +197,9 @@ def info_nce_logits(features: jax.Array, n_views: int, T: float):
 
 
 def make_simclr_train_step(net, tx: optax.GradientTransformation,
-                           T: float = 0.07, mesh=None):
-    """Batch: {'query_feat': (B, T, F), 'key_feat': (B, T, F)} (two views)."""
+                           T: float = 0.07, mesh=None, compute_dtype=None):
+    """Batch: {'query_feat': (B, T, F), 'key_feat': (B, T, F)} (two views).
+    `compute_dtype=jnp.bfloat16`: bf16 encoder fwd/bwd, f32 InfoNCE."""
 
     def step_fn(state, batch, rng):
         feats_in = jnp.concatenate(
@@ -197,13 +207,23 @@ def make_simclr_train_step(net, tx: optax.GradientTransformation,
         )
 
         def loss_fn(params):
-            variables = {"params": params}
+            if compute_dtype is not None:
+                cast = lambda x: (
+                    x.astype(compute_dtype)
+                    if x.dtype == jnp.float32
+                    else x
+                )
+                variables = {"params": jax.tree.map(cast, params)}
+                feats = feats_in.astype(compute_dtype)
+            else:
+                variables = {"params": params}
+                feats = feats_in
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             out, updates = net.apply(
-                variables, feats_in, train=True, mutable=["batch_stats"]
+                variables, feats, train=True, mutable=["batch_stats"]
             )
-            emb = embedding_from_outputs(out)
+            emb = embedding_from_outputs(out).astype(jnp.float32)
             logits, labels = info_nce_logits(emb, 2, T)
             loss = jnp.mean(
                 optax.softmax_cross_entropy_with_integer_labels(logits, labels)

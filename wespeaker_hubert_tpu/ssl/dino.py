@@ -229,6 +229,7 @@ def make_dino_train_step(
     freeze_last_layer_steps: int = 0,
     preprocess_fn: Optional[Callable] = None,
     mesh=None,
+    compute_dtype=None,
 ):
     """Build the jitted DINO step.
 
@@ -239,6 +240,10 @@ def make_dino_train_step(
     The optimizer `tx` must be built WITHOUT weight decay and without lr
     (e.g. plain optax.trace / scale_by_adam): wd is applied coupled-style
     here and -lr afterwards so both cosine schedules stay in-graph.
+    `compute_dtype=jnp.bfloat16` is the reference's enable_amp role
+    (ssl/utils/dino_executor.py:71 autocast): bf16 backbone fwd/bwd with
+    f32 master weights; the DINO loss (softmax sharpening, centering)
+    and the EMA/center updates stay f32.
     """
 
     def step_fn(state: DINOState, batch, rng):
@@ -257,13 +262,22 @@ def make_dino_train_step(
         g_flat = g.transpose(1, 0, 2, 3).reshape((-1,) + g.shape[2:])
 
         def forward(params, stats, feats, train):
+            if compute_dtype is not None:
+                cast = lambda x: (
+                    x.astype(compute_dtype)
+                    if x.dtype == jnp.float32
+                    else x
+                )
+                params = jax.tree.map(cast, params)
+                feats = feats.astype(compute_dtype)
             variables = {"params": params}
             if stats:
                 variables["batch_stats"] = stats
             out, updates = net.apply(
                 variables, feats, train=train, mutable=["batch_stats"]
             )
-            return out, updates.get("batch_stats", {})
+            # head outputs feed the f32 softmax/centering loss
+            return out.astype(jnp.float32), updates.get("batch_stats", {})
 
         def loss_fn(params):
             s_g, new_stats = forward(params, state.batch_stats, g_flat, True)
