@@ -40,6 +40,10 @@ class WhisperEncoderConfig:
     # 'flash' = fused Pallas attention on TPU (no (B,h,T,T) HBM round
     # trips); exact einsum fallback elsewhere (see ssl_encoder._flash_mha)
     attn_impl: str = "einsum"
+    # 'erf' = OpenAI-exact GELU; 'tanh' = fast approximation (same
+    # adjudication as SSLEncoderConfig.gelu_impl: the erf prologue
+    # throttles the FFN matmul fusions on TPU)
+    gelu_impl: str = "erf"
 
     @staticmethod
     def large_v2():
@@ -103,6 +107,7 @@ class _Block(nn.Module):
     n_state: int
     n_head: int
     attn_impl: str = "einsum"
+    gelu_impl: str = "erf"
 
     @nn.compact
     def __call__(self, x):
@@ -111,7 +116,7 @@ class _Block(nn.Module):
         )
         h = LayerNorm(name="mlp_ln")(x)
         h = nn.Dense(self.n_state * 4, name="mlp_0")(h)
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=(self.gelu_impl == "tanh"))
         h = nn.Dense(self.n_state, name="mlp_2")(h)
         return x + h
 
@@ -135,12 +140,13 @@ class WhisperEncoder(nn.Module):
         # log-mel runs f32 internally; return to the caller's compute
         # dtype so a bf16 forward stays bf16 through the encoder stack
         mel = whisper_log_mel(wav, n_mels=cfg.n_mels).astype(wav.dtype)
+        approx = cfg.gelu_impl == "tanh"
         h = nn.Conv(cfg.n_state, (3,), padding=[(1, 1)], name="conv1")(mel)
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=approx)
         h = nn.Conv(
             cfg.n_state, (3,), strides=(2,), padding=[(1, 1)], name="conv2"
         )(h)
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=approx)
 
         t = min(h.shape[1], cfg.n_ctx)
         h = h[:, :t]
@@ -150,7 +156,8 @@ class WhisperEncoder(nn.Module):
         outs = []
         for i in range(cfg.n_layer):
             h = _Block(
-                cfg.n_state, cfg.n_head, cfg.attn_impl, name=f"block_{i}"
+                cfg.n_state, cfg.n_head, cfg.attn_impl, cfg.gelu_impl,
+                name=f"block_{i}",
             )(h)
             if cfg.layer_st <= i <= cfg.layer_ed:
                 outs.append(h)
