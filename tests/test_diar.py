@@ -219,3 +219,35 @@ class TestSAD:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestDeviceSpectral:
+    def test_device_impl_matches_host_labels(self):
+        """The jax spectral path (cosine/prune/Laplacian/eigh on the
+        accelerator) must produce the same clustering as the host path
+        up to label permutation — eigenvector sign/rotation differences
+        between solvers are k-means-invariant on separated clusters."""
+        from wespeaker_hubert_tpu.diar.spectral import cluster
+
+        rng = np.random.default_rng(0)
+        centers = rng.standard_normal((3, 32)) * 3.0
+        emb = np.concatenate([
+            centers[i] + rng.standard_normal((40, 32)) * 0.2
+            for i in range(3)
+        ])
+        host = cluster(emb, seed=5, impl="host")
+        dev = cluster(emb, seed=5, impl="device")
+        assert len(set(host)) == len(set(dev)) == 3
+        # same partition up to permutation
+        mapping = {}
+        for a, b in zip(host, dev):
+            mapping.setdefault(a, b)
+            assert mapping[a] == b, (a, b, mapping)
+
+    def test_device_impl_num_spks_fixed(self):
+        from wespeaker_hubert_tpu.diar.spectral import cluster
+
+        rng = np.random.default_rng(1)
+        emb = rng.standard_normal((30, 16))
+        labels = cluster(emb, num_spks=2, seed=3, impl="device")
+        assert len(labels) == 30 and set(labels) <= {0, 1}

@@ -51,24 +51,87 @@ def cluster(
     min_num_spks: int = 1,
     max_num_spks: int = 20,
     seed: Optional[int] = None,
+    impl: str = "auto",
 ) -> List[int]:
-    """Cluster (N, D) subsegment embeddings into speaker labels."""
+    """Cluster (N, D) subsegment embeddings into speaker labels.
+
+    impl: 'host' (numpy/scipy/sklearn — the reference-exact path),
+    'device' (jax: cosine matrix, p-prune, Laplacian, eigh and the
+    eigengap all on the accelerator — hour-scale recordings put
+    thousands of windows through an O(N^3) eigh, which is dense linear
+    algebra the chip does in milliseconds), or 'auto' (device above
+    2,000 windows when an accelerator is present)."""
     from sklearn.cluster import KMeans
 
     embeddings = np.asarray(embeddings)
     if len(embeddings) <= 2:
         return [0] * len(embeddings)
 
-    sim = _cosine_similarity(embeddings)
-    pruned = _prune(sim, p)
-    lap = _laplacian(pruned)
-    eig_values, eig_vectors = scipy.linalg.eigh(lap)
+    use_device = impl == "device"
+    if impl == "auto" and len(embeddings) >= 2000:
+        import jax
+
+        use_device = jax.default_backend() not in ("cpu",)
+    if use_device:
+        spectral_emb, k = _spectral_embedding_device(
+            embeddings, p, num_spks, min_num_spks, max_num_spks
+        )
+    else:
+        sim = _cosine_similarity(embeddings)
+        pruned = _prune(sim, p)
+        lap = _laplacian(pruned)
+        eig_values, eig_vectors = scipy.linalg.eigh(lap)
+        k = (
+            num_spks
+            if num_spks is not None
+            else int(np.argmax(np.diff(eig_values[: max_num_spks + 1])) + 1)
+        )
+        k = max(k, min_num_spks)
+        spectral_emb = eig_vectors[:, :k]
+    km = KMeans(n_clusters=k, n_init=10, random_state=seed)
+    return km.fit_predict(spectral_emb).tolist()
+
+
+def _spectral_embedding_device(
+    embeddings: np.ndarray,
+    p: float,
+    num_spks: Optional[int],
+    min_num_spks: int,
+    max_num_spks: int,
+):
+    """The spectral pipeline on the accelerator via jax: one dispatch for
+    similarity -> prune -> Laplacian -> eigh; only the (N, k) spectral
+    embedding returns to host for (tiny) k-means.  Numerically it mirrors
+    the host path (same prune rule, unnormalized Laplacian, ascending
+    eigh); eigenvector sign/rotation may differ between LAPACK and the
+    device solver, which k-means is invariant to."""
+    import jax
+    import jax.numpy as jnp
+
+    n = len(embeddings)
+    # match the host _prune exactly: zero the n_zero smallest per row and
+    # one the rest, n_zero = N-10 below 1000 rows else (1-p)*N
+    n_zero = max(n - 10, 2) if n < 1000 else int((1.0 - p) * n)
+
+    @jax.jit
+    def pipeline(m):
+        m = m / jnp.linalg.norm(m, axis=1, keepdims=True)
+        sim = 0.5 * (1.0 + m @ m.T)
+        order = jnp.argsort(sim, axis=1)
+        out = jnp.zeros_like(sim)
+        rows = jnp.arange(n)[:, None]
+        out = out.at[rows, order[:, n_zero:]].set(1.0)
+        out = 0.5 * (out + out.T)
+        out = out.at[jnp.diag_indices(n)].set(0.0)
+        lap = jnp.diag(jnp.sum(jnp.abs(out), axis=1)) - out
+        return jnp.linalg.eigh(lap)
+
+    eig_values, eig_vectors = pipeline(jnp.asarray(embeddings, jnp.float32))
+    eig_values = np.asarray(eig_values)
     k = (
         num_spks
         if num_spks is not None
         else int(np.argmax(np.diff(eig_values[: max_num_spks + 1])) + 1)
     )
     k = max(k, min_num_spks)
-    spectral_emb = eig_vectors[:, :k]
-    km = KMeans(n_clusters=k, n_init=10, random_state=seed)
-    return km.fit_predict(spectral_emb).tolist()
+    return np.asarray(eig_vectors[:, :k]), k
