@@ -73,12 +73,15 @@ def build_speaker_net(config: dict, num_class: int) -> SpeakerNet:
         s3prl_args = dataset_args.get("s3prl_args", {})
         upstream = s3prl_args.get("upstream", "wavlm_large")
         enc_cfg = getattr(SSLEncoderConfig, upstream)()
-        if "attn_impl" in s3prl_args:  # 'einsum' | 'flash' (TPU Pallas)
+        overrides = {
+            k: s3prl_args[k]
+            for k in ("attn_impl", "gelu_impl")  # einsum|flash, erf|tanh
+            if k in s3prl_args
+        }
+        if overrides:
             import dataclasses as _dc
 
-            enc_cfg = _dc.replace(
-                enc_cfg, attn_impl=s3prl_args["attn_impl"]
-            )
+            enc_cfg = _dc.replace(enc_cfg, **overrides)
         frontend = SSLFrontend(
             enc_cfg,
             frozen=s3prl_args.get("frozen", True),
@@ -93,10 +96,15 @@ def build_speaker_net(config: dict, num_class: int) -> SpeakerNet:
         wcfg = getattr(
             WhisperEncoderConfig, wargs.get("variant", "large_v2")
         )()
-        if "attn_impl" in wargs:  # 'einsum' | 'flash' (TPU Pallas)
+        woverrides = {
+            k: wargs[k]
+            for k in ("attn_impl", "gelu_impl")
+            if k in wargs
+        }
+        if woverrides:
             import dataclasses as _dc
 
-            wcfg = _dc.replace(wcfg, attn_impl=wargs["attn_impl"])
+            wcfg = _dc.replace(wcfg, **woverrides)
         frontend = WhisperEncoder(wcfg, frozen=wargs.get("frozen", False))
         model_args["feat_dim"] = wcfg.output_size
     backbone = get_speaker_model(config["model"])(**model_args)
