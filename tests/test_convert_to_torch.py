@@ -181,3 +181,65 @@ def test_export_torch_cli(tmp_path):
     mod = _ref_module("ecapa_tdnn")
     ref = mod.ECAPA_TDNN_c512(feat_dim=40, embed_dim=64)
     ref.load_state_dict(sd, strict=True)
+
+
+class TestProbeGuards:
+    """build_index_map probes the forward converter twice with shifted
+    bases (ADVICE r3): a converter-synthesized constant NONZERO leaf
+    must be classified 'fresh', not inverted as if it were data from
+    low torch indices; and strict export must refuse a float torch
+    tensor the mapping never produces (it would ship template init)."""
+
+    def _patch(self, monkeypatch, fake):
+        from wespeaker_hubert_tpu.models import convert_to_torch as m
+
+        monkeypatch.setattr(m, "convert_checkpoint", fake)
+        return m
+
+    def test_nonzero_constant_leaf_is_fresh(self, monkeypatch):
+        def fake(model, sd, **kw):
+            params = {
+                "dense": {"kernel": np.asarray(sd["w"]).reshape(2, 2).T},
+                # a constant ones leaf the torch module does not carry —
+                # a single probe would read it as torch indices [1,1,1]
+                "scale": np.ones((3,), np.float64),
+            }
+            return params, {}
+
+        m = self._patch(monkeypatch, fake)
+        template = {"w": np.zeros((4,), np.float32)}
+        info = m.build_index_map("fake", template)
+        assert ("params", "scale") in info["fresh"]
+        assert ("params", "dense", "kernel") in info["index_map"]
+
+        variables = {
+            "params": {
+                "dense": {"kernel": np.arange(4.0).reshape(2, 2)},
+                "scale": np.ones((3,), np.float32),
+            }
+        }
+        sd = m.to_torch_state_dict("fake", variables, template)
+        np.testing.assert_array_equal(
+            sd["w"], np.arange(4.0).reshape(2, 2).T.reshape(-1)
+        )
+
+    def test_uncovered_float_tensor_refused_in_strict(self, monkeypatch):
+        def fake(model, sd, **kw):
+            return {"dense": {"kernel": np.asarray(sd["w"])}}, {}
+
+        m = self._patch(monkeypatch, fake)
+        template = {
+            "w": np.zeros((4,), np.float32),
+            # float tensor the mapping never consumes
+            "head.weight": np.full((2,), 0.5, np.float32),
+            # integer counter: allowed to keep its template value
+            "bn.num_batches_tracked": np.asarray(7, np.int64),
+        }
+        variables = {"params": {"dense": {"kernel": np.arange(4.0)}}}
+        with pytest.raises(ValueError, match="head.weight"):
+            m.to_torch_state_dict("fake", variables, template)
+        sd = m.to_torch_state_dict(
+            "fake", variables, template, strict=False
+        )
+        assert sd["bn.num_batches_tracked"] == 7
+        np.testing.assert_array_equal(sd["head.weight"], [0.5, 0.5])

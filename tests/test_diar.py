@@ -251,3 +251,35 @@ class TestDeviceSpectral:
         emb = rng.standard_normal((30, 16))
         labels = cluster(emb, num_spks=2, seed=3, impl="device")
         assert len(labels) == 30 and set(labels) <= {0, 1}
+
+    def test_auto_never_routes_estimation_to_device(self, monkeypatch):
+        """'auto' may only switch to the device eigh when num_spks is
+        FIXED: the eigengap estimate from f32 device eigenvalues can
+        diverge from the host path on near-degenerate gaps (ADVICE r3),
+        so estimation stays reference-exact unless the user passes
+        impl='device' explicitly."""
+        import jax
+
+        from wespeaker_hubert_tpu.diar import spectral
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+        calls = []
+        real = spectral._spectral_embedding_device
+
+        def traced(emb, p, num_spks, lo, hi):
+            calls.append(num_spks)
+            # avoid a 2000^3 device eigh in the unit test
+            return np.ones((len(emb), num_spks or 1), np.float32), (
+                num_spks or 1
+            )
+
+        monkeypatch.setattr(spectral, "_spectral_embedding_device", traced)
+        emb = np.random.default_rng(0).standard_normal((2048, 8))
+        # estimation (num_spks None): auto must stay on host
+        spectral.cluster(emb[:128], impl="auto", seed=0)
+        assert calls == []
+        # a fixed speaker count: auto uses the device above the floor
+        spectral.cluster(emb, num_spks=2, impl="auto", seed=0)
+        assert calls == [2]
+        spectral._spectral_embedding_device = real

@@ -150,3 +150,74 @@ class TestDiarizeBatch:
                 str(tmp_path / f"{u}.wav"), utt=u, clusterer="spectral"
             )
             assert segs == ref
+
+
+class TestFlatPoolLimit:
+    """The pooled fbank upload gathers with int32 device indices, so a
+    pool past _FLAT_SAMPLE_LIMIT must split into sub-pools (with batch
+    indices offset) rather than wrap offsets and read wrong samples."""
+
+    def test_split_pool_matches_single_upload(self, speaker, monkeypatch):
+        import wespeaker_hubert_tpu.cli.speaker as sp
+
+        rng = np.random.default_rng(11)
+        segs = [
+            (rng.standard_normal(n) * 0.1).astype(np.float32)
+            for n in (20000, 45000, 31000, 17000, 52000)
+        ]
+
+        def feats_per_seg(batches, meta):
+            return [
+                np.asarray(batches[bi][row, :nf])
+                for bi, row, nf in meta
+            ]
+
+        ref = feats_per_seg(*speaker._fbank_slices_device(segs))
+        # force splitting after ~two segments per pool
+        monkeypatch.setattr(sp, "_FLAT_SAMPLE_LIMIT", 70000)
+        split = feats_per_seg(*speaker._fbank_slices_device(segs))
+        assert len(ref) == len(split)
+        for a, b in zip(ref, split):
+            np.testing.assert_array_equal(a, b)
+
+    def test_single_oversize_segment_refuses(self, speaker, monkeypatch):
+        import wespeaker_hubert_tpu.cli.speaker as sp
+
+        monkeypatch.setattr(sp, "_FLAT_SAMPLE_LIMIT", 1000)
+        seg = np.zeros(1001, np.float32)
+        with pytest.raises(ValueError, match="int32"):
+            speaker._fbank_slices_device([seg])
+
+
+class TestClusterImplPlumbing:
+    """diar_cluster_impl must reach diar/spectral.cluster from every
+    Speaker diarization entry (ADVICE r3: users could not force the
+    reference-exact host path for long recordings)."""
+
+    def _capture(self, monkeypatch):
+        import wespeaker_hubert_tpu.cli.speaker as sp
+
+        seen = []
+
+        def fake(emb, impl="auto", **kw):
+            seen.append(impl)
+            return [0] * len(emb)
+
+        monkeypatch.setattr(sp, "spectral_cluster", fake)
+        return seen
+
+    def test_diarize_pcm_passes_impl(self, speaker, monkeypatch):
+        seen = self._capture(monkeypatch)
+        rng = np.random.default_rng(12)
+        wav = _conversation(rng, 5.0)
+        speaker.set_diarization_params(cluster_impl="host")
+        try:
+            speaker.diarize_pcm(wav, clusterer="spectral")
+            speaker.diarize_pcm_batch([wav], clusterer="spectral")
+        finally:
+            speaker.set_diarization_params()  # restore defaults
+        assert seen == ["host", "host"]
+
+    def test_invalid_impl_rejected(self, speaker):
+        with pytest.raises(ValueError, match="auto|host|device"):
+            speaker.set_diarization_params(cluster_impl="gpu")

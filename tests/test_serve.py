@@ -276,3 +276,63 @@ def test_grpc_kserve_protocol(server):
         client.close()
     finally:
         grpc_server.stop(grace=None)
+
+
+def test_grpc_datatype_contents_mismatch(server):
+    """Typed contents must match the declared datatype (ADVICE r3): a
+    request declaring FP32 but shipping int_contents is an
+    INVALID_ARGUMENT, not silently-accepted data; BOOL/UINT contents
+    are selected by datatype instead of falling through to 'no data'."""
+    pytest.importorskip("grpc")
+    import grpc
+
+    from wespeaker_hubert_tpu.serving.grpc_service import (
+        GrpcSpeakerClient,
+        build_grpc_server,
+    )
+
+    service = server.service
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    grpc_server = build_grpc_server(service, host="127.0.0.1", port=port)
+    try:
+        client = GrpcSpeakerClient(f"127.0.0.1:{port}")
+        pb2 = client._pb2
+
+        def infer(datatype, fill):
+            req = pb2.ModelInferRequest(model_name="speaker")
+            t = req.inputs.add()
+            t.name = "WAV"
+            t.datatype = datatype
+            t.shape.extend([1, 4])
+            fill(t)
+            return client._call("ModelInfer", req, pb2.ModelInferResponse)
+
+        # FP32 declared, int_contents shipped -> loud mismatch
+        with pytest.raises(grpc.RpcError) as exc:
+            infer("FP32", lambda t: t.contents.int_contents.extend(
+                [1, 2, 3, 4]))
+        assert exc.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+        assert "int_contents" in exc.value.details()
+
+        # BOOL typed contents: a real unsupported-datatype message (the
+        # embed path wants floats), not 'carries no data'
+        with pytest.raises(grpc.RpcError) as exc:
+            infer("BYTES", lambda t: t.contents.bytes_contents.append(
+                b"\x00" * 16))
+        assert exc.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+        assert "unsupported datatype" in exc.value.details()
+
+        # bool contents with BOOL datatype are decoded (then cast) —
+        # datatype-driven selection reaches every advertised field
+        resp = infer(
+            "BOOL", lambda t: t.contents.bool_contents.extend(
+                [True, False, True, False])
+        )
+        assert resp.outputs[0].name == "EMB"
+        client.close()
+    finally:
+        grpc_server.stop(grace=None)

@@ -53,6 +53,11 @@ def _pow2_bucket(n: int, floor: int = 1 << 14) -> int:
     return max(floor, 1 << (max(n, 2) - 1).bit_length())
 
 
+# largest flat sample pool one device upload may carry: gather indices
+# are int32 on device, and _pow2_bucket(2^30) == 2^30 still fits
+_FLAT_SAMPLE_LIMIT = 1 << 30
+
+
 class Speaker:
     def __init__(self, model_dir: str):
         config = load_config(os.path.join(model_dir, "config.yaml"))
@@ -125,6 +130,10 @@ class Speaker:
         # the make_fbank.py --subseg-cmn default); False: CMN once per VAD
         # segment before windowing (make_fbank.py:85-86)
         self.diar_subseg_cmn = True
+        # spectral-clustering implementation: 'host' (reference-exact
+        # numpy/scipy), 'device', or 'auto' (see diar/spectral.cluster —
+        # 'auto' only moves fixed-num_spks recordings onto the device)
+        self.diar_cluster_impl = "auto"
 
     # ------------------------------------------------------------ basics
     def set_vad(self, enable: bool, model_path: str = None):
@@ -197,13 +206,23 @@ class Speaker:
         window_secs: float = 1.5,
         period_secs: float = 0.75,
         subseg_cmn: bool = True,
+        cluster_impl: str = "auto",
     ):
         """Sliding-window subsegmentation parameters (reference :75) and
         CMN placement (reference diar/make_fbank.py --subseg-cmn: True
-        normalizes per window, False once per VAD segment)."""
+        normalizes per window, False once per VAD segment).
+        cluster_impl forces the spectral-clustering path: 'host' is the
+        reference-exact numpy/scipy pipeline, 'device' runs the cosine/
+        Laplacian/eigh stack on the accelerator, 'auto' picks the device
+        only when the speaker count is fixed (diar/spectral.cluster)."""
+        if cluster_impl not in ("auto", "host", "device"):
+            raise ValueError(
+                f"cluster_impl must be auto|host|device, got {cluster_impl!r}"
+            )
         self.diar_window_secs = window_secs
         self.diar_period_secs = period_secs
         self.diar_subseg_cmn = subseg_cmn
+        self.diar_cluster_impl = cluster_impl
 
     def _load_audio(self, audio_path: str) -> np.ndarray:
         wav, sr = read_wav(audio_path)
@@ -358,7 +377,9 @@ class Speaker:
         embeddings = self._extract_embedding_feats(np.stack(fbanks))
 
         if clusterer == "spectral":
-            labels = spectral_cluster(embeddings)
+            labels = spectral_cluster(
+                embeddings, impl=self.diar_cluster_impl
+            )
         else:
             labels = density_cluster(embeddings)
 
@@ -391,6 +412,34 @@ class Speaker:
         # rows instead costs ~25x the bytes (pow2 padding x 32-row
         # batches), which dominated wall time over constrained
         # host->device links.
+        #
+        # device gather indices are int32 (jax x64 is off), so the flat
+        # pool plus its pow2 padding must stay below 2^31 samples; a
+        # larger pool is processed in sub-pools with the batch indices
+        # offset — a wrapped int32 offset would gather from wrong
+        # samples silently
+        flat_limit = _FLAT_SAMPLE_LIMIT
+        total = sum(len(s) for s in segs)
+        if total > flat_limit and len(segs) > 1:
+            batches, meta = [], []
+            group, gtotal = [], 0
+            for s in list(segs) + [None]:
+                if group and (s is None or gtotal + len(s) > flat_limit):
+                    b, m = self._fbank_slices_device(group)
+                    off = len(batches)
+                    batches += b
+                    meta += [(bi + off, row, nf) for bi, row, nf in m]
+                    group, gtotal = [], 0
+                if s is not None:
+                    group.append(s)
+                    gtotal += len(s)
+            return batches, meta
+        if total > flat_limit:
+            raise ValueError(
+                f"a single {total}-sample VAD segment (~{total / 16000 / 3600:.1f} h "
+                "at 16 kHz) exceeds the 2^31 int32 device-index range; "
+                "split the recording before diarization"
+            )
         flat = (
             np.concatenate(segs) if segs else np.zeros((1,), np.float32)
         )
@@ -628,9 +677,13 @@ class Speaker:
         from concurrent.futures import ThreadPoolExecutor
 
         bounds = np.cumsum([0] + counts)
-        cluster_fn = (
-            spectral_cluster if clusterer == "spectral" else density_cluster
-        )
+        if clusterer == "spectral":
+            impl = self.diar_cluster_impl
+
+            def cluster_fn(e):
+                return spectral_cluster(e, impl=impl)
+        else:
+            cluster_fn = density_cluster
 
         def one(ci):
             emb = embeddings[bounds[ci]:bounds[ci + 1]]

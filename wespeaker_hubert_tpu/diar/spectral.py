@@ -60,7 +60,12 @@ def cluster(
     eigengap all on the accelerator — hour-scale recordings put
     thousands of windows through an O(N^3) eigh, which is dense linear
     algebra the chip does in milliseconds), or 'auto' (device above
-    2,000 windows when an accelerator is present)."""
+    2,000 windows when an accelerator is present AND num_spks is
+    fixed).  'auto' never routes the eigengap speaker-count ESTIMATE
+    to the device: the estimate compares adjacent f32 eigenvalues from
+    a different eigensolver and can flip on near-degenerate gaps,
+    which would silently change the speaker count vs the host path —
+    pass impl='device' to opt in explicitly for estimation too."""
     from sklearn.cluster import KMeans
 
     embeddings = np.asarray(embeddings)
@@ -68,7 +73,7 @@ def cluster(
         return [0] * len(embeddings)
 
     use_device = impl == "device"
-    if impl == "auto" and len(embeddings) >= 2000:
+    if impl == "auto" and num_spks is not None and len(embeddings) >= 2000:
         import jax
 
         use_device = jax.default_backend() not in ("cpu",)

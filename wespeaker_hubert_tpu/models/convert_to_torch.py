@@ -57,7 +57,6 @@ def build_index_map(
     keys = list(template_sd.keys())
     shapes = {}
     bases = {}
-    probe = {}
     base = 1  # 0 marks "not from the state_dict" (fresh-init leaves)
     for k in keys:
         v = template_sd[k]
@@ -65,31 +64,48 @@ def build_index_map(
             v.detach().cpu().numpy() if hasattr(v, "detach") else v
         )
         shapes[k] = arr.shape
-        n = int(arr.size)
         bases[k] = base
+        base += int(arr.size)
+
+    def _probe_once(shift):
         # float64 holds integers exactly up to 2^53 — far beyond any
         # parameter count here
-        probe[k] = (
-            np.arange(base, base + n, dtype=np.float64).reshape(arr.shape)
-            if n
-            else arr.astype(np.float64)
-        )
-        base += n
+        probe = {}
+        for k in keys:
+            b, n = bases[k] + shift, int(np.prod(shapes[k], dtype=np.int64))
+            probe[k] = np.arange(b, b + n, dtype=np.float64).reshape(
+                shapes[k]
+            )
+        params, batch_stats = convert_checkpoint(model, probe, **model_args)
+        return _flatten({"params": params, "batch_stats": batch_stats})
 
-    params, batch_stats = convert_checkpoint(model, probe, **model_args)
-    flat = _flatten({"params": params, "batch_stats": batch_stats})
+    # TWO probes with shifted bases: a leaf that is a pure relayout of
+    # state_dict elements shifts by exactly `delta` between them, while
+    # any converter-SYNTHESIZED constant (zeros, but also e.g. a ones
+    # init a future family might emit) stays put — a single probe would
+    # misread a nonzero constant as data from low torch indices
+    delta = base
+    flat_a = _probe_once(0)
+    flat_b = _probe_once(delta)
     index_map = {}
     fresh = set()
-    for path, leaf in flat.items():
+    for path, leaf in flat_a.items():
         vals = np.asarray(leaf, np.float64).reshape(-1)
+        vals_b = np.asarray(flat_b[path], np.float64).reshape(-1)
         if vals.size == 0:
             continue
-        if not vals.any():
+        diff = vals_b - vals
+        if (diff == 0).all():
             # constant leaf the converter synthesizes (e.g. a zero bias
             # the torch module doesn't have) — nothing to export
             fresh.add(path)
             continue
-        ok = (vals == np.round(vals)) & (vals >= 1) & (vals < base)
+        ok = (
+            (diff == delta)
+            & (vals == np.round(vals))
+            & (vals >= 1)
+            & (vals < base)
+        )
         if not ok.all():
             raise ValueError(
                 f"{model}: leaf {'/'.join(path)} is not a pure relayout "
@@ -163,12 +179,23 @@ def to_torch_state_dict(
         vals = out_flat[base : base + n]
         covered = ~np.isnan(vals)
         if not covered.any():
-            # untouched by the converter: keep the template value
-            # (e.g. BatchNorm num_batches_tracked)
+            # untouched by the converter: keep the template value —
+            # correct for integer counters (num_batches_tracked), but a
+            # FLOAT parameter the forward mapping never consumes would
+            # be exported as the template's random init, so strict mode
+            # refuses it
             tv = template_sd[k]
-            sd[k] = np.asarray(
+            arr = np.asarray(
                 tv.detach().cpu().numpy() if hasattr(tv, "detach") else tv
             )
+            if strict and np.issubdtype(arr.dtype, np.floating):
+                raise ValueError(
+                    f"{model}: float torch tensor {k!r} is never produced "
+                    "by the flax mapping; exporting the template's values "
+                    "would silently ship untrained weights (pass "
+                    "strict=False only if this tensor is genuinely unused)"
+                )
+            sd[k] = arr
         elif covered.all():
             sd[k] = vals.astype(np.float32).reshape(shapes[k])
         else:

@@ -56,6 +56,20 @@ def load_pb2():
 _DT_NP = {"FP32": "<f4", "FP64": "<f8", "INT32": "<i4", "INT64": "<i8",
           "INT16": "<i2", "UINT8": "u1"}
 
+# KServe v2 maps every datatype onto one InferTensorContents field
+# (narrow ints ride the wider repeated field); selecting the field FROM
+# the declared datatype — instead of taking whichever field happens to
+# be populated — makes datatype/contents mismatches an error rather
+# than silently accepted data
+_DT_CONTENTS = {
+    "FP32": "fp32_contents", "FP64": "fp64_contents",
+    "INT8": "int_contents", "INT16": "int_contents",
+    "INT32": "int_contents", "INT64": "int64_contents",
+    "UINT8": "uint_contents", "UINT16": "uint_contents",
+    "UINT32": "uint_contents", "UINT64": "uint64_contents",
+    "BOOL": "bool_contents",
+}
+
 
 def _tensor_to_array(req, idx):
     """One input tensor -> np array, from raw_input_contents or typed
@@ -71,13 +85,23 @@ def _tensor_to_array(req, idx):
         return np.frombuffer(
             req.raw_input_contents[idx], dtype=dt
         ).reshape(shape)
-    c = t.contents
-    for field in ("fp32_contents", "fp64_contents", "int_contents",
-                  "int64_contents"):
-        vals = getattr(c, field)
-        if len(vals):
-            return np.asarray(vals).reshape(shape)
-    raise ValueError(f"input tensor {t.name!r} carries no data")
+    field = _DT_CONTENTS.get(t.datatype)
+    if field is None:
+        raise ValueError(f"unsupported datatype {t.datatype!r}")
+    vals = getattr(t.contents, field)
+    if not len(vals):
+        populated = [
+            f for f in _DT_CONTENTS.values()
+            if len(getattr(t.contents, f))
+        ]
+        if populated:
+            raise ValueError(
+                f"input tensor {t.name!r} declares datatype "
+                f"{t.datatype} (expects {field}) but carries "
+                f"{sorted(set(populated))}"
+            )
+        raise ValueError(f"input tensor {t.name!r} carries no data")
+    return np.asarray(vals).reshape(shape)
 
 
 def build_grpc_server(service, host="0.0.0.0", port=8502, model_name=None,
