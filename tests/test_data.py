@@ -576,21 +576,73 @@ class TestParallelLoaders:
             for kk in x:
                 np.testing.assert_array_equal(x[kk], y[kk])
 
-    def test_native_shard_rejects_zstd(self, shard_corpus, tmp_path):
+    def test_native_shard_zstd(self, shard_corpus, tmp_path):
+        """Zstd shards stream through the native worker pool
+        (ZSTD_decompressStream reader) and produce exactly the batches
+        the plain tars produce (round-4; gzip got this in round 3)."""
+        from wespeaker_hubert_tpu.data import NativeTrainPipeline
+        from wespeaker_hubert_tpu.data.native_loader import (
+            native_available, native_zstd_available)
+        from wespeaker_hubert_tpu.data.zstd_io import compress_file
+
+        if not native_available():
+            pytest.skip("no native loader")
+        if not native_zstd_available():
+            pytest.skip("native loader built without libzstd")
+        z_shards = []
+        for i, sp in enumerate(shard_corpus["shards"]):
+            z = str(tmp_path / f"shard{i}.tar.zst")
+            compress_file(sp, z)
+            z_shards.append(z)
+        cfg = self._cfg(data_type="shard", shuffle_size=16)
+        plain = NativeTrainPipeline(shard_corpus["shards"],
+                                    shard_corpus["spk2id"], cfg,
+                                    num_threads=2)
+        plain.set_epoch(0)
+        a = list(plain)
+        zp = NativeTrainPipeline(z_shards, shard_corpus["spk2id"], cfg,
+                                 num_threads=2)
+        zp.set_epoch(0)
+        b = list(zp)
+        assert len(a) == len(b) > 0
+        assert zp._loader.decode_failures() == 0
+        for x, y in zip(a, b):
+            for kk in x:
+                np.testing.assert_array_equal(x[kk], y[kk])
+
+    def test_native_shard_rejects_xz(self, shard_corpus, tmp_path):
         from wespeaker_hubert_tpu.data import NativeTrainPipeline
         from wespeaker_hubert_tpu.data.native_loader import native_available
 
         if not native_available():
             pytest.skip("no native loader")
-        bad = str(tmp_path / "bad.tar.zst")
+        bad = str(tmp_path / "bad.tar.xz")
         with open(bad, "wb") as f:
-            f.write(bytes([0x28, 0xB5, 0x2F, 0xFD]) + b"x" * 100)
+            f.write(bytes([0xFD, 0x37, 0x7A, 0x58]) + b"x" * 100)
         cfg = self._cfg(data_type="shard", shuffle_size=16)
-        # zstd/xz stay python-pipeline-only: the constructor must raise
+        # xz stays python-pipeline-only: the constructor must raise
         # so bin/train falls back instead of training on an empty stream
         with pytest.raises(ValueError, match="compressed shard"):
             NativeTrainPipeline([bad], shard_corpus["spk2id"], cfg,
                                 num_threads=1)
+
+    def test_python_pipeline_reads_zstd_shards(self, shard_corpus, tmp_path):
+        """The python iter_tar_shards path reads .tar.zst via the ctypes
+        libzstd stream reader (py3.12 tarfile has no zstd support)."""
+        from wespeaker_hubert_tpu.data.dataset import iter_tar_shards
+        from wespeaker_hubert_tpu.data.zstd_io import (
+            compress_file, zstd_available)
+
+        if not zstd_available():
+            pytest.skip("libzstd unavailable")
+        z = str(tmp_path / "s0.tar.zst")
+        compress_file(shard_corpus["shards"][0], z)
+        plain = list(iter_tar_shards([shard_corpus["shards"][0]]))
+        zs = list(iter_tar_shards([z]))
+        assert len(plain) == len(zs) > 0
+        for p, q in zip(plain, zs):
+            assert p["key"] == q["key"] and p["spk"] == q["spk"]
+            np.testing.assert_array_equal(p["wav"], q["wav"])
 
     def test_native_loader_content_matches_label(self, tmp_path):
         """Wav content must travel with its label: each utterance is a

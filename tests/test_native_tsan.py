@@ -17,20 +17,20 @@ NATIVE = os.path.join(
 
 def _build_tsan(tmp_path):
     binary = str(tmp_path / "loader_tsan")
-    try:
-        subprocess.run(
-            [
-                "g++", "-O1", "-g", "-std=c++17", "-pthread",
-                "-fsanitize=thread",
-                os.path.join(NATIVE, "loader.cc"),
-                os.path.join(NATIVE, "loader_test_main.cc"),
-                "-o", binary, "-lz",
-            ],
-            check=True, capture_output=True,
-        )
-    except (OSError, subprocess.CalledProcessError):
-        return None
-    return binary
+    base = [
+        "g++", "-O1", "-g", "-std=c++17", "-pthread",
+        "-fsanitize=thread",
+        os.path.join(NATIVE, "loader.cc"),
+        os.path.join(NATIVE, "loader_test_main.cc"),
+        "-o", binary, "-lz",
+    ]
+    for extra in (["-DWESP_HAVE_ZSTD", "-lzstd"], []):
+        try:
+            subprocess.run(base + extra, check=True, capture_output=True)
+            return binary
+        except (OSError, subprocess.CalledProcessError):
+            continue
+    return None
 
 
 def test_loader_race_free(tmp_path):
@@ -68,6 +68,22 @@ def test_loader_race_free(tmp_path):
                 spk.write_text(f"s{i % 3}")
                 tf.add(str(spk), arcname=key + ".spk")
         shard_paths.append(tp)
+    # one shard each gzip- and zstd-compressed: the decompressing
+    # readers run inside the same worker pool and need TSan coverage too
+    import gzip
+
+    gz = shard_paths[1] + ".gz"
+    with open(shard_paths[1], "rb") as f, gzip.open(gz, "wb") as out:
+        out.write(f.read())
+    shard_paths[1] = gz
+    from wespeaker_hubert_tpu.data.zstd_io import zstd_available
+
+    if zstd_available():
+        from wespeaker_hubert_tpu.data.zstd_io import compress_file
+
+        zst = shard_paths[2] + ".zst"
+        compress_file(shard_paths[2], zst)
+        shard_paths[2] = zst
     tlst = str(tmp_path / "shards.txt")
     with open(tlst, "w") as f:
         f.write("\n".join(shard_paths) + "\n")

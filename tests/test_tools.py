@@ -65,6 +65,36 @@ def test_make_shard_list(kaldi_dir):
     assert all("wav" in s and "spk" in s for s in samples)
 
 
+@pytest.mark.parametrize("compress,suffix", [("gz", ".tar.gz"),
+                                             ("zstd", ".tar.zst")])
+def test_make_shard_list_compressed(kaldi_dir, compress, suffix):
+    if compress == "zstd":
+        from wespeaker_hubert_tpu.data.zstd_io import zstd_available
+
+        if not zstd_available():
+            pytest.skip("libzstd unavailable")
+    out = str(kaldi_dir / f"shard_{compress}.list")
+    paths = make_shard_list(
+        str(kaldi_dir / "wav.scp"), str(kaldi_dir / "utt2spk"),
+        str(kaldi_dir / f"shards_{compress}"), out,
+        num_utts_per_shard=4, num_workers=2, compress=compress,
+    )
+    assert len(paths) == 3 and all(p.endswith(suffix) for p in paths)
+    samples = list(iter_tar_shards(load_data_list(out)))
+    assert len(samples) == 10
+    # content identical to the plain-tar packing
+    plain = make_shard_list(
+        str(kaldi_dir / "wav.scp"), str(kaldi_dir / "utt2spk"),
+        str(kaldi_dir / "shards_plain"), str(kaldi_dir / "plain.list"),
+        num_utts_per_shard=4, num_workers=2,
+    )
+    ref = list(iter_tar_shards(plain))
+    for a, b in zip(sorted(samples, key=lambda s: s["key"]),
+                    sorted(ref, key=lambda s: s["key"])):
+        assert a["key"] == b["key"] and a["spk"] == b["spk"]
+        np.testing.assert_array_equal(a["wav"], b["wav"])
+
+
 def test_vector_mean(kaldi_dir):
     rng = np.random.default_rng(1)
     keys = [f"utt{i}" for i in range(10)]

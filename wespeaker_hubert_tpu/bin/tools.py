@@ -127,8 +127,21 @@ def compute_feats(
 def _write_shard(args) -> str:
     import io
 
-    shard_path, items = args
-    with tarfile.open(shard_path, "w") as tf:
+    shard_path, items, compress = args
+    if compress == "zstd":
+        # write the plain tar, then stream-compress (py tarfile has no
+        # zstd mode; the native loader + zstd_io reader consume it)
+        plain = shard_path + ".plain.tmp"
+        _write_shard((plain, items, None))
+        from ..data.zstd_io import compress_file
+
+        try:
+            compress_file(plain, shard_path)
+        finally:
+            os.unlink(plain)
+        return shard_path
+    mode = "w:gz" if compress == "gz" else "w"
+    with tarfile.open(shard_path, mode) as tf:
         for utt, wav_path, spk, vad in items:
             if vad:
                 # VAD-cropped packing (reference make_shard_list.py
@@ -173,10 +186,20 @@ def make_shard_list(
     shuffle: bool = True,
     seed: int = 42,
     vad_file: Optional[str] = None,
+    compress: Optional[str] = None,
 ) -> List[str]:
     """Pack utterances into webdataset-style tar shards
     (reference tools/make_shard_list.py; `vad_file` crops each
-    utterance to its speech segments while packing, --vad_file role)."""
+    utterance to its speech segments while packing, --vad_file role).
+    `compress`: None (plain tar), 'gz', or 'zstd' — all three stream
+    through the native C++ loader and the python pipeline."""
+    if compress not in (None, "gz", "zstd"):
+        raise ValueError(f"compress must be None/'gz'/'zstd', got {compress!r}")
+    if compress == "zstd":
+        from ..data.zstd_io import zstd_available
+
+        if not zstd_available():
+            raise OSError("compress='zstd' requires libzstd on this host")
     os.makedirs(shards_dir, exist_ok=True)
     utt2wav = {u: w for u, w in (r[:2] for r in _read_table(wav_scp))}
     utt2spk_map = {u: s for u, s in (r[:2] for r in _read_table(utt2spk))}
@@ -197,8 +220,9 @@ def make_shard_list(
         items[i : i + num_utts_per_shard]
         for i in range(0, len(items), num_utts_per_shard)
     ]
+    suffix = {None: ".tar", "gz": ".tar.gz", "zstd": ".tar.zst"}[compress]
     tasks = [
-        (os.path.join(shards_dir, f"shard_{i:06d}.tar"), chunk)
+        (os.path.join(shards_dir, f"shard_{i:06d}{suffix}"), chunk, compress)
         for i, chunk in enumerate(chunks)
     ]
     if num_workers > 1 and len(tasks) > 1:

@@ -162,8 +162,16 @@ def iter_tar_shards(paths: Iterable[str]) -> Iterator[dict]:
     import logging
 
     for path in paths:
+        zf = None
         try:
-            with tarfile.open(path, "r|*") as tf:
+            # py3.12 tarfile reads gz/bz2/xz but not zstd; route zstd
+            # streams through the ctypes libzstd reader (zstd_io.py)
+            from .zstd_io import open_maybe_zstd
+
+            zf = open_maybe_zstd(path)
+            ctx = (tarfile.open(fileobj=zf, mode="r|") if zf is not None
+                   else tarfile.open(path, "r|*"))
+            with ctx as tf:
                 cur_key: Optional[str] = None
                 cur: dict = {}
                 for member in tf:
@@ -186,6 +194,9 @@ def iter_tar_shards(paths: Iterable[str]) -> Iterator[dict]:
                     yield cur | {"key": cur_key, "spk": cur.get("spk", "")}
         except Exception as e:
             logging.warning("failed to read shard %s: %s", path, e)
+        finally:
+            if zf is not None:
+                zf.close()
 
 
 def buffer_shuffle(it: Iterator, buffer_size: int, rng: random.Random) -> Iterator:
@@ -698,19 +709,25 @@ class NativeTrainPipeline:
         )
         num_spks = len(spk2id) if cfg.speed_perturb else 0
         if cfg.data_type == "shard":
-            # the C++ tar reader streams plain AND gzip tars (zlib);
-            # zstd/xz would decode to an empty stream, so probe magics
-            # up front and raise — bin/train then falls back to the
-            # python pipeline
-            compressed = ((0x28, 0xB5), (0xFD, 0x37))
+            # the C++ tar reader streams plain, gzip (zlib) and — when
+            # the .so was built against libzstd — zstd tars.  Unsupported
+            # compressions would decode to an empty stream, so probe
+            # magics up front and raise — bin/train then falls back to
+            # the python pipeline
+            from .native_loader import native_zstd_available
+
+            unsupported = [(0xFD, 0x37)]  # xz — never native
+            if not native_zstd_available():
+                unsupported.append((0x28, 0xB5))
             for sp in data_list:
                 with open(sp, "rb") as f:
                     magic = f.read(2)
-                if len(magic) == 2 and (magic[0], magic[1]) in compressed:
+                if len(magic) == 2 and (magic[0], magic[1]) in unsupported:
                     raise ValueError(
-                        f"compressed shard {sp!r}: the native tar reader "
-                        "handles plain/gzip tars only (python pipeline "
-                        "handles zstd/xz)"
+                        f"compressed shard {sp!r}: this native tar reader "
+                        "build handles plain/gzip"
+                        + ("/zstd" if native_zstd_available() else "")
+                        + " tars only (python pipeline handles the rest)"
                     )
             # tar shards: shard-striped C++ worker pool + per-worker
             # bounded-buffer shuffle, round-robin batch emission (Loader3)

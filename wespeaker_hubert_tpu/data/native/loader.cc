@@ -19,6 +19,9 @@
 #include <cstdio>
 #include <cstring>
 #include <zlib.h>
+#ifdef WESP_HAVE_ZSTD
+#include <zstd.h>
+#endif
 #include <mutex>
 #include <queue>
 #include <random>
@@ -423,29 +426,54 @@ struct Loader2 {
 // POSIX/GNU tar, plain or GZIP-compressed (tools/make_shard_list.py can
 // emit .tar.gz; zlib's gz* API reads both transparently, so compressed
 // shards stream through the SAME worker pool instead of falling back to
-// the slow python pipeline — VERDICT r2 #8).  zstd/xz remain
-// unsupported (decode_failures counts skipped shards).
+// the slow python pipeline — VERDICT r2 #8).  ZSTD shards stream through
+// ZSTD_decompressStream when the .so was built against libzstd
+// (-DWESP_HAVE_ZSTD, the default when the dev package is present —
+// native_loader.py probes at build time); xz remains unsupported
+// (decode_failures counts skipped shards).
 
 struct TarEntry {
   std::string name;
   std::vector<uint8_t> data;
 };
 
-// streams regular-file entries from a (possibly gzipped) tar
+// streams regular-file entries from a (possibly gzip/zstd-compressed) tar
 struct TarReader {
   gzFile f = nullptr;
+#ifdef WESP_HAVE_ZSTD
+  FILE* zfp = nullptr;
+  ZSTD_DStream* zds = nullptr;
+  std::vector<uint8_t> zibuf;
+  ZSTD_inBuffer zin{nullptr, 0, 0};
+#endif
   bool ok = false;
 
   explicit TarReader(const std::string& path) {
-    // zlib handles plain + gzip; reject zstd (28 b5) / xz (fd 37)
+    // zlib handles plain + gzip; zstd (28 b5 2f fd) takes the
+    // ZSTD_decompressStream path when compiled in; xz (fd 37) rejected
     FILE* probe = fopen(path.c_str(), "rb");
     if (!probe) return;
     uint8_t magic[2] = {0, 0};
     size_t got = fread(magic, 1, 2, probe);
-    fclose(probe);
-    if (got != 2 || (magic[0] == 0x28 && magic[1] == 0xb5) ||
-        (magic[0] == 0xfd && magic[1] == 0x37))
+    if (got == 2 && magic[0] == 0x28 && magic[1] == 0xb5) {
+#ifdef WESP_HAVE_ZSTD
+      rewind(probe);
+      zds = ZSTD_createDStream();
+      if (!zds) {
+        fclose(probe);
+        return;
+      }
+      zibuf.resize(ZSTD_DStreamInSize());
+      zin = {zibuf.data(), 0, 0};
+      zfp = probe;
+      ok = true;
+#else
+      fclose(probe);
+#endif
       return;
+    }
+    fclose(probe);
+    if (got != 2 || (magic[0] == 0xfd && magic[1] == 0x37)) return;
     f = gzopen(path.c_str(), "rb");
     if (!f) return;
     // bigger inflate buffer: tar member payloads are ~100-500 KB wavs
@@ -455,19 +483,58 @@ struct TarReader {
 
   ~TarReader() {
     if (f) gzclose(f);
+#ifdef WESP_HAVE_ZSTD
+    if (zds) ZSTD_freeDStream(zds);
+    if (zfp) fclose(zfp);
+#endif
   }
 
+#ifdef WESP_HAVE_ZSTD
+  // pull exactly n decompressed bytes from the zstd stream; handles
+  // multi-frame archives (a new frame simply continues from the next
+  // input refill)
+  bool ZstdRead(void* dst, size_t n) {
+    ZSTD_outBuffer out{dst, n, 0};
+    while (out.pos < out.size) {
+      if (zin.pos == zin.size) {
+        size_t r = fread(zibuf.data(), 1, zibuf.size(), zfp);
+        if (r == 0) return false;  // output still owed but input exhausted
+        zin = {zibuf.data(), r, 0};
+      }
+      size_t ret = ZSTD_decompressStream(zds, &out, &zin);
+      if (ZSTD_isError(ret)) return false;
+    }
+    return true;
+  }
+#endif
+
   bool ReadFull(void* dst, size_t n) {
+#ifdef WESP_HAVE_ZSTD
+    if (zds) return ZstdRead(dst, n);
+#endif
     return gzread(f, dst, static_cast<unsigned>(n)) ==
            static_cast<int>(n);
   }
 
   bool Skip(long n) {  // gzseek SEEK_CUR inflates through, works gz+plain
+#ifdef WESP_HAVE_ZSTD
+    if (zds) {  // no seek on a zstd stream: decompress-and-discard
+      uint8_t scratch[4096];
+      while (n > 0) {
+        size_t take = n < static_cast<long>(sizeof(scratch))
+                          ? static_cast<size_t>(n)
+                          : sizeof(scratch);
+        if (!ZstdRead(scratch, take)) return false;
+        n -= static_cast<long>(take);
+      }
+      return true;
+    }
+#endif
     return n == 0 || gzseek(f, n, SEEK_CUR) >= 0;
   }
 
   bool Next(TarEntry* e) {
-    if (!f) return false;
+    if (!ok) return false;  // covers both the gz and zstd handles
     uint8_t hdr[512];
     std::string longname;
     while (true) {
@@ -740,6 +807,16 @@ struct Loader3 {
 }  // namespace
 
 extern "C" {
+
+// capability probe for the python wrapper: 1 when this .so was compiled
+// against libzstd (dataset.py routes .tar.zst shards accordingly)
+int loader_zstd_supported(void) {
+#ifdef WESP_HAVE_ZSTD
+  return 1;
+#else
+  return 0;
+#endif
+}
 
 void* loader_create(const char** paths, const int32_t* labels, int n,
                     int chunk_samples, int batch_size, int min_samples,

@@ -24,6 +24,7 @@ __all__ = [
     "DeterministicNativeShardLoader",
     "NativeLoader",
     "native_available",
+    "native_zstd_available",
     "decode_wav_native",
     "decode_wav_native_sr",
 ]
@@ -43,22 +44,22 @@ def _build() -> Optional[str]:
             return _SO
         # compile to a temp path + atomic rename: concurrent processes
         # (multi-rank launch on one host) must never dlopen a half-written
-        # .so
+        # .so.  Try with libzstd first (zstd shard streaming); retry
+        # without when the dev package is absent.
         tmp = _SO + f".tmp.{os.getpid()}"
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-                 _SRC, "-o", tmp, "-lz"],
-                check=True, capture_output=True,
-            )
-            os.replace(tmp, _SO)
-            return _SO
-        except (OSError, subprocess.CalledProcessError):
+        base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+                _SRC, "-o", tmp, "-lz"]
+        for extra in (["-DWESP_HAVE_ZSTD", "-lzstd"], []):
             try:
-                os.unlink(tmp)
-            except OSError:
-                pass
-            return None
+                subprocess.run(base + extra, check=True, capture_output=True)
+                os.replace(tmp, _SO)
+                return _SO
+            except (OSError, subprocess.CalledProcessError):
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+        return None
 
 
 def _lib():
@@ -135,6 +136,17 @@ def _lib():
 
 def native_available() -> bool:
     return _lib() is not None
+
+
+def native_zstd_available() -> bool:
+    """True when the compiled .so streams zstd tar shards natively."""
+    lib = _lib()
+    if lib is None:
+        return False
+    try:
+        return bool(lib.loader_zstd_supported())
+    except AttributeError:  # stale .so from a pre-zstd build
+        return False
 
 
 def decode_wav_native(path: str, max_samples: int = 16000 * 600) -> np.ndarray:
