@@ -78,7 +78,14 @@ def batch(minutes=2.0, n_convs=16):
 
     rng = np.random.default_rng(0)
     for tag in ("warm (compiles)", "steady"):
-        wavs = [make_conversation(rng, seconds) for _ in range(n_convs)]
+        # quantize to the PCM16 grid — batch inputs in production come
+        # from PCM16 files, which makes the int16 upload path engage
+        # (bit-identical; tests/test_diar_batch.py)
+        wavs = [
+            np.rint(make_conversation(rng, seconds) * 32768.0)
+            .clip(-32768, 32767).astype(np.float32) / np.float32(32768.0)
+            for _ in range(n_convs)
+        ]
         t0 = time.perf_counter()
         outs = model.diarize_pcm_batch(
             wavs, utts=[f"c{i}" for i in range(n_convs)],

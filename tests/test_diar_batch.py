@@ -111,6 +111,30 @@ class TestDiarizeBatch:
         )
         assert batched == sequential
 
+    def test_batch_matches_sequential_pcm16(self, speaker, monkeypatch):
+        """PCM16-exact input (the file-decode case) engages the int16
+        upload + on-device dequantize; results must still match the
+        sequential f32 path bit for bit (the /32768 dequant is exact)."""
+        self._seeded_spectral(monkeypatch)
+        from wespeaker_hubert_tpu.data.wav_io import pcm16_lossless
+
+        rng = np.random.default_rng(6)
+        wavs = [
+            np.rint(_conversation(rng, s) * 32768.0).clip(-32768, 32767)
+            .astype(np.float32) / np.float32(32768.0)
+            for s in (6.0, 9.0)
+        ]
+        assert all(pcm16_lossless(w) is not None for w in wavs)
+        utts = ["p", "q"]
+        sequential = [
+            speaker.diarize_pcm(w, utt=u, clusterer="spectral")
+            for w, u in zip(wavs, utts)
+        ]
+        batched = speaker.diarize_pcm_batch(
+            wavs, utts=utts, clusterer="spectral"
+        )
+        assert batched == sequential
+
     def test_vad_segments_batch_matches(self, speaker):
         rng = np.random.default_rng(2)
         wavs = [_conversation(rng, s) for s in (5.0, 9.0)]

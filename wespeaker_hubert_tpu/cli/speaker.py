@@ -454,9 +454,17 @@ class Speaker:
         # a grow-only capacity, a small batch never pays a historical
         # maximum's upload bytes
         pad_flat = _pow2_bucket(max(len(flat), 1))
-        flat_dev = jnp.asarray(
-            np.pad(flat.astype(np.float32), (0, pad_flat - len(flat)))
-        )
+        # PCM16-exact audio ships as int16 (half the upload bytes) and
+        # dequantizes on device bit-identically (wav_io.pcm16_lossless)
+        from ..data.wav_io import pcm16_lossless
+
+        q = pcm16_lossless(flat.astype(np.float32))
+        if q is not None:
+            flat_dev = jnp.asarray(np.pad(q, (0, pad_flat - len(q))))
+        else:
+            flat_dev = jnp.asarray(
+                np.pad(flat.astype(np.float32), (0, pad_flat - len(flat)))
+            )
 
         if not hasattr(self, "_slice_fbank_fns"):
             self._slice_fbank_fns = {}
@@ -476,7 +484,10 @@ class Speaker:
                     idx = jnp.minimum(
                         starts[:, None] + pos, flat_w.shape[0] - 1
                     )
-                    w = flat_w[idx] * (pos < lens[:, None])
+                    w = flat_w[idx]
+                    if w.dtype == jnp.int16:  # lossless PCM16 upload
+                        w = w.astype(jnp.float32) / 32768.0
+                    w = w * (pos < lens[:, None])
                     feats, feat_lens = fbank(w, cfg, lengths=lens)
                     if cmn_per_seg:
                         # CMN once per VAD segment (masked, on device) —
@@ -494,6 +505,7 @@ class Speaker:
         order = sorted(range(len(segs)), key=lambda i: len(segs[i]))
         batches = []
         meta = [None] * len(segs)
+        pending = []
         i = 0
         while i < len(order):
             bucket = _pow2_bucket(len(segs[order[i]]))
@@ -513,17 +525,101 @@ class Speaker:
             feats, feat_lens = slice_fbank_fn(bucket)(
                 flat_dev, jnp.asarray(starts), jnp.asarray(lens)
             )
-            feat_lens = np.asarray(feat_lens)
             batches.append(feats)
+            pending.append((feat_lens, idx))
+        # fetch every feat_lens AFTER all dispatches are in flight: the
+        # downloads pipeline behind the device queue instead of paying
+        # one tunnel round trip per batch
+        for bpos, (feat_lens, idx) in enumerate(pending):
+            fl = np.asarray(feat_lens)
             for row, j in enumerate(idx):
-                meta[j] = (len(batches) - 1, row, int(feat_lens[row]))
+                meta[j] = (bpos, row, int(fl[row]))
         return batches, meta
 
-    def _embed_windows_device(self, feats_dev, windows, chunk=512):
+    def _fbank_slices_from_rows(self, srcs, seg_locs):
+        """Bucket-batched segment fbank sliced from ALREADY-UPLOADED
+        conversation rows (the silero VAD upload), keeping features on
+        device.  seg_locs: per segment (src_idx, row, start_sample,
+        n_samples).  Returns the same (batches, meta) contract as
+        `_fbank_slices_device` — and bit-identical features, since the
+        gathered+masked waveform rows are the same values — while
+        skipping the second host->device transfer of the voiced audio
+        entirely (round-3 phase split: that upload was ~30% of steady
+        wall time over the tunnel)."""
+        if not hasattr(self, "_row_fbank_fns"):
+            self._row_fbank_fns = {}
+
+        def row_fbank_fn(bucket):
+            key = (bucket, self.diar_subseg_cmn, self.fbank_cfg)
+            if key not in self._row_fbank_fns:
+                cfg = self.fbank_cfg
+                cmn_per_seg = not self.diar_subseg_cmn
+
+                @jax.jit
+                def _fn(src, rows, starts, lens):
+                    pos = jnp.arange(bucket)[None, :]
+                    idx = jnp.minimum(
+                        starts[:, None] + pos, src.shape[1] - 1
+                    )
+                    w = src[rows[:, None], idx]
+                    if w.dtype == jnp.int16:  # lossless PCM16 upload
+                        w = w.astype(jnp.float32) / 32768.0
+                    w = w * (pos < lens[:, None])
+                    feats, feat_lens = fbank(w, cfg, lengths=lens)
+                    if cmn_per_seg:
+                        feats = apply_cmvn(feats, lengths=feat_lens)
+                    return feats, feat_lens
+
+                self._row_fbank_fns[key] = _fn
+            return self._row_fbank_fns[key]
+
+        rows_per = 128
+        order = sorted(
+            range(len(seg_locs)),
+            key=lambda i: (seg_locs[i][0], seg_locs[i][3]),
+        )
+        batches = []
+        meta = [None] * len(seg_locs)
+        pending = []
+        i = 0
+        while i < len(order):
+            src_idx = seg_locs[order[i]][0]
+            bucket = _pow2_bucket(max(seg_locs[order[i]][3], 1))
+            idx = []
+            while (
+                i < len(order)
+                and seg_locs[order[i]][0] == src_idx
+                and seg_locs[order[i]][3] <= bucket
+                and len(idx) < rows_per
+            ):
+                idx.append(order[i])
+                i += 1
+            rows = np.zeros((rows_per,), np.int32)
+            starts = np.zeros((rows_per,), np.int32)
+            lens = np.zeros((rows_per,), np.int32)
+            for row, j in enumerate(idx):
+                _, r, s, n = seg_locs[j]
+                rows[row], starts[row], lens[row] = r, s, n
+            feats, feat_lens = row_fbank_fn(bucket)(
+                srcs[src_idx], jnp.asarray(rows), jnp.asarray(starts),
+                jnp.asarray(lens),
+            )
+            batches.append(feats)
+            pending.append((feat_lens, idx))
+        for bpos, (feat_lens, idx) in enumerate(pending):
+            fl = np.asarray(feat_lens)
+            for row, j in enumerate(idx):
+                meta[j] = (bpos, row, int(fl[row]))
+        return batches, meta
+
+    def _embed_windows_device(self, feats_dev, windows, chunk=512,
+                              defer=False):
         """Embed sliding windows gathered ON DEVICE from a (32, Tb, 80)
         feature batch.  windows: (row, start, m) with m = valid frames
         (np.resize tile semantics: window row r reads frame
-        start + (r mod m); m == 0 yields zeros).  Returns (N, D)."""
+        start + (r mod m); m == 0 yields zeros).  Returns (N, D), or
+        with ``defer=True`` the undownloaded (device_array, k) handles
+        so multi-batch callers can overlap every download."""
         win = int(self.diar_window_secs * 1000
                   / self.fbank_cfg.frame_shift_ms)
         if getattr(self, "_win_embed_win", None) != win:
@@ -542,7 +638,7 @@ class Speaker:
                 )
 
             self._win_embed_fn = jax.jit(_fn, static_argnums=5)
-        out = []
+        handles = []
         n = len(windows)
         for s in range(0, n, chunk):
             part = windows[s : s + chunk]
@@ -557,23 +653,37 @@ class Speaker:
                 jnp.asarray(starts), jnp.asarray(ms),
                 self.diar_subseg_cmn,
             )
-            out.append(np.asarray(emb)[:k])
+            handles.append((emb, k))
+        if defer:
+            return handles
+        # fetch after every chunk is dispatched (downloads pipeline
+        # behind the device queue instead of serializing per chunk)
+        out = [np.asarray(emb)[:k] for emb, k in handles]
         return np.concatenate(out) if out else np.zeros((0, 1), np.float32)
 
-    def _vad_segments_batch(self, wavs):
+    def _vad_segments_batch(self, wavs, return_device=False):
         """Per-conversation (begin_s, end_s) lists with ONE silero
         dispatch per pow2 bucket across the whole conversation batch
         (diar/silero.silero_probs_batch); the threshold state machine
         stays per-conversation on host.  Row-independent math keeps the
-        segments identical to `_vad_segments` per conversation."""
+        segments identical to `_vad_segments` per conversation.
+
+        With ``return_device=True`` additionally returns the silero
+        upload's device batches + conv->(batch_idx, row) map when they
+        hold the diarization-rate audio verbatim (resample_rate ==
+        VAD_SR), so the segment fbank can slice from the SAME upload —
+        otherwise (energy VAD, telephony resample) returns (segs, None,
+        None) and the caller pays the flat segment upload as before."""
         if self.vad_model is None:
-            return [energy_vad(w, self.resample_rate) for w in wavs]
+            segs = [energy_vad(w, self.resample_rate) for w in wavs]
+            return (segs, None, None) if return_device else segs
         from ..diar.silero import SR as VAD_SR
         from ..diar.silero import get_speech_timestamps, silero_probs_batch
 
+        reusable = self.resample_rate == VAD_SR
         vad_wavs = []
         for wav in wavs:
-            if self.resample_rate != VAD_SR:
+            if not reusable:
                 import math
 
                 from scipy.signal import resample_poly
@@ -583,11 +693,17 @@ class Speaker:
                     wav, VAD_SR // g, self.resample_rate // g
                 ).astype(np.float32)
             vad_wavs.append(wav)
-        probs = silero_probs_batch(self.vad_model.params, vad_wavs)
+        probs, batches, locs = silero_probs_batch(
+            self.vad_model.params, vad_wavs, return_device=True
+        )
         out = []
         for w, p in zip(vad_wavs, probs):
             ts = get_speech_timestamps(w, model=lambda _w, _p=p: _p)
             out.append([(t["start"] / VAD_SR, t["end"] / VAD_SR) for t in ts])
+        if return_device:
+            return out, (batches if reusable else None), (
+                locs if reusable else None
+            )
         return out
 
     def diarize_pcm_batch(
@@ -611,20 +727,40 @@ class Speaker:
         pooled programs are the same shapes and row-independent."""
         if utts is None:
             utts = [f"utt{i}" for i in range(len(wavs))]
-        vad_segs = self._vad_segments_batch(wavs)
+        vad_segs, vad_dev, vad_locs = self._vad_segments_batch(
+            wavs, return_device=True
+        )
 
         # pool all VAD segments from all conversations into one fbank run
-        # whose outputs STAY ON DEVICE (bytes to host: embeddings only)
-        slices = []
-        for wav, segs in zip(wavs, vad_segs):
-            for begin, end in segs:
-                b_idx = int(begin * self.resample_rate)
-                e_idx = int(end * self.resample_rate)
-                slices.append(wav[b_idx:e_idx])
-        if slices:
-            feat_batches, meta = self._fbank_slices_device(slices)
-        else:
+        # whose outputs STAY ON DEVICE (bytes to host: embeddings only).
+        # When the silero upload holds the diarization-rate audio
+        # (vad_dev), slice segments out of THAT upload — no second
+        # voiced-audio transfer; otherwise fall back to the flat upload.
+        n_segs = sum(len(s) for s in vad_segs)
+        if n_segs == 0:
             feat_batches, meta = [], []
+        elif vad_dev is not None:
+            seg_locs = []
+            for ci, segs in enumerate(vad_segs):
+                src_idx, row = vad_locs[ci]
+                for begin, end in segs:
+                    b_idx = int(begin * self.resample_rate)
+                    e_idx = min(int(end * self.resample_rate),
+                                len(wavs[ci]))
+                    seg_locs.append(
+                        (src_idx, row, b_idx, max(e_idx - b_idx, 0))
+                    )
+            feat_batches, meta = self._fbank_slices_from_rows(
+                vad_dev, seg_locs
+            )
+        else:
+            slices = []
+            for wav, segs in zip(wavs, vad_segs):
+                for begin, end in segs:
+                    b_idx = int(begin * self.resample_rate)
+                    e_idx = int(end * self.resample_rate)
+                    slices.append(wav[b_idx:e_idx])
+            feat_batches, meta = self._fbank_slices_device(slices)
 
         # window TABLES per conversation (host: ids + (row, start, m));
         # contents are gathered on device per fbank batch
@@ -660,12 +796,22 @@ class Speaker:
         embeddings = np.zeros((max(n_windows, 1), 1), np.float32)
         if n_windows:
             embeddings = None
+            # dispatch ALL embedding chunks across all feature batches
+            # first, then download: the tunnel round trips overlap with
+            # device compute instead of serializing per batch
+            deferred = []
             for b_idx, wins in enumerate(per_batch):
                 if not wins:
                     continue
-                emb = self._embed_windows_device(
-                    feat_batches[b_idx], [w[1:] for w in wins]
+                handles = self._embed_windows_device(
+                    feat_batches[b_idx], [w[1:] for w in wins],
+                    defer=True,
                 )
+                deferred.append((wins, handles))
+            for wins, handles in deferred:
+                parts = [np.asarray(h)[:k] for h, k in handles]
+                emb = (np.concatenate(parts) if parts
+                       else np.zeros((0, 1), np.float32))
                 if embeddings is None:
                     embeddings = np.zeros(
                         (n_windows, emb.shape[-1]), emb.dtype

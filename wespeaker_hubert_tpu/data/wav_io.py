@@ -15,7 +15,7 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["read_wav", "read_wav_bytes", "write_wav"]
+__all__ = ["read_wav", "read_wav_bytes", "write_wav", "pcm16_lossless"]
 
 
 def read_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
@@ -70,6 +70,29 @@ def _read_riff_float(data: bytes) -> Tuple[np.ndarray, int, int]:
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
     with open(path, "rb") as f:
         return read_wav_bytes(f.read())
+
+
+def pcm16_lossless(x: np.ndarray) -> "np.ndarray | None":
+    """int16 view of a float waveform IF exactly representable, else None.
+
+    Audio decoded from PCM16 (the reference corpus format,
+    runtime/core/frontend/wav.h) is exactly i/32768 in float32, so the
+    host->device upload can ship 2 bytes/sample and dequantize on device
+    with zero numeric change (x/32768 with 32768 a power of two is an
+    exact float op).  Resampled/augmented floats fail the check and keep
+    the f32 path — callers stay bit-identical either way."""
+    x = np.asarray(x)
+    if x.dtype == np.int16:
+        return x
+    if x.dtype != np.float32:
+        return None
+    i = np.rint(x * 32768.0)
+    if i.size and (i.min() < -32768 or i.max() > 32767):
+        return None
+    i16 = i.astype(np.int16)
+    if np.array_equal(i16.astype(np.float32) / np.float32(32768.0), x):
+        return i16
+    return None
 
 
 def write_wav(path: str, x: np.ndarray, sample_rate: int = 16000) -> None:

@@ -263,12 +263,17 @@ def silero_probs(params: Dict, wav: np.ndarray) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("n_chunks",))
 def _silero_probs_batch_impl(params: Dict, wavs: jnp.ndarray, n_chunks: int):
+    if wavs.dtype == jnp.int16:
+        # lossless PCM16 upload (data/wav_io.pcm16_lossless): dequantize
+        # on device — /32768 is exact, so probs match the f32 path bit
+        # for bit while the host->device transfer halves
+        wavs = wavs.astype(jnp.float32) / 32768.0
     return jax.vmap(
         lambda w: _silero_probs_impl(params, w, n_chunks)
     )(wavs)
 
 
-def silero_probs_batch(params: Dict, wavs) -> List[np.ndarray]:
+def silero_probs_batch(params: Dict, wavs, return_device: bool = False):
     """Batched `silero_probs` over many conversations.
 
     The single-wav path scans a (128,)-state LSTM — each step is a
@@ -277,11 +282,24 @@ def silero_probs_batch(params: Dict, wavs) -> List[np.ndarray]:
     every step into (B,128)@(128,512) matmuls and the whole batch into
     ONE dispatch per pow2 bucket.  Per-row math is row-independent, so
     outputs match the sequential path (asserted by
-    tests/test_diar_batch.py)."""
+    tests/test_diar_batch.py).
+
+    Uploads ship as int16 when every wav is PCM16-exact (dequantized on
+    device, bit-identical — see pcm16_lossless).  With
+    ``return_device=True`` also returns the uploaded device batches and
+    a conv->(batch_idx, row) map so callers (Speaker.diarize_pcm_batch)
+    can slice VAD segments out of the SAME upload instead of paying a
+    second host->device transfer of the voiced audio."""
+    from ..data.wav_io import pcm16_lossless
+
     wavs = [np.asarray(w, np.float32) for w in wavs]
+    quant = [pcm16_lossless(w) for w in wavs]
+    as_i16 = all(q is not None for q in quant)
     chunks = [max(1, -(-len(w) // WINDOW)) for w in wavs]
     order = sorted(range(len(wavs)), key=lambda i: chunks[i])
     out: Dict[int, np.ndarray] = {}
+    batches: List[jnp.ndarray] = []
+    locs: Dict[int, tuple] = {}
     i = 0
     while i < len(order):
         bucket = max(32, 1 << (chunks[order[i]] - 1).bit_length())
@@ -293,15 +311,21 @@ def silero_probs_batch(params: Dict, wavs) -> List[np.ndarray]:
         ):
             idx.append(order[i])
             i += 1
-        batch = np.zeros((16, bucket * WINDOW), np.float32)
+        rows = quant if as_i16 else wavs
+        batch = np.zeros((16, bucket * WINDOW),
+                         np.int16 if as_i16 else np.float32)
         for row, j in enumerate(idx):
-            batch[row, : len(wavs[j])] = wavs[j][: bucket * WINDOW]
-        probs = np.asarray(
-            _silero_probs_batch_impl(params, jnp.asarray(batch), bucket)
-        )
+            batch[row, : len(rows[j])] = rows[j][: bucket * WINDOW]
+            locs[j] = (len(batches), row)
+        dev = jnp.asarray(batch)
+        batches.append(dev)
+        probs = np.asarray(_silero_probs_batch_impl(params, dev, bucket))
         for row, j in enumerate(idx):
             out[j] = probs[row, : chunks[j]]
-    return [out[j] for j in range(len(wavs))]
+    probs_list = [out[j] for j in range(len(wavs))]
+    if return_device:
+        return probs_list, batches, locs
+    return probs_list
 
 
 class SileroVAD:
