@@ -44,41 +44,67 @@ def _ref_module(modname):
     return importlib.import_module(f"wespeaker.models.{modname}")
 
 
+def _case(modname, factory, model, margs, fargs=None, in_dim=None):
+    """(ref module, ref factory, our model, factory kwargs, convert
+    kwargs, forward input dim) — fargs defaults to margs; convert
+    kwargs are margs minus embed_dim (the forward-converter protocol)."""
+    fargs = dict(margs if fargs is None else fargs)
+    cargs = {k: v for k, v in margs.items() if k != "embed_dim"}
+    if in_dim is None:
+        in_dim = fargs.get("feat_dim") or fargs.get("acoustic_dim")
+    return (modname, factory, model, fargs, cargs, in_dim)
+
+
 CASES = [
-    # (ref module, ref factory, our model name, model_args)
-    ("ecapa_tdnn", "ECAPA_TDNN_c512", "ECAPA_TDNN_c512",
-     {"feat_dim": 80, "embed_dim": 192}),
-    ("resnet", "ResNet34", "ResNet34",
-     {"feat_dim": 80, "embed_dim": 256}),
-    ("campplus", "CAMPPlus", "CAMPPlus",
-     {"feat_dim": 80, "embed_dim": 512}),
-    ("tdnn", "XVEC", "XVEC", {"feat_dim": 80, "embed_dim": 512}),
-    ("res2net", "Res2Net34_Base", "Res2Net34_Base",
-     {"feat_dim": 80, "embed_dim": 256}),
+    _case("ecapa_tdnn", "ECAPA_TDNN_c512", "ECAPA_TDNN_c512",
+          {"feat_dim": 80, "embed_dim": 192}),
+    _case("resnet", "ResNet34", "ResNet34",
+          {"feat_dim": 80, "embed_dim": 256}),
+    _case("resnet", "ResNet293", "ResNet293",
+          {"feat_dim": 80, "embed_dim": 256}),
+    _case("campplus", "CAMPPlus", "CAMPPlus",
+          {"feat_dim": 80, "embed_dim": 512}),
+    _case("tdnn", "XVEC", "XVEC", {"feat_dim": 80, "embed_dim": 512}),
+    _case("res2net", "Res2Net34_Base", "Res2Net34_Base",
+          {"feat_dim": 80, "embed_dim": 256}),
+    _case("eres2net", "ERes2Net34_Base", "ERes2Net34_Base",
+          {"feat_dim": 80, "embed_dim": 192}),
+    _case("gemini_dfresnet", "Gemini_DF_ResNet60", "Gemini_DF_ResNet60",
+          {"feat_dim": 80, "embed_dim": 256}),
+    _case("repvgg", "REPVGG_TINY_A0", "REPVGG_TINY_A0",
+          {"feat_dim": 80, "embed_dim": 256}),
+    _case("samresnet", "SimAM_ResNet34_ASP", "SimAM_ResNet34_ASP",
+          {"in_planes": 64, "embed_dim": 64},
+          fargs={"in_planes": 64, "embed_dim": 64, "acoustic_dim": 80},
+          in_dim=80),
+    _case("redimnet", "ReDimNetB0", "ReDimNetB0",
+          {"feat_dim": 60, "embed_dim": 192}),
+    _case("whisper_PMFA", "whisper_PMFA_large_v2", "whisper_PMFA_large_v2",
+          {"embed_dim": 32}, fargs={"feat_dim": 64, "embed_dim": 32},
+          in_dim=64),
 ]
 
 
 @pytest.mark.parametrize(
-    "modname,factory,model,margs", CASES, ids=[c[2] for c in CASES]
+    "modname,factory,model,fargs,cargs,in_dim", CASES,
+    ids=[c[2] for c in CASES],
 )
-def test_round_trip(modname, factory, model, margs):
+def test_round_trip(modname, factory, model, fargs, cargs, in_dim):
     from wespeaker_hubert_tpu.models.convert_to_torch import (
+        _template_constant,
         to_torch_state_dict,
     )
     from wespeaker_hubert_tpu.models.convert_torch import convert_checkpoint
 
     mod = _ref_module(modname)
     torch.manual_seed(0)
-    ref = getattr(mod, factory)(**margs)
+    ref = getattr(mod, factory)(**fargs)
     ref.eval()
     sd = ref.state_dict()
 
-    params, batch_stats = convert_checkpoint(
-        model, sd, **{k: v for k, v in margs.items() if k != "embed_dim"}
-    )
+    params, batch_stats = convert_checkpoint(model, sd, **cargs)
     back = to_torch_state_dict(
-        model, {"params": params, "batch_stats": batch_stats}, sd,
-        **{k: v for k, v in margs.items() if k != "embed_dim"},
+        model, {"params": params, "batch_stats": batch_stats}, sd, **cargs
     )
 
     assert set(back) == set(sd)
@@ -86,11 +112,11 @@ def test_round_trip(modname, factory, model, margs):
         orig = sd[k].detach().cpu().numpy()
         got = np.asarray(back[k])
         assert got.shape == tuple(orig.shape), k
-        if orig.dtype.kind == "f":
+        if orig.dtype.kind == "f" and not _template_constant(model, k):
             np.testing.assert_array_equal(got, orig.astype(np.float32),
                                           err_msg=k)
 
-    x = torch.randn(2, 200, margs["feat_dim"])
+    x = torch.randn(2, 200, in_dim)
     with torch.no_grad():
         out0 = ref(x)
         emb0 = (out0[-1] if isinstance(out0, tuple) else out0).numpy()

@@ -32,6 +32,27 @@ from .convert_torch import convert_checkpoint
 __all__ = ["to_torch_state_dict", "build_index_map"]
 
 
+# Float state_dict entries that are CONSTANT BY DESIGN in the reference
+# module (never trained, not represented in the flax tree), so keeping
+# the template's values is the correct export.  Keyed by model-name
+# prefix; values are key suffixes.  The only current case: ReDimNet's
+# stage-0 input-mix weight is a frozen all-ones (1,1,1,1) parameter
+# (reference wespeaker/models/redimnet.py:660-663, requires_grad=False)
+# whose softmax over a singleton axis is identically 1.
+_TEMPLATE_CONSTANT_KEYS = {
+    "ReDimNet": ("inputs_weights.0",),
+}
+
+
+def _template_constant(model: str, key: str) -> bool:
+    for prefix, suffixes in _TEMPLATE_CONSTANT_KEYS.items():
+        if model.startswith(prefix) and any(
+            key.endswith(s) for s in suffixes
+        ):
+            return True
+    return False
+
+
 def _flatten(tree, prefix=()):
     out = {}
     if isinstance(tree, dict):
@@ -188,7 +209,8 @@ def to_torch_state_dict(
             arr = np.asarray(
                 tv.detach().cpu().numpy() if hasattr(tv, "detach") else tv
             )
-            if strict and np.issubdtype(arr.dtype, np.floating):
+            if (strict and np.issubdtype(arr.dtype, np.floating)
+                    and not _template_constant(model, k)):
                 raise ValueError(
                     f"{model}: float torch tensor {k!r} is never produced "
                     "by the flax mapping; exporting the template's values "
