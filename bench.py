@@ -176,7 +176,13 @@ def _bench_diar_batch(n_convs=16, seconds=120.0):
     model = Speaker(root)
     rng = np.random.default_rng(0)
     utts = [f"c{i}" for i in range(n_convs)]
-    wavs = [make_conversation(rng, seconds) for _ in range(n_convs)]
+    # PCM16-grid conversations (what file decode yields): engages the
+    # int16 half-bytes upload path, bit-identical per tests/test_diar_batch
+    wavs = [
+        np.rint(make_conversation(rng, seconds) * 32768.0)
+        .clip(-32768, 32767).astype(np.float32) / np.float32(32768.0)
+        for _ in range(n_convs)
+    ]
     model.diarize_pcm_batch(wavs, utts=utts, clusterer="spectral")
     t0 = time.perf_counter()
     model.diarize_pcm_batch(wavs, utts=utts, clusterer="spectral")

@@ -242,6 +242,37 @@ def test_diarize_endpoint(server):
         assert e.code == 404
 
 
+def test_diarize_concurrent_micro_batch(server):
+    """Concurrent /diarize requests pool into one diarize_pcm_batch call
+    and each client still gets exactly the sequential-path segments
+    (the pooled schedule is bit-identical per conversation)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    rng = np.random.default_rng(11)
+    sr = 16000
+    wavs = []
+    for i in range(4):
+        t = np.arange(2 * sr) / sr
+        w = np.sin(2 * np.pi * (300 + 150 * i) * t) * 0.3
+        w = (w + rng.standard_normal(len(w)) * 0.01).astype(np.float32)
+        wavs.append(w)
+
+    service = server.service
+    expected = [service.speaker.diarize_pcm(w, utt="unk") for w in wavs]
+
+    def one(w):
+        return _post(server + "/diarize", _wav_bytes(w))["segments"]
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(one, wavs))
+    for got, exp in zip(results, expected):
+        want = [
+            {"utt": u, "begin": b, "end": e, "speaker": s}
+            for (u, b, e, s) in exp
+        ]
+        assert got == want
+
+
 def test_grpc_kserve_protocol(server):
     """KServe v2 gRPC endpoint (serving/grpc_service): live/metadata/
     infer over a real insecure channel, raw and typed tensor packings,

@@ -112,10 +112,23 @@ class EmbeddingService:
             if hasattr(self.speaker.net.backbone, "embed_dim") else -1
         )
         self._q: "queue.Queue[Tuple[np.ndarray, queue.Queue]]" = queue.Queue()
-        self._diar_lock = threading.Lock()
         self._stop = False
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
+        # /diarize micro-batching: concurrent requests pool into ONE
+        # diarize_pcm_batch call (per-conversation results bit-identical
+        # to the sequential path — tests/test_diar_batch.py), the same
+        # cross-request pooling the reference's Triton diarization
+        # ensemble gets from dynamic batching
+        self.diar_max_batch = 8
+        self._diar_window = max(self.window, 0.02)
+        self._diar_q: "queue.Queue[Tuple[np.ndarray, str, queue.Queue]]" = (
+            queue.Queue()
+        )
+        self._diar_worker = threading.Thread(
+            target=self._diar_loop, daemon=True
+        )
+        self._diar_worker.start()
 
     # ------------------------------------------------------------- device
     def _loop(self):
@@ -179,22 +192,52 @@ class EmbeddingService:
         e2 = self.embed_wav_bytes(b)
         return self.speaker.cosine_similarity(e1, e2)
 
+    def _diar_loop(self):
+        while not self._stop:
+            try:
+                first = self._diar_q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.perf_counter() + self._diar_window
+            while len(batch) < self.diar_max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._diar_q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            wavs = [w for w, _, _ in batch]
+            utts = [u for _, u, _ in batch]
+            try:
+                outs = self.speaker.diarize_pcm_batch(wavs, utts=utts)
+                results = [(True, o) for o in outs]
+            except Exception as e:  # propagate to every waiting client
+                results = [(False, e)] * len(batch)
+            for (_, _, out_q), res in zip(batch, results):
+                out_q.put(res)
+
     def diarize_wav_bytes(self, data: bytes, utt: str = "unk"):
         """Full diarization of one wav: VAD -> subsegment embeddings ->
         clustering -> merged (utt, begin, end, speaker) segments — the
         reference's diarization_gpu Triton ensemble role
         (runtime/server/diarization_gpu/model_repo/run/1/model.py: BLS
         over SAD + chunking + embedding + clusterer -> LABELS).
-        Serialized through a lock: the diarization path drives its own
-        jitted fns outside the micro-batch queue."""
+        Concurrent requests micro-batch through diarize_pcm_batch (one
+        pooled VAD/fbank/embedding device schedule), bit-identical per
+        conversation to the sequential path."""
         from ..data.wav_io import read_wav_bytes
 
         wav, sr = read_wav_bytes(data)
         assert sr == self.speaker.resample_rate, f"sample rate {sr}"
-        with self._diar_lock:
-            segments = self.speaker.diarize_pcm(wav, utt=utt)
+        out_q: queue.Queue = queue.Queue()
+        self._diar_q.put((wav, utt, out_q))
+        ok, payload = out_q.get(timeout=600)
+        if not ok:
+            raise payload
         self.diar_meter.update(len(wav) / sr, 1)
-        return segments
+        return payload
 
     def stats(self) -> dict:
         t = self.meter.totals()
@@ -209,6 +252,7 @@ class EmbeddingService:
     def close(self):
         self._stop = True
         self._worker.join(timeout=2)
+        self._diar_worker.join(timeout=2)
 
 
 def _make_handler(service: EmbeddingService):

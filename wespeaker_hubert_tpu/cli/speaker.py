@@ -886,6 +886,16 @@ class Speaker:
         self._embed_feats_fn(
             self.variables, window, self.diar_subseg_cmn
         ).block_until_ready()
+        # warm the BATCHED path too (serve.py pools /diarize requests
+        # through diarize_pcm_batch): one synthetic speech-bearing
+        # conversation compiles the batched-silero, row-sliced fbank and
+        # window-gather embedding programs for the common buckets
+        t = np.arange(int(min(max_seconds, 8.0) * sr)) / sr
+        tone = (0.1 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+        try:
+            self.diarize_pcm_batch([tone], utts=["warm"])
+        except Exception:  # warmup must never block serving
+            pass
 
     def _segment_fbanks(self, wav, vad_segments):
         """Per-VAD-segment fbank, batched by length bucket.
