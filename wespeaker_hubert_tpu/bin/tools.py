@@ -370,6 +370,7 @@ def main():
     s.add_argument("--num_utts_per_shard", type=int, default=1000)
     s.add_argument("--num_workers", type=int, default=4)
     s.add_argument("--vad_file", default=None)
+    s.add_argument("--compress", default=None, choices=["gz", "zstd"])
 
     s = sub.add_parser("vector_mean")
     s.add_argument("emb_path")
@@ -411,7 +412,8 @@ def main():
         print(len(make_shard_list(args.wav_scp, args.utt2spk, args.shards_dir,
                                   args.out_list, args.num_utts_per_shard,
                                   args.num_workers,
-                                  vad_file=args.vad_file)))
+                                  vad_file=args.vad_file,
+                                  compress=args.compress)))
     elif args.cmd == "vector_mean":
         print(vector_mean(args.emb_path, args.utt2spk, args.out_path))
     elif args.cmd == "wav2dur":
