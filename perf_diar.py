@@ -98,6 +98,8 @@ def batch(minutes=2.0, n_convs=16):
             "wall_s": round(dt, 2), "rtf": round(dt / total, 5),
             "audio_s_per_s": round(total / dt, 1),
             "n_segments": sum(len(o) for o in outs),
+            "phases": {k: round(v, 2) for k, v in
+                       getattr(model, "last_diar_timings", {}).items()},
         }), flush=True)
 
 

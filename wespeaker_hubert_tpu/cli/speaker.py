@@ -724,12 +724,23 @@ class Speaker:
         pooled subsegment windows.  Host-side clustering runs in a thread
         pool (BLAS/eigh release the GIL).  Every per-conversation result
         is bit-identical to `diarize_pcm` (tests/test_diar_batch.py): the
-        pooled programs are the same shapes and row-independent."""
+        pooled programs are the same shapes and row-independent.
+
+        Phase wall times for the last call land in
+        ``self.last_diar_timings`` (vad / fbank / embed / cluster
+        seconds) — the perf harness reads them to attribute the wall
+        clock over constrained host<->device links."""
+        import time as _time
+
+        timings = {}
+        _t0 = _time.perf_counter()
         if utts is None:
             utts = [f"utt{i}" for i in range(len(wavs))]
         vad_segs, vad_dev, vad_locs = self._vad_segments_batch(
             wavs, return_device=True
         )
+        timings["vad"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
 
         # pool all VAD segments from all conversations into one fbank run
         # whose outputs STAY ON DEVICE (bytes to host: embeddings only).
@@ -761,6 +772,8 @@ class Speaker:
                     e_idx = int(end * self.resample_rate)
                     slices.append(wav[b_idx:e_idx])
             feat_batches, meta = self._fbank_slices_device(slices)
+        timings["fbank"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
 
         # window TABLES per conversation (host: ids + (row, start, m));
         # contents are gathered on device per fbank batch
@@ -818,6 +831,8 @@ class Speaker:
                     )
                 for (gidx, _, _, _), e in zip(wins, emb):
                     embeddings[gidx] = e
+        timings["embed"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
 
         # per-conversation clustering on host threads
         from concurrent.futures import ThreadPoolExecutor
@@ -847,7 +862,10 @@ class Speaker:
             return [(u, b, e, int(lab)) for (u, b, e, lab) in merged]
 
         with ThreadPoolExecutor(max_workers=max(1, cluster_workers)) as ex:
-            return list(ex.map(one, range(len(wavs))))
+            results = list(ex.map(one, range(len(wavs))))
+        timings["cluster"] = _time.perf_counter() - _t0
+        self.last_diar_timings = timings
+        return results
 
     def warm_diarize(self, max_seconds: float = 30.0) -> None:
         """Pre-compile every XLA program the diarization path can hit up
