@@ -153,8 +153,11 @@ def _extra_metrics():
                                         iters=4))
     run("WavLM_Large_extract_bf16", 900,
         lambda: bench_all.bench_ssl_frontend_extract(iters=3))
+    # bf16 is the production SSL setting (enable_amp, round-3: +54%);
+    # keeps the driver-visible number aligned with the measured path
     run("DINO_ECAPA_c512_train_step", 900,
-        lambda: bench_all.bench_dino_step(iters=5)[0])
+        lambda: bench_all.bench_dino_step(
+            iters=5, compute_dtype=jnp.bfloat16)[0])
     run("diar_batch_audio_s_per_s", 900, _bench_diar_batch)
     return out
 
