@@ -304,6 +304,23 @@ def test_grpc_kserve_protocol(server):
         # parity with the HTTP /embed path (same service, same samples)
         ref = service.embed_samples(wav)
         np.testing.assert_allclose(emb_raw[0], ref, rtol=0, atol=0)
+
+        # diarization BLS role (reference diarization_gpu client
+        # protocol: model 'run', input 'input' -> LABELS (n, 3))
+        meta = client.model_metadata(name="run")
+        assert meta.outputs[0].name == "LABELS"
+        assert list(meta.outputs[0].shape) == [-1, 3]
+        t = np.arange(2 * 16000) / 16000
+        speech = (np.sin(2 * np.pi * 440 * t) * 0.3).astype(np.float32)
+        speech += (rng.standard_normal(len(speech)) * 0.01).astype(
+            np.float32)
+        labels = client.infer_diarization(speech, model_name="run")
+        assert labels.ndim == 2 and labels.shape[1] == 3
+        exp = service.speaker.diarize_pcm(speech, utt="unk")
+        want = np.asarray(
+            [(b, e, float(s)) for (_u, b, e, s) in exp], np.float32
+        ).reshape(-1, 3)
+        np.testing.assert_array_equal(labels, want)
         client.close()
     finally:
         grpc_server.stop(grace=None)

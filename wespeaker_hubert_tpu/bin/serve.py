@@ -231,12 +231,18 @@ class EmbeddingService:
 
         wav, sr = read_wav_bytes(data)
         assert sr == self.speaker.resample_rate, f"sample rate {sr}"
+        return self.diarize_samples(wav, utt=utt)
+
+    def diarize_samples(self, wav: np.ndarray, utt: str = "unk"):
+        """Diarize raw float32 samples through the micro-batch queue
+        (gRPC 'run' model + HTTP /diarize both land here)."""
         out_q: queue.Queue = queue.Queue()
-        self._diar_q.put((wav, utt, out_q))
+        self._diar_q.put((np.asarray(wav, np.float32).reshape(-1), utt,
+                          out_q))
         ok, payload = out_q.get(timeout=600)
         if not ok:
             raise payload
-        self.diar_meter.update(len(wav) / sr, 1)
+        self.diar_meter.update(len(wav) / self.speaker.resample_rate, 1)
         return payload
 
     def stats(self) -> dict:

@@ -125,7 +125,23 @@ def build_grpc_server(service, host="0.0.0.0", port=8502, model_name=None,
     def model_ready(req, ctx):
         return pb2.ModelReadyResponse(ready=True)
 
+    # model names understood as the diarization BLS role (the reference
+    # Triton repo calls its ensemble "run";
+    # runtime/server/diarization_gpu/model_repo/run/config.pbtxt:
+    # input "input" FP32 [-1] -> output "LABELS" FP32 [-1, 3] rows of
+    # (begin_s, end_s, speaker))
+    DIAR_MODELS = ("run", "diarization")
+
     def model_metadata(req, ctx):
+        if req.name in DIAR_MODELS:
+            return pb2.ModelMetadataResponse(
+                name=req.name,
+                platform="jax_xla",
+                inputs=[pb2.ModelMetadataResponse.TensorMetadata(
+                    name="input", datatype="FP32", shape=[1, -1])],
+                outputs=[pb2.ModelMetadataResponse.TensorMetadata(
+                    name="LABELS", datatype="FP32", shape=[-1, 3])],
+            )
         return pb2.ModelMetadataResponse(
             name=req.name or (model_name or "speaker"),
             platform="jax_xla",
@@ -138,6 +154,27 @@ def build_grpc_server(service, host="0.0.0.0", port=8502, model_name=None,
 
     def model_infer(req, ctx):
         names = [t.name for t in req.inputs]
+        if req.model_name in DIAR_MODELS:
+            try:
+                idx = names.index("input") if "input" in names else 0
+                wav = _tensor_to_array(req, idx).astype(
+                    np.float32).reshape(-1)
+            except (ValueError, IndexError) as e:
+                ctx.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
+            segs = service.diarize_samples(wav)
+            labels = np.asarray(
+                [(b, e, float(spk)) for (_u, b, e, spk) in segs],
+                np.float32,
+            ).reshape(-1, 3)
+            resp = pb2.ModelInferResponse(
+                model_name=req.model_name, id=req.id,
+            )
+            out = resp.outputs.add()
+            out.name = "LABELS"
+            out.datatype = "FP32"
+            out.shape.extend([int(labels.shape[0]), 3])
+            resp.raw_output_contents.append(labels.tobytes())
+            return resp
         try:
             idx = names.index("WAV") if "WAV" in names else 0
             wav = _tensor_to_array(req, idx).astype(np.float32).reshape(-1)
@@ -237,6 +274,26 @@ class GrpcSpeakerClient:
         return np.asarray(resp.outputs[0].contents.fp32_contents).reshape(
             tuple(resp.outputs[0].shape)
         )
+
+    def infer_diarization(self, wav, model_name="run"):
+        """Reference diarization-client protocol
+        (runtime/server/diarization_gpu/client/client.py): input tensor
+        'input' FP32 (1, n) -> 'LABELS' FP32 (n_segments, 3) rows of
+        (begin_s, end_s, speaker)."""
+        import numpy as np
+
+        pb2 = self._pb2
+        wav = np.asarray(wav, np.float32).reshape(-1)
+        req = pb2.ModelInferRequest(model_name=model_name)
+        t = req.inputs.add()
+        t.name = "input"
+        t.datatype = "FP32"
+        t.shape.extend([1, wav.size])
+        req.raw_input_contents.append(wav.tobytes())
+        resp = self._call("ModelInfer", req, pb2.ModelInferResponse)
+        return np.frombuffer(
+            resp.raw_output_contents[0], "<f4"
+        ).reshape(tuple(resp.outputs[0].shape))
 
     def close(self):
         self._channel.close()
