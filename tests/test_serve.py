@@ -198,6 +198,28 @@ def test_kserve_v2_protocol(server):
         assert e.code == 400
         assert "WAV" in json.loads(e.read())["error"]
 
+    # diarization BLS model over REST: model 'run', input 'input' ->
+    # LABELS (n, 3) — reference diarization_gpu ensemble protocol
+    with urllib.request.urlopen(
+        server + "/v2/models/run", timeout=30
+    ) as r:
+        dmeta = json.loads(r.read())
+    assert dmeta["inputs"][0]["name"] == "input"
+    assert dmeta["outputs"][0]["name"] == "LABELS"
+    t = np.arange(2 * 16000) / 16000
+    speech = (np.sin(2 * np.pi * 500 * t) * 0.3).astype(np.float32)
+    speech += (rng.standard_normal(len(speech)) * 0.01).astype(np.float32)
+    body = json.dumps({
+        "inputs": [{"name": "input", "shape": [1, len(speech)],
+                    "datatype": "FP32", "data": speech.tolist()}]
+    }).encode()
+    out = _post(server + "/v2/models/run/infer", body)
+    lab = out["outputs"][0]
+    assert lab["name"] == "LABELS" and lab["shape"][1] == 3
+    exp = server.service.speaker.diarize_pcm(speech, utt="unk")
+    want = [x for (_u, b, e, s) in exp for x in (b, e, float(s))]
+    assert lab["data"] == pytest.approx(want)
+
 
 def test_diarize_endpoint(server):
     """POST /diarize returns merged speaker segments (the reference

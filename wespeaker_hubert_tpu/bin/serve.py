@@ -281,6 +281,18 @@ def _make_handler(service: EmbeddingService):
                 self._json(200, {})
             elif self.path.startswith("/v2/models/"):
                 name = self.path[len("/v2/models/"):].split("/")[0]
+                if name in ("run", "diarization"):
+                    # diarization BLS model (reference diarization_gpu
+                    # ensemble protocol)
+                    self._json(200, {
+                        "name": name,
+                        "platform": "jax_xla",
+                        "inputs": [{"name": "input", "datatype": "FP32",
+                                    "shape": [1, -1]}],
+                        "outputs": [{"name": "LABELS", "datatype": "FP32",
+                                     "shape": [-1, 3]}],
+                    })
+                    return
                 self._json(200, {
                     "name": name,
                     "platform": "jax_xla",
@@ -303,7 +315,27 @@ def _make_handler(service: EmbeddingService):
                     "/infer"
                 ):
                     req = json.loads(data)
+                    model = self.path.split("/")[3]
                     tensors = {t["name"]: t for t in req.get("inputs", [])}
+                    if model in ("run", "diarization"):
+                        if "input" not in tensors:
+                            raise ValueError("missing input tensor 'input'")
+                        wav = np.asarray(
+                            tensors["input"]["data"], np.float32
+                        ).reshape(-1)
+                        segs = service.diarize_samples(wav)
+                        rows = [[float(b), float(e), float(s)]
+                                for (_u, b, e, s) in segs]
+                        self._json(200, {
+                            "model_name": model,
+                            "outputs": [{
+                                "name": "LABELS",
+                                "datatype": "FP32",
+                                "shape": [len(rows), 3],
+                                "data": [x for r in rows for x in r],
+                            }],
+                        })
+                        return
                     if "WAV" not in tensors:
                         raise ValueError("missing input tensor 'WAV'")
                     wav = np.asarray(
@@ -311,7 +343,7 @@ def _make_handler(service: EmbeddingService):
                     ).reshape(-1)
                     emb = service.embed_samples(wav)
                     self._json(200, {
-                        "model_name": self.path.split("/")[3],
+                        "model_name": model,
                         "outputs": [{
                             "name": "EMB",
                             "datatype": "FP32",
