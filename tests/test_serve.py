@@ -160,7 +160,7 @@ def test_kserve_v2_protocol(server):
     ) as r:
         meta = json.loads(r.read())
     assert meta["inputs"][0]["name"] == "WAV"
-    assert meta["outputs"][0]["name"] == "EMB"
+    assert meta["outputs"][0]["name"] == "EMBEDDINGS"
     assert meta["outputs"][0]["shape"] == [1, 16]
 
     rng = np.random.default_rng(7)
@@ -171,7 +171,8 @@ def test_kserve_v2_protocol(server):
     }).encode()
     out = _post(server + "/v2/models/speaker/infer", body)
     emb_t = out["outputs"][0]
-    assert emb_t["name"] == "EMB"
+    # no requested outputs -> the reference client's name is the default
+    assert emb_t["name"] == "EMBEDDINGS"
     assert emb_t["shape"] == [1, 16]
     v2_emb = np.asarray(emb_t["data"], np.float32)
 
@@ -316,7 +317,7 @@ def test_grpc_kserve_protocol(server):
         client = GrpcSpeakerClient(f"127.0.0.1:{port}")
         assert client.server_live()
         meta = client.model_metadata()
-        assert meta.outputs[0].name == "EMB"
+        assert meta.outputs[0].name == "EMBEDDINGS"
         rng = np.random.default_rng(3)
         wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)
         emb_raw = client.infer_embedding(wav, raw=True)
@@ -402,7 +403,7 @@ def test_grpc_datatype_contents_mismatch(server):
             "BOOL", lambda t: t.contents.bool_contents.extend(
                 [True, False, True, False])
         )
-        assert resp.outputs[0].name == "EMB"
+        assert resp.outputs[0].name == "EMBEDDINGS"
         client.close()
     finally:
         grpc_server.stop(grace=None)

@@ -298,7 +298,7 @@ def _make_handler(service: EmbeddingService):
                     "platform": "jax_xla",
                     "inputs": [{"name": "WAV", "datatype": "FP32",
                                 "shape": [1, -1]}],
-                    "outputs": [{"name": "EMB", "datatype": "FP32",
+                    "outputs": [{"name": "EMBEDDINGS", "datatype": "FP32",
                                  "shape": [1, service.embed_dim]}],
                 })
             else:
@@ -342,10 +342,16 @@ def _make_handler(service: EmbeddingService):
                         tensors["WAV"]["data"], np.float32
                     ).reshape(-1)
                     emb = service.embed_samples(wav)
+                    # honor the requested output name (reference Triton
+                    # clients read back "EMBEDDINGS"; older clients of
+                    # this server used "EMB")
+                    reqs = req.get("outputs", [])
+                    oname = (reqs[0].get("name") if reqs
+                             else "EMBEDDINGS") or "EMBEDDINGS"
                     self._json(200, {
                         "model_name": model,
                         "outputs": [{
-                            "name": "EMB",
+                            "name": oname,
                             "datatype": "FP32",
                             "shape": [1, int(emb.shape[-1])],
                             "data": [float(x) for x in emb.ravel()],

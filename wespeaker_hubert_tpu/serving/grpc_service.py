@@ -148,7 +148,7 @@ def build_grpc_server(service, host="0.0.0.0", port=8502, model_name=None,
             inputs=[pb2.ModelMetadataResponse.TensorMetadata(
                 name="WAV", datatype="FP32", shape=[1, -1])],
             outputs=[pb2.ModelMetadataResponse.TensorMetadata(
-                name="EMB", datatype="FP32",
+                name="EMBEDDINGS", datatype="FP32",
                 shape=[1, service.embed_dim])],
         )
 
@@ -186,7 +186,11 @@ def build_grpc_server(service, host="0.0.0.0", port=8502, model_name=None,
             id=req.id,
         )
         out = resp.outputs.add()
-        out.name = "EMB"
+        # honor the client's requested output name — the reference's
+        # Triton client asks for (and reads back) "EMBEDDINGS"
+        # (runtime/server/x86_gpu/client/client.py:53,58); older
+        # clients of this server requested "EMB"
+        out.name = (req.outputs[0].name if req.outputs else "EMBEDDINGS")
         out.datatype = "FP32"
         out.shape.extend([1, int(emb.shape[-1])])
         resp.raw_output_contents.append(emb.tobytes())
