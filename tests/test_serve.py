@@ -221,6 +221,28 @@ def test_kserve_v2_protocol(server):
     want = [x for (_u, b, e, s) in exp for x in (b, e, float(s))]
     assert lab["data"] == pytest.approx(want)
 
+    # feature_extractor model: wav -> kaldi fbank + CMN (reference
+    # x86_gpu feature_extractor/1/model.py contract)
+    with urllib.request.urlopen(
+        server + "/v2/models/feature_extractor", timeout=30
+    ) as r:
+        fmeta = json.loads(r.read())
+    nm = fmeta["outputs"][0]["shape"][1]
+    assert fmeta["outputs"][0]["name"] == "speech" and nm == 40
+    body = json.dumps({
+        "inputs": [{"name": "wav", "shape": [1, len(wav)],
+                    "datatype": "FP32", "data": wav.tolist()}]
+    }).encode()
+    out = _post(server + "/v2/models/feature_extractor/infer", body)
+    sp = out["outputs"][0]
+    assert sp["name"] == "speech" and sp["shape"][1] == nm
+    feats = np.asarray(sp["data"], np.float32).reshape(sp["shape"])
+    assert feats.shape[0] > 90  # ~1 s of 10 ms frames
+    # per-utterance CMN: time-mean ~ 0 per mel bin
+    np.testing.assert_allclose(feats.mean(0), 0.0, atol=1e-4)
+    ref_feats = server.service.features_samples(wav)
+    np.testing.assert_array_equal(feats, ref_feats.astype(np.float32))
+
 
 def test_diarize_endpoint(server):
     """POST /diarize returns merged speaker segments (the reference
@@ -344,6 +366,22 @@ def test_grpc_kserve_protocol(server):
             [(b, e, float(s)) for (_u, b, e, s) in exp], np.float32
         ).reshape(-1, 3)
         np.testing.assert_array_equal(labels, want)
+
+        # feature_extractor model over gRPC (wav -> speech feats)
+        pb2 = client._pb2
+        req = pb2.ModelInferRequest(model_name="feature_extractor")
+        ti = req.inputs.add()
+        ti.name = "wav"
+        ti.datatype = "FP32"
+        ti.shape.extend([1, wav.size])
+        req.raw_input_contents.append(wav.tobytes())
+        resp = client._call("ModelInfer", req, pb2.ModelInferResponse)
+        assert resp.outputs[0].name == "speech"
+        feats = np.frombuffer(
+            resp.raw_output_contents[0], "<f4"
+        ).reshape(tuple(resp.outputs[0].shape))
+        np.testing.assert_array_equal(
+            feats, service.features_samples(wav).astype(np.float32))
         client.close()
     finally:
         grpc_server.stop(grace=None)

@@ -233,6 +233,42 @@ class EmbeddingService:
         assert sr == self.speaker.resample_rate, f"sample rate {sr}"
         return self.diarize_samples(wav, utt=utt)
 
+    def features_samples(self, wav: np.ndarray) -> np.ndarray:
+        """Kaldi fbank + per-utterance CMN -> (T, num_mel_bins): the
+        'feature_extractor' KServe model (reference x86_gpu model_repo
+        feature_extractor/1/model.py — kaldifeat fbank then mean
+        subtraction over time).  Pow2-bucketed, one compiled program per
+        bucket."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.fbank import fbank
+        from ..ops.feature_utils import apply_cmvn
+
+        wav = np.asarray(wav, np.float32).reshape(-1)[: self.max_samples]
+        n = len(wav)
+        bucket = next(
+            (b for b in self.buckets if b >= n), self.max_samples
+        )
+        if not hasattr(self, "_feat_fns"):
+            self._feat_fns = {}
+        if bucket not in self._feat_fns:
+            cfg = self.speaker.fbank_cfg
+
+            @jax.jit
+            def _fn(w, length):
+                feats, lens = fbank(w[None], cfg, lengths=length[None])
+                feats = apply_cmvn(feats, lengths=lens)
+                return feats[0], lens[0]
+
+            self._feat_fns[bucket] = _fn
+        w = np.zeros((bucket,), np.float32)
+        w[:n] = wav
+        feats, t = self._feat_fns[bucket](
+            jnp.asarray(w), jnp.asarray(n, jnp.int32)
+        )
+        return np.asarray(feats)[: int(t)]
+
     def diarize_samples(self, wav: np.ndarray, utt: str = "unk"):
         """Diarize raw float32 samples through the micro-batch queue
         (gRPC 'run' model + HTTP /diarize both land here)."""
@@ -293,6 +329,19 @@ def _make_handler(service: EmbeddingService):
                                      "shape": [-1, 3]}],
                     })
                     return
+                if name == "feature_extractor":
+                    # reference x86_gpu feature_extractor contract:
+                    # wav FP32 [-1] -> speech FP32 [-1, num_mel_bins]
+                    nm = int(service.speaker.fbank_cfg.num_mel_bins)
+                    self._json(200, {
+                        "name": name,
+                        "platform": "jax_xla",
+                        "inputs": [{"name": "wav", "datatype": "FP32",
+                                    "shape": [1, -1]}],
+                        "outputs": [{"name": "speech", "datatype": "FP32",
+                                     "shape": [-1, nm]}],
+                    })
+                    return
                 self._json(200, {
                     "name": name,
                     "platform": "jax_xla",
@@ -333,6 +382,24 @@ def _make_handler(service: EmbeddingService):
                                 "datatype": "FP32",
                                 "shape": [len(rows), 3],
                                 "data": [x for r in rows for x in r],
+                            }],
+                        })
+                        return
+                    if model == "feature_extractor":
+                        if "wav" not in tensors:
+                            raise ValueError("missing input tensor 'wav'")
+                        wav = np.asarray(
+                            tensors["wav"]["data"], np.float32
+                        ).reshape(-1)
+                        feats = service.features_samples(wav)
+                        self._json(200, {
+                            "model_name": model,
+                            "outputs": [{
+                                "name": "speech",
+                                "datatype": "FP32",
+                                "shape": [int(feats.shape[0]),
+                                          int(feats.shape[1])],
+                                "data": [float(x) for x in feats.ravel()],
                             }],
                         })
                         return

@@ -133,6 +133,17 @@ def build_grpc_server(service, host="0.0.0.0", port=8502, model_name=None,
     DIAR_MODELS = ("run", "diarization")
 
     def model_metadata(req, ctx):
+        if req.name == "feature_extractor":
+            # reference x86_gpu feature_extractor contract
+            nm = int(service.speaker.fbank_cfg.num_mel_bins)
+            return pb2.ModelMetadataResponse(
+                name=req.name,
+                platform="jax_xla",
+                inputs=[pb2.ModelMetadataResponse.TensorMetadata(
+                    name="wav", datatype="FP32", shape=[1, -1])],
+                outputs=[pb2.ModelMetadataResponse.TensorMetadata(
+                    name="speech", datatype="FP32", shape=[-1, nm])],
+            )
         if req.name in DIAR_MODELS:
             return pb2.ModelMetadataResponse(
                 name=req.name,
@@ -154,6 +165,23 @@ def build_grpc_server(service, host="0.0.0.0", port=8502, model_name=None,
 
     def model_infer(req, ctx):
         names = [t.name for t in req.inputs]
+        if req.model_name == "feature_extractor":
+            try:
+                idx = names.index("wav") if "wav" in names else 0
+                wav = _tensor_to_array(req, idx).astype(
+                    np.float32).reshape(-1)
+            except (ValueError, IndexError) as e:
+                ctx.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
+            feats = service.features_samples(wav).astype(np.float32)
+            resp = pb2.ModelInferResponse(
+                model_name=req.model_name, id=req.id,
+            )
+            out = resp.outputs.add()
+            out.name = "speech"
+            out.datatype = "FP32"
+            out.shape.extend([int(feats.shape[0]), int(feats.shape[1])])
+            resp.raw_output_contents.append(feats.tobytes())
+            return resp
         if req.model_name in DIAR_MODELS:
             try:
                 idx = names.index("input") if "input" in names else 0
