@@ -243,6 +243,21 @@ def test_kserve_v2_protocol(server):
     ref_feats = server.service.features_samples(wav)
     np.testing.assert_array_equal(feats, ref_feats.astype(np.float32))
 
+    # speaker_model: feats -> embs (reference x86_gpu TensorRT role);
+    # composing the two models reproduces the in-process computation
+    body = json.dumps({
+        "inputs": [{"name": "feats", "shape": list(feats.shape),
+                    "datatype": "FP32",
+                    "data": [float(x) for x in feats.ravel()]}]
+    }).encode()
+    out = _post(server + "/v2/models/speaker_model/infer", body)
+    et = out["outputs"][0]
+    assert et["name"] == "embs" and et["shape"] == [16]
+    emb = np.asarray(et["data"], np.float32)
+    want = server.service.embed_feats_samples(feats)
+    np.testing.assert_allclose(emb, want, rtol=0, atol=1e-6)
+    assert np.isfinite(emb).all()
+
 
 def test_diarize_endpoint(server):
     """POST /diarize returns merged speaker segments (the reference

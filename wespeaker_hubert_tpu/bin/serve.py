@@ -269,6 +269,35 @@ class EmbeddingService:
         )
         return np.asarray(feats)[: int(t)]
 
+    def embed_feats_samples(self, feats: np.ndarray) -> np.ndarray:
+        """(T, num_mel_bins) features -> embedding: the 'speaker_model'
+        KServe model (reference x86_gpu speaker_model TensorRT role —
+        consumes feature_extractor's CMN'd fbank).  Pow2-bucketed T with
+        a validity mask; the eval path re-applies mean-CMN, a no-op on
+        already-CMN'd input."""
+        import jax.numpy as jnp
+
+        from ..train import make_eval_embed
+
+        feats = np.asarray(feats, np.float32)
+        if feats.ndim == 3:
+            feats = feats[0]
+        t, f = feats.shape
+        bucket = max(128, 1 << max(t - 1, 1).bit_length())
+        if not hasattr(self, "_feats_embed_fn"):
+            self._feats_embed_fn = make_eval_embed(
+                self.speaker.net, compute_dtype=self._compute_dtype
+            )
+        n = min(t, bucket)
+        pad = np.zeros((1, bucket, f), np.float32)
+        pad[0, :n] = feats[:n]
+        emb = self._feats_embed_fn(
+            self._variables,
+            {"feat": jnp.asarray(pad),
+             "feat_length": jnp.asarray([n], jnp.int32)},
+        )
+        return np.asarray(emb)[0]
+
     def diarize_samples(self, wav: np.ndarray, utt: str = "unk"):
         """Diarize raw float32 samples through the micro-batch queue
         (gRPC 'run' model + HTTP /diarize both land here)."""
@@ -342,6 +371,19 @@ def _make_handler(service: EmbeddingService):
                                      "shape": [-1, nm]}],
                     })
                     return
+                if name == "speaker_model":
+                    # reference x86_gpu speaker_model contract:
+                    # feats FP32 [-1, num_mel] -> embs FP32 [embed_dim]
+                    nm = int(service.speaker.fbank_cfg.num_mel_bins)
+                    self._json(200, {
+                        "name": name,
+                        "platform": "jax_xla",
+                        "inputs": [{"name": "feats", "datatype": "FP32",
+                                    "shape": [-1, nm]}],
+                        "outputs": [{"name": "embs", "datatype": "FP32",
+                                     "shape": [service.embed_dim]}],
+                    })
+                    return
                 self._json(200, {
                     "name": name,
                     "platform": "jax_xla",
@@ -400,6 +442,26 @@ def _make_handler(service: EmbeddingService):
                                 "shape": [int(feats.shape[0]),
                                           int(feats.shape[1])],
                                 "data": [float(x) for x in feats.ravel()],
+                            }],
+                        })
+                        return
+                    if model == "speaker_model":
+                        if "feats" not in tensors:
+                            raise ValueError(
+                                "missing input tensor 'feats'")
+                        tf = tensors["feats"]
+                        feats = np.asarray(
+                            tf["data"], np.float32
+                        ).reshape([d for d in tf["shape"] if d != 1]
+                                  if len(tf["shape"]) > 2 else tf["shape"])
+                        emb = service.embed_feats_samples(feats)
+                        self._json(200, {
+                            "model_name": model,
+                            "outputs": [{
+                                "name": "embs",
+                                "datatype": "FP32",
+                                "shape": [int(emb.shape[-1])],
+                                "data": [float(x) for x in emb.ravel()],
                             }],
                         })
                         return

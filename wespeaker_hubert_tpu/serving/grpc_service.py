@@ -144,6 +144,17 @@ def build_grpc_server(service, host="0.0.0.0", port=8502, model_name=None,
                 outputs=[pb2.ModelMetadataResponse.TensorMetadata(
                     name="speech", datatype="FP32", shape=[-1, nm])],
             )
+        if req.name == "speaker_model":
+            nm = int(service.speaker.fbank_cfg.num_mel_bins)
+            return pb2.ModelMetadataResponse(
+                name=req.name,
+                platform="jax_xla",
+                inputs=[pb2.ModelMetadataResponse.TensorMetadata(
+                    name="feats", datatype="FP32", shape=[-1, nm])],
+                outputs=[pb2.ModelMetadataResponse.TensorMetadata(
+                    name="embs", datatype="FP32",
+                    shape=[service.embed_dim])],
+            )
         if req.name in DIAR_MODELS:
             return pb2.ModelMetadataResponse(
                 name=req.name,
@@ -181,6 +192,22 @@ def build_grpc_server(service, host="0.0.0.0", port=8502, model_name=None,
             out.datatype = "FP32"
             out.shape.extend([int(feats.shape[0]), int(feats.shape[1])])
             resp.raw_output_contents.append(feats.tobytes())
+            return resp
+        if req.model_name == "speaker_model":
+            try:
+                idx = names.index("feats") if "feats" in names else 0
+                feats = _tensor_to_array(req, idx).astype(np.float32)
+            except (ValueError, IndexError) as e:
+                ctx.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
+            emb = service.embed_feats_samples(feats).astype(np.float32)
+            resp = pb2.ModelInferResponse(
+                model_name=req.model_name, id=req.id,
+            )
+            out = resp.outputs.add()
+            out.name = "embs"
+            out.datatype = "FP32"
+            out.shape.extend([int(emb.shape[-1])])
+            resp.raw_output_contents.append(emb.tobytes())
             return resp
         if req.model_name in DIAR_MODELS:
             try:
