@@ -46,7 +46,14 @@ def bench_extract(model_name, batch, seconds, dtype, iters=10,
     if feat_dim is None:
         # ReDimNet's stage geometry requires its published mel count
         feat_dim = 72 if model_name.startswith("ReDimNet") else 80
-    model = get_speaker_model(model_name)(feat_dim=feat_dim, embed_dim=192)
+    model_kw = {}
+    if model_name.startswith("ReDimNet"):
+        # production knob (same adjudication as the SSL encoder): tanh
+        # GELU avoids f32 erf-polynomial copies of every stage tensor;
+        # embedding cosine vs erf 0.99998 in bf16 (PERF_NOTES round 4)
+        model_kw["gelu_impl"] = "tanh"
+    model = get_speaker_model(model_name)(feat_dim=feat_dim, embed_dim=192,
+                                          **model_kw)
     n = int(seconds * SR)
     frames = 1 + (n - 400) // 160
     variables = model.init(

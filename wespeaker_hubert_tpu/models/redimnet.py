@@ -33,6 +33,33 @@ __all__ = [
 ]
 
 
+def _gelu(x, impl: str):
+    """erf = torch nn.GELU() exact (parity default).  'tanh' swaps in the
+    tanh approximation: on TPU the erf polynomial has no bf16 path, so a
+    bf16 graph materializes f32 copies of every stage tensor around each
+    GELU (round-4 HLO: f32[B,T,F,C] copy pairs per block) — the same
+    VPU-prologue cost adjudicated for the SSL encoder
+    (frontend/ssl_encoder.py gelu_impl; embedding cosine erf-vs-tanh
+    measured at/below the bf16 rounding floor)."""
+    return nn.gelu(x, approximate=(impl == "tanh"))
+
+
+def _mix_outputs(w: jax.Array, outputs_1d: Sequence[jax.Array]) -> jax.Array:
+    """Per-(source, channel) softmax-weighted sum of the stage outputs
+    (reference inputs_weights :661-670), as an UNROLLED f32-accumulated
+    sum rather than stack+einsum: jnp.stack materializes an (n,B,T,CF)
+    copy that the reduce then re-reads — on a (64,998,1152) stream that
+    was ~2x the mix's minimum HBM traffic (round-4 trace).  The unrolled
+    form fuses into one loop fusion reading the n stage outputs in
+    place; accumulation stays f32 in-fusion and the result returns to
+    the stream dtype so a bf16 graph stays bf16 (cf. sslfrontend.py)."""
+    wn = jax.nn.softmax(w.astype(jnp.float32), axis=0)  # (n, CF)
+    acc = outputs_1d[0].astype(jnp.float32) * wn[0]
+    for i in range(1, len(outputs_1d)):
+        acc = acc + outputs_1d[i].astype(jnp.float32) * wn[i]
+    return acc.astype(outputs_1d[0].dtype)
+
+
 def _groups(c: int, gd: Optional[int]) -> int:
     if gd is None:
         return 1
@@ -50,6 +77,7 @@ class ConvNeXtLikeBlock(nn.Module):
     dim: int = 2
     kernel_sizes: Tuple = ((3, 3),)
     group_divisor: Optional[int] = 1
+    gelu_impl: str = "erf"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -70,7 +98,7 @@ class ConvNeXtLikeBlock(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             name="norm",
         )(h)
-        h = nn.gelu(h, approximate=False)
+        h = _gelu(h, self.gelu_impl)
         h = nn.Conv(self.C, (1,) * self.dim, name="pwconv1")(h)
         return x + h
 
@@ -161,13 +189,15 @@ class _Attention(nn.Module):
         q = nn.Dense(d, name="q_proj")(x).reshape(b, t, self.heads, hd)
         k = nn.Dense(d, name="k_proj")(x).reshape(b, t, self.heads, hd)
         v = nn.Dense(d, name="v_proj")(x).reshape(b, t, self.heads, hd)
-        w = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * (hd**-0.5)
-        w = jax.nn.softmax(w, axis=-1)
-        out = jnp.einsum(
-            "bhqk,bkhd->bqhd", w, v, preferred_element_type=jnp.float32
-        ).reshape(b, t, d)
+        # Scores stored in the compute dtype (MXU accumulates f32 either
+        # way; halves the T^2 HBM traffic), softmax upcast to f32
+        # in-fusion, probs back to the compute dtype — same dtype policy
+        # as frontend/ssl_encoder.py.  A round-4 trace showed the old
+        # preferred_element_type=f32 outputs re-promoting the whole
+        # residual stream (and every downstream stage) to f32.
+        w = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd**-0.5)
+        w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, t, d)
         return nn.Dense(d, name="out_proj")(out)
 
 
@@ -215,6 +245,7 @@ class TimeContextBlock1d(nn.Module):
     hC: int
     block_type: str = "conv+att"
     pos_ker_sz: int = 59
+    gelu_impl: str = "erf"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -225,7 +256,7 @@ class TimeContextBlock1d(nn.Module):
         if self.block_type == "fc":
             h2 = nn.Conv(self.hC * 2, (1,), name="fc1")(h)
             h2 = LayerNorm(epsilon=1e-6, name="fc_norm")(h2)
-            h2 = nn.gelu(h2, approximate=False)
+            h2 = _gelu(h2, self.gelu_impl)
             h = nn.Conv(self.hC, (1,), name="fc2")(h2)
         elif self.block_type == "att":
             h = PosEncConv(self.hC, self.pos_ker_sz, name="pos_enc")(h)
@@ -236,7 +267,7 @@ class TimeContextBlock1d(nn.Module):
             for i, ks in enumerate((7, 19, 31, 59)):
                 h = ConvNeXtLikeBlock(
                     self.hC, dim=1, kernel_sizes=(ks,), group_divisor=1,
-                    name=f"convnext_{i}",
+                    gelu_impl=self.gelu_impl, name=f"convnext_{i}",
                 )(h, train)
             h = TransformerEncoderLayer(self.hC, self.hC, 4, name="att")(h)
         elif self.block_type == "gru":
@@ -277,12 +308,14 @@ class ReDimNet(nn.Module):
     pooling_func: str = "ASTP"
     global_context_att: bool = True
     two_emb_layer: bool = False
+    gelu_impl: str = "erf"
 
     def _block2d(self, c, f, name):
         if self.block_2d_type == "convnext_like":
             return ConvNeXtLikeBlock(
                 c, dim=2, kernel_sizes=((3, 3),),
-                group_divisor=self.group_divisor, name=name,
+                group_divisor=self.group_divisor,
+                gelu_impl=self.gelu_impl, name=name,
             )
         use_fwse = self.block_2d_type == "basic_resnet_fwse"
         return ResBasicBlock(
@@ -323,12 +356,7 @@ class ReDimNet(nn.Module):
                     nn.initializers.zeros,
                     (n, cf),
                 )
-                wn = jax.nn.softmax(w, axis=0)
-                stacked = jnp.stack(outputs_1d, axis=0)  # (n, B, T, CF)
-                z = jnp.einsum(
-                    "nc,nbtc->btc", wn, stacked,
-                    preferred_element_type=jnp.float32,
-                )
+                z = _mix_outputs(w, outputs_1d)
             z2 = to2d(z, cur_c, cur_f)  # (B, T, F, C)
 
             # downsample freq / expand channels: conv (1, stride) over (T,F)
@@ -357,14 +385,14 @@ class ReDimNet(nn.Module):
                     use_running_average=not train, momentum=0.9,
                     epsilon=1e-6, name=f"stage{si}_squeeze_bn",
                 )(z2)
-                z2 = nn.gelu(z2, approximate=False)
+                z2 = _gelu(z2, self.gelu_impl)
                 z2 = nn.Conv(cur_c, (1, 1), name=f"stage{si}_squeeze_pw")(z2)
 
             z1 = to1d(z2)
             if att_red is not None:
                 z1 = TimeContextBlock1d(
                     cf, cf // att_red, block_type=self.block_1d_type,
-                    name=f"stage{si}_tcb",
+                    gelu_impl=self.gelu_impl, name=f"stage{si}_tcb",
                 )(z1, train)
             outputs_1d.append(z1)
 
@@ -373,11 +401,7 @@ class ReDimNet(nn.Module):
         w = self.param(
             "inputs_weights_final", nn.initializers.zeros, (n, cf)
         )
-        wn = jax.nn.softmax(w, axis=0)
-        stacked = jnp.stack(outputs_1d, axis=0)
-        feat = jnp.einsum(
-            "nc,nbtc->btc", wn, stacked, preferred_element_type=jnp.float32
-        )
+        feat = _mix_outputs(w, outputs_1d)
 
         out_dim = cf
         if self.out_channels is not None:
@@ -408,13 +432,13 @@ class ReDimNet(nn.Module):
 
 def _mk(C, b2, setup, gd):
     def make(feat_dim=72, embed_dim=192, pooling_func="ASTP",
-             two_emb_layer=False, **kw):
+             two_emb_layer=False, gelu_impl="erf", **kw):
         return ReDimNet(
             feat_dim=feat_dim, C=C, block_1d_type="conv+att",
             block_2d_type=b2, stages_setup=setup, group_divisor=gd,
             out_channels=None, embed_dim=embed_dim,
             pooling_func=pooling_func, global_context_att=True,
-            two_emb_layer=two_emb_layer,
+            two_emb_layer=two_emb_layer, gelu_impl=gelu_impl,
         )
 
     return make
