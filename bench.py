@@ -163,6 +163,14 @@ def _extra_metrics():
         lambda: bench_all.bench_dino_step(
             iters=5, compute_dtype=jnp.bfloat16)[0])
     run("diar_batch_audio_s_per_s", 900, _bench_diar_batch)
+    # ReDimNet: the round-4 dtype-fix + tanh family (slowest zoo row
+    # before; regression here would mean the fix unwound)
+    run("ReDimNetB2_extract_bf16", 600,
+        lambda: bench_all.bench_extract("ReDimNetB2", 64, 10.0, "bf16",
+                                        iters=4))
+    # host-feed role (CPU-side): compressed-shard native loader
+    run("native_shard_zstd_utts_per_s", 300,
+        lambda: bench_all.bench_native_shard())
     return out
 
 

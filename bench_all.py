@@ -493,6 +493,91 @@ def bench_dino_step(model_name="ECAPA_TDNN_c512", batch=64, iters=10,
     return audio_s / dt, batch * iters / dt
 
 
+def bench_native_shard(compress="zstd", n_shards=8, utts_per_shard=250,
+                       num_threads=4, epochs=12, seconds=1.5,
+                       cache_root="/tmp/bench_native_shards"):
+    """Native C++ shard-loader throughput (utts/s) on compressed tars —
+    the host-feed role of the reference FeaturePipeline/DataLoader
+    (wespeaker/dataset/processor.py tar_file_and_group + 16 workers).
+
+    Shards are synthesized once per (compress, size) and cached across
+    runs; the timed region is pure loader epochs (filter/chunk/speed/
+    shuffle policy, full batch assembly)."""
+    import os
+    import tarfile
+
+    from wespeaker_hubert_tpu.data import write_wav
+    from wespeaker_hubert_tpu.data.native_loader import (
+        DeterministicNativeShardLoader,
+        native_available,
+        native_zstd_available,
+    )
+
+    if not native_available():
+        raise RuntimeError("native loader unavailable (no g++)")
+    if compress == "zstd" and not native_zstd_available():
+        raise RuntimeError("libzstd unavailable")
+
+    ext = {"zstd": ".tar.zst", "gz": ".tar.gz", None: ".tar"}[compress]
+    root = f"{cache_root}_{compress}_{n_shards}x{utts_per_shard}"
+    shards = [os.path.join(root, f"shard{s}{ext}")
+              for s in range(n_shards)]
+    if not all(os.path.exists(s) for s in shards):
+        os.makedirs(root, exist_ok=True)
+        rng = np.random.default_rng(0)
+        n = int(seconds * SR)
+        for s, shard in enumerate(shards):
+            plain = os.path.join(root, f"shard{s}.tar")
+            with tarfile.open(plain, "w") as tf:
+                import io
+
+                for u in range(utts_per_shard):
+                    wav = (rng.standard_normal(n) * 0.1).astype(np.float32)
+                    wp = os.path.join(root, "tmp.wav")
+                    write_wav(wp, wav)
+                    # shard sample = {utt}.wav + {utt}.spk (the format
+                    # bin/tools.py _write_shard produces)
+                    tf.add(wp, arcname=f"s{s}u{u}.wav")
+                    spk = f"spk{u % 40}".encode()
+                    info = tarfile.TarInfo(f"s{s}u{u}.spk")
+                    info.size = len(spk)
+                    tf.addfile(info, io.BytesIO(spk))
+            if compress == "zstd":
+                from wespeaker_hubert_tpu.data.zstd_io import compress_file
+
+                compress_file(plain, shard)
+                os.remove(plain)
+            elif compress == "gz":
+                import gzip
+                import shutil
+
+                with open(plain, "rb") as f, gzip.open(shard, "wb") as out:
+                    shutil.copyfileobj(f, out)
+                os.remove(plain)
+        tmp = os.path.join(root, "tmp.wav")
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+    spk2id = {f"spk{i}": i for i in range(40)}
+    loader = DeterministicNativeShardLoader(
+        shards, spk2id, chunk_samples=int(2.0 * SR), batch_size=64,
+        num_spks=40, min_samples=8000, shuffle_size=1000,
+        num_threads=num_threads,
+    )
+    try:
+        n_utts = sum(1 for _ in loader.epoch(0)) * 64  # warm page cache
+        t0 = time.perf_counter()
+        total = 0
+        for e in range(1, epochs + 1):
+            for wav, label, speed in loader.epoch(e):
+                total += wav.shape[0]
+        dt = time.perf_counter() - t0
+    finally:
+        loader.close()
+    assert total >= n_utts * epochs * 0.9, "loader starved mid-bench"
+    return total / dt
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--models", default="ECAPA_TDNN_c512,ResNet34")
@@ -518,6 +603,10 @@ def main():
                         "(flash = Pallas kernel, TPU only)")
     p.add_argument("--wavlm_train", action="store_true",
                    help="benchmark WavLM-Large frozen + joint train steps")
+    p.add_argument("--native_shard", default=None,
+                   choices=("plain", "gz", "zstd"),
+                   help="benchmark the native C++ shard loader (utts/s, "
+                        "CPU-side host-feed role)")
     p.add_argument("--gelu_impl", default="erf", choices=("erf", "tanh"),
                    help="SSL-frontend GELU (tanh = fast approximation, "
                         "embedding cosine 0.99998 vs erf)")
@@ -605,6 +694,17 @@ def main():
             }
             results.append(row)
             print(json.dumps(row), flush=True)
+
+    if args.native_shard:
+        comp = None if args.native_shard == "plain" else args.native_shard
+        tp = bench_native_shard(compress=comp)
+        row = {
+            "metric": f"native_shard_{args.native_shard}_utts_per_s",
+            "value": round(tp, 1),
+            "unit": "utts/s",
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
     return results
 
 
