@@ -232,6 +232,55 @@ def bench_ssl_frontend_extract(batch=16, seconds=10.0, iters=5,
     return batch * seconds * iters / dt
 
 
+def bench_whisper_pmfa_extract(batch=8, seconds=30.0, iters=4,
+                               variant="large_v2", gelu_impl="erf"):
+    """whisper_PMFA_large_v2 extraction throughput, bf16: raw wav ->
+    in-graph log-mel -> Whisper-large-v2 encoder (layers 16..23 concat)
+    -> PMFA head (reference models/whisper_PMFA.py:136 +
+    frontend/whisper_encoder.py; 30 s = the encoder's n_ctx window)."""
+    import dataclasses as _dc
+
+    from wespeaker_hubert_tpu.frontend import (
+        WhisperEncoder,
+        WhisperEncoderConfig,
+    )
+    from wespeaker_hubert_tpu.models import get_speaker_model
+    from wespeaker_hubert_tpu.models.speaker_net import SpeakerNet
+    from wespeaker_hubert_tpu.train import cast_variables_bf16, make_eval_embed
+
+    wcfg = _dc.replace(getattr(WhisperEncoderConfig, variant)(),
+                       gelu_impl=gelu_impl)
+    frontend = WhisperEncoder(wcfg, frozen=True)
+    backbone = get_speaker_model("whisper_PMFA_large_v2")(
+        feat_dim=wcfg.output_size, embed_dim=192)
+    net = SpeakerNet(backbone=backbone, projection=None, frontend=frontend)
+
+    n = int(seconds * SR)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((batch, n)) * 0.1, jnp.float32)
+    fvars = net.init(jax.random.key(0), wav[:1], train=False,
+                     method=net.features)
+    feats, _ = net.apply(fvars, wav[:1], train=False, method=net.features)
+    bvars = backbone.init(jax.random.key(1), feats, train=False)
+    variables = {
+        "params": {**fvars["params"], "backbone": bvars["params"]},
+        "batch_stats": {
+            **fvars.get("batch_stats", {}),
+            "backbone": bvars.get("batch_stats", {}),
+        },
+    }
+    variables = cast_variables_bf16(variables)
+    embed_fn = make_eval_embed(net, compute_dtype=jnp.bfloat16)
+    out = embed_fn(variables, {"wav": wav})
+    _ = np.asarray(out[:1, :1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = embed_fn(variables, {"wav": wav})
+    _ = np.asarray(out[:1, :1])
+    dt = time.perf_counter() - t0
+    return batch * seconds * iters / dt
+
+
 def bench_wavlm_train_step(frozen=True, batch=32, iters=5, loop_steps=1,
                            upstream="wavlm_large", seconds=3.0,
                            gelu_impl="erf"):
