@@ -450,6 +450,90 @@ def bench_moco_step(model_name="ECAPA_TDNN_c512", batch=64, iters=10,
     return audio_s / dt, batch * iters / dt
 
 
+def bench_simclr_step(model_name="ECAPA_TDNN_c512", batch=64, iters=10,
+                      compute_dtype=None):
+    """SimCLR SSL train-step throughput: two aug views + fbank + InfoNCE
+    (ssl/contrastive.make_simclr_train_step; reference
+    ssl/models/simclr_wrapper.py:20).  Same in-graph view pipeline as
+    the MoCo bench so the two rows are directly comparable."""
+    import flax.linen as nn
+    import optax
+
+    from wespeaker_hubert_tpu.bin.train_contrastive import _SimCLRState
+    from wespeaker_hubert_tpu.data.dataset import chunk_samples_for_frames
+    from wespeaker_hubert_tpu.models import get_speaker_model
+    from wespeaker_hubert_tpu.models.registry import embedding_from_outputs
+    from wespeaker_hubert_tpu.ops.augment import add_reverb_noise
+    from wespeaker_hubert_tpu.ops.fbank import FbankConfig
+    from wespeaker_hubert_tpu.ops.pipeline import (
+        FeaturePipelineConfig,
+        wav_to_features,
+    )
+    from wespeaker_hubert_tpu.ssl import make_simclr_train_step
+
+    class Encoder(nn.Module):
+        backbone: nn.Module
+
+        def __call__(self, feats, train=False):
+            return embedding_from_outputs(self.backbone(feats, train=train))
+
+    backbone = get_speaker_model(model_name)(feat_dim=80, embed_dim=192)
+    net = Encoder(backbone=backbone)
+    tx = optax.sgd(0.05, momentum=0.9)
+    fcfg = FeaturePipelineConfig(fbank=FbankConfig(dither=1.0),
+                                 spec_aug=False)
+
+    l = chunk_samples_for_frames(200)
+    feats_ex = jnp.zeros((batch, 200, 80))
+    variables = net.init(jax.random.key(0), feats_ex, train=True)
+    state = _SimCLRState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    step = make_simclr_train_step(net, tx, compute_dtype=compute_dtype)
+
+    rng_np = np.random.default_rng(0)
+    b = {
+        "global_wav": jnp.asarray(
+            rng_np.standard_normal((batch, 2, l)) * 0.1, jnp.float32),
+        "global_rir": jnp.asarray(
+            rng_np.standard_normal((batch, 2, 8000)), jnp.float32),
+        "global_noise": jnp.asarray(
+            rng_np.standard_normal((batch, 2, l)) * 0.05, jnp.float32),
+        "global_aug_type": jnp.asarray(
+            rng_np.integers(0, 3, (batch, 2)), jnp.int32),
+        "global_snr": jnp.full((batch, 2), 10.0, jnp.float32),
+    }
+
+    @jax.jit
+    def views_to_feats(batch, rng):
+        wav = batch["global_wav"]
+        bb, n, ll = wav.shape
+        flat = add_reverb_noise(
+            wav.reshape(bb * n, ll),
+            batch["global_rir"].reshape(bb * n, -1),
+            batch["global_noise"].reshape(bb * n, ll),
+            batch["global_aug_type"].reshape(-1),
+            batch["global_snr"].reshape(-1),
+        )
+        feats, _ = wav_to_features(flat, fcfg, rng=rng, train=True)
+        feats = feats.reshape(bb, n, feats.shape[1], feats.shape[2])
+        return {"query_feat": feats[:, 0], "key_feat": feats[:, 1]}
+
+    key = jax.random.key(1)
+    state, m = step(state, views_to_feats(b, key), key)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, views_to_feats(b, key), key)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+    audio_s = batch * 2 * 2.0 * iters  # two 2 s views per utterance
+    return audio_s / dt, batch * iters / dt
+
+
 def bench_dino_step(model_name="ECAPA_TDNN_c512", batch=64, iters=10,
                     n_global=2, n_local=4, out_dim=65536,
                     compute_dtype=None):
@@ -644,6 +728,8 @@ def main():
                    help="benchmark the DINO SSL train step")
     p.add_argument("--moco", action="store_true",
                    help="benchmark the MoCo SSL train step")
+    p.add_argument("--simclr", action="store_true",
+                   help="benchmark the SimCLR SSL train step")
     p.add_argument("--ssl_frontend", action="store_true",
                    help="benchmark WavLM-Large frontend extraction")
     p.add_argument("--attn_impl", default="einsum",
@@ -710,6 +796,19 @@ def main():
         tp, utts = bench_moco_step()
         row = {
             "metric": "MoCo_ECAPA_c512_ssl_train_step",
+            "value": round(tp, 1),
+            "unit": "audio_s/s/chip",
+            "utts_per_s": round(utts, 1),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    if args.simclr:
+        import jax.numpy as jnp
+
+        tp, utts = bench_simclr_step(compute_dtype=jnp.bfloat16)
+        row = {
+            "metric": "SimCLR_ECAPA_c512_ssl_train_step_bf16",
             "value": round(tp, 1),
             "unit": "audio_s/s/chip",
             "utts_per_s": round(utts, 1),
