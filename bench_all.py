@@ -699,6 +699,10 @@ def bench_native_shard(compress="zstd", n_shards=8, utts_per_shard=250,
     )
     try:
         n_utts = sum(1 for _ in loader.epoch(0)) * 64  # warm page cache
+        assert n_utts > 0, (
+            "loader yielded no batches — shard format mismatch? "
+            f"(decode_failures={loader.decode_failures()})"
+        )
         t0 = time.perf_counter()
         total = 0
         for e in range(1, epochs + 1):
