@@ -1,0 +1,194 @@
+"""Pipeline parallelism: dp x pp parity vs the sequential encoder.
+
+The pipelined stack must be a pure re-scheduling — every hidden state
+bit-equal (up to float reassociation) to SSLEncoder.__call__, and grads
+must flow through the ppermute schedule for the joint fine-tune role.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from wespeaker_hubert_tpu.frontend.ssl_encoder import (
+    SSLEncoder,
+    SSLEncoderConfig,
+)
+from wespeaker_hubert_tpu.parallel.pipeline import (
+    pipeline_apply,
+    pipelined_ssl_hidden_states,
+    stack_encoder_layers,
+)
+
+
+def _mesh(data=2, pipe=4):
+    devs = np.asarray(jax.devices()[: data * pipe]).reshape(data, pipe)
+    return Mesh(devs, ("data", "pipe"))
+
+
+def _build(model_type, n_layers=4):
+    cfg = dataclasses.replace(
+        SSLEncoderConfig.tiny(model_type=model_type),
+        num_hidden_layers=n_layers,
+    )
+    enc = SSLEncoder(cfg)
+    wav = jax.random.normal(jax.random.key(1), (8, 1600)) * 0.1
+    variables = enc.init(jax.random.key(0), wav)
+    return cfg, enc, variables, wav
+
+
+@pytest.mark.parametrize("model_type", ["hubert", "wavlm"])
+def test_pipeline_matches_sequential(model_type):
+    cfg, enc, variables, wav = _build(model_type)
+    ref_hidden, _ = enc.apply(variables, wav)
+
+    mesh = _mesh()
+    pp_hidden = jax.jit(
+        lambda v, w: pipelined_ssl_hidden_states(
+            cfg, v, w, mesh=mesh, n_micro=4, data_axis="data"
+        )
+    )(variables, wav)
+
+    assert len(pp_hidden) == len(ref_hidden) == cfg.num_hidden_layers + 1
+    for i, (a, b) in enumerate(zip(pp_hidden, ref_hidden)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6,
+            err_msg=f"hidden state {i}",
+        )
+
+
+def test_pipeline_single_stage_and_full_pipe():
+    """Degenerate S=1 (pure dp) and S=8 (one layer per stage) both hold."""
+    cfg, enc, variables, wav = _build("hubert", n_layers=8)
+    ref_hidden, _ = enc.apply(variables, wav)
+    for data, pipe, n_micro in ((8, 1, 1), (1, 8, 4)):
+        mesh = _mesh(data, pipe)
+        pp_hidden = pipelined_ssl_hidden_states(
+            cfg, variables, wav, mesh=mesh, n_micro=n_micro,
+            data_axis="data" if data > 1 else None,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pp_hidden[-1]), np.asarray(ref_hidden[-1]),
+            rtol=2e-5, atol=2e-6,
+        )
+
+
+def _grad_fixtures():
+    cfg, enc, variables, wav = _build("hubert")
+    stacked, _ = stack_encoder_layers(variables["params"], cfg)
+
+    from wespeaker_hubert_tpu.frontend.ssl_encoder import EncoderLayer
+
+    layer = EncoderLayer(cfg, layer_idx=1)
+
+    def layer_fn(lp, x):
+        out, _ = layer.apply({"params": lp}, x, None, None)
+        return out
+
+    mesh1 = _mesh(1, 1)
+    hidden0 = pipelined_ssl_hidden_states(
+        cfg, variables, wav, mesh=mesh1, n_micro=1
+    )[0]
+    return cfg, stacked, layer_fn, hidden0
+
+
+def _max_rel_l2(ga, gb):
+    """Max per-leaf relative L2 error, skipping k_proj bias (its true
+    grad is 0 — softmax is invariant to a constant key-score shift — so
+    both sides hold pure noise there)."""
+    worst = 0.0
+    for (path, a), b in zip(
+        jax.tree_util.tree_flatten_with_path(ga)[0], jax.tree.leaves(gb)
+    ):
+        if "k_proj" in jax.tree_util.keystr(path) and a.ndim == 2:
+            continue
+        a, b = np.asarray(a), np.asarray(b)
+        worst = max(
+            worst, np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+        )
+    return worst
+
+
+def test_pipeline_grads_match_sequential():
+    """d(loss)/d(layer params) through the pipeline schedule equals the
+    sequential scan's grads — the joint fine-tune training role.  No
+    data sharding here so per-device activation shapes match the
+    reference evaluation (XLA CPU computes transcendental ops slightly
+    differently per batch shape, which would contaminate the check)."""
+    cfg, stacked, layer_fn, hidden0 = _grad_fixtures()
+    mesh = _mesh(1, 4)
+
+    def seq_loss(sp):
+        def body(h, p):
+            return layer_fn(p, h), None
+
+        h, _ = jax.lax.scan(body, hidden0, sp)
+        return jnp.sum(h ** 2)
+
+    ref_grads = jax.jit(jax.grad(seq_loss))(stacked)
+
+    def pp_loss(sp):
+        states = pipeline_apply(
+            layer_fn, sp, hidden0, mesh=mesh, n_micro=4
+        )
+        return jnp.sum(states[-1] ** 2)
+
+    pp_grads = jax.jit(jax.grad(pp_loss))(stacked)
+    # measured ~2e-7 (f32 ULP of the leaf norms, from microbatched
+    # accumulation order); elementwise comparison would fail on
+    # near-zero entries where reassociation noise dominates
+    assert _max_rel_l2(pp_grads, ref_grads) < 1e-5
+
+
+def test_pipeline_grads_data_sharded_exact():
+    """With dp x pp, pipeline grads are BIT-EXACT against a reference
+    evaluated at the same per-device shapes (grads psum over 'data',
+    microbatches accumulate in tick order = row order here)."""
+    cfg, stacked, layer_fn, hidden0 = _grad_fixtures()
+    mesh = _mesh(8, 1)
+
+    def seq_loss_on(h0, sp):
+        def body(h, p):
+            return layer_fn(p, h), None
+
+        h, _ = jax.lax.scan(body, h0, sp)
+        return jnp.sum(h ** 2)
+
+    ref_grads = jax.tree.map(
+        lambda *x: sum(x),
+        *[
+            jax.grad(lambda sp, h=hidden0[i : i + 1]: seq_loss_on(h, sp))(
+                stacked
+            )
+            for i in range(hidden0.shape[0])
+        ],
+    )
+
+    def pp_loss(sp):
+        states = pipeline_apply(
+            layer_fn, sp, hidden0, mesh=mesh, n_micro=1, data_axis="data"
+        )
+        return jnp.sum(states[-1] ** 2)
+
+    pp_grads = jax.jit(jax.grad(pp_loss))(stacked)
+    assert _max_rel_l2(pp_grads, ref_grads) < 1e-6
+
+
+def test_pipeline_rejects_bad_split():
+    cfg, enc, variables, wav = _build("hubert", n_layers=4)
+    stacked, _ = stack_encoder_layers(variables["params"], cfg)
+    mesh = _mesh(2, 4)
+    with pytest.raises(ValueError, match="microbatches"):
+        pipeline_apply(
+            lambda p, x: x, stacked, jnp.zeros((7, 3, 32)),
+            mesh=mesh, n_micro=4,
+        )
+    mesh3 = Mesh(np.asarray(jax.devices()[:3]).reshape(1, 3), ("data", "pipe"))
+    with pytest.raises(ValueError, match="stages"):
+        pipeline_apply(
+            lambda p, x: x, stacked, jnp.zeros((8, 3, 32)),
+            mesh=mesh3, n_micro=4,
+        )

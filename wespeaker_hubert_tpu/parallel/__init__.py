@@ -1,4 +1,10 @@
 from .launch import host_rank_world, initialize_distributed
+from .pipeline import (
+    PIPE_AXIS,
+    pipeline_apply,
+    pipelined_ssl_hidden_states,
+    stack_encoder_layers,
+)
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -14,6 +20,10 @@ from .mesh import (
 __all__ = [
     "host_rank_world",
     "initialize_distributed",
+    "PIPE_AXIS",
+    "pipeline_apply",
+    "pipelined_ssl_hidden_states",
+    "stack_encoder_layers",
     "DATA_AXIS",
     "MODEL_AXIS",
     "batch_sharding",
