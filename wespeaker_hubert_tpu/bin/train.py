@@ -61,7 +61,7 @@ def read_spk2id(train_label_path: str) -> Dict[str, int]:
     return {s: i for i, s in enumerate(sorted(spks))}
 
 
-def build_speaker_net(config: dict, num_class: int) -> SpeakerNet:
+def build_speaker_net(config: dict, num_class: int, mesh=None) -> SpeakerNet:
     """Assemble frontend (optional) -> backbone -> projection (reference
     bin/train.py:109-145)."""
     model_args = dict(config.get("model_args", {}))
@@ -82,6 +82,15 @@ def build_speaker_net(config: dict, num_class: int) -> SpeakerNet:
             import dataclasses as _dc
 
             enc_cfg = _dc.replace(enc_cfg, **overrides)
+        if s3prl_args.get("sequence_parallel") and mesh is not None:
+            import dataclasses as _dc
+
+            from ..parallel import sequence_parallel_constraint
+
+            enc_cfg = _dc.replace(
+                enc_cfg,
+                act_constraint=sequence_parallel_constraint(mesh),
+            )
         frontend = SSLFrontend(
             enc_cfg,
             frozen=s3prl_args.get("frozen", True),
@@ -266,7 +275,7 @@ def train(config: str | dict, **overrides):
         )
 
     # ---- model
-    net = build_speaker_net(config, num_class)
+    net = build_speaker_net(config, num_class, mesh=mesh)
     feature_cfg = _feature_cfg(dataset_args)
 
     # ---- schedules (LR batch-scaled like reference train.py:192)

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import List, Optional, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import flax.linen as nn
 
@@ -69,6 +69,15 @@ class SSLEncoderConfig:
     # embedding cosine 0.99998 vs erf in bf16, i.e. below the bf16
     # rounding floor itself (docs/PERF_NOTES.md round 3).
     gelu_impl: str = "erf"
+    # Sequence-parallel activation constraint (Megatron-SP under GSPMD):
+    # a callable applied to the (B, T, H) residual stream at the layer
+    # boundaries — parallel.mesh.sequence_parallel_constraint(mesh)
+    # shards T over the tensor-parallel axis there, so XLA turns the two
+    # per-layer TP all-reduces into reduce-scatter + all-gather pairs
+    # and the LN/GELU/residual regions compute on 1/TP-th of the tokens.
+    # Injected programmatically (bin/train `sequence_parallel`), never
+    # from YAML; None = replicated activations (plain TP).
+    act_constraint: Optional[Callable] = None
 
     @staticmethod
     def hubert_base():
@@ -415,23 +424,33 @@ class EncoderLayer(nn.Module):
         else:
             attention = PlainAttention(cfg, name="attention")
 
+        # Megatron-SP boundaries: the residual stream entering each
+        # LN+sublayer region is (optionally) token-sharded over the TP
+        # axis so the elementwise/norm work splits and the TP psums
+        # lower to reduce-scatter + all-gather (cfg.act_constraint).
+        sp = cfg.act_constraint if cfg.act_constraint is not None else (
+            lambda y: y
+        )
         if cfg.do_stable_layer_norm:  # pre-LN (large models)
             a, position_bias = attention(
                 LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(x),
                 attn_bias,
                 position_bias,
             )
-            x = x + a
+            x = sp(x + a)
             x = x + FeedForward(cfg, name="feed_forward")(
                 LayerNorm(epsilon=cfg.layer_norm_eps, name="final_layer_norm")(x)
             )
+            x = sp(x)
         else:  # post-LN (base models)
             a, position_bias = attention(x, attn_bias, position_bias)
             x = LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(
-                x + a
+                sp(x + a)
             )
             x = x + FeedForward(cfg, name="feed_forward")(x)
-            x = LayerNorm(epsilon=cfg.layer_norm_eps, name="final_layer_norm")(x)
+            x = sp(
+                LayerNorm(epsilon=cfg.layer_norm_eps, name="final_layer_norm")(x)
+            )
         return x, position_bias
 
 

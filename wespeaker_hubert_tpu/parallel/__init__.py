@@ -13,6 +13,7 @@ from .mesh import (
     make_mesh,
     param_shardings,
     replicated,
+    sequence_parallel_constraint,
     shard_batch,
     shard_tree,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "make_mesh",
     "param_shardings",
     "replicated",
+    "sequence_parallel_constraint",
     "shard_batch",
     "shard_tree",
 ]

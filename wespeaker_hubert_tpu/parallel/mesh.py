@@ -34,6 +34,7 @@ __all__ = [
     "replicated",
     "head_weight_spec",
     "param_shardings",
+    "sequence_parallel_constraint",
     "shard_batch",
 ]
 
@@ -141,6 +142,35 @@ def param_shardings(
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(spec_for, tree)
+
+
+def sequence_parallel_constraint(mesh: Mesh):
+    """Megatron-style sequence parallelism as a GSPMD annotation.
+
+    Returns a callable for SSLEncoderConfig.act_constraint: it pins the
+    (B, T, H) residual stream at the transformer layer boundaries to
+    P('data', 'model', None) — tokens sharded over the tensor-parallel
+    axis.  Between the row-sharded matmul that ends a TP region and the
+    column-sharded one that starts the next, XLA then lowers the TP
+    all-reduce into reduce-scatter + all-gather (same bytes on the wire)
+    while every LayerNorm / GELU / residual / dropout in between runs on
+    1/TP-th of the tokens per chip — the reference stack has no
+    equivalent (its parallelism is DDP only, wespeaker/bin/train.py:54).
+    Identity when the mesh has no tensor-parallel degree."""
+    tp = mesh.shape[MODEL_AXIS]
+    if tp <= 1:
+        return lambda x: x
+    sh = NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None))
+
+    def constrain(x):
+        # static trace-time guard: a token count not divisible by the
+        # TP degree cannot be evenly sharded (pjit rejects it) — leave
+        # those shapes replicated rather than fail the whole step
+        if x.ndim != 3 or x.shape[1] % tp:
+            return x
+        return jax.lax.with_sharding_constraint(x, sh)
+
+    return constrain
 
 
 def shard_tree(
