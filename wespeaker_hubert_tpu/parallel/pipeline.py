@@ -81,6 +81,7 @@ def pipeline_apply(
     pipe_axis: str = PIPE_AXIS,
     data_axis: Optional[str] = None,
     extras: Sequence[jax.Array] = (),
+    remat: bool = False,
 ) -> jax.Array:
     """Run a stacked homogeneous layer stack as an S-stage pipeline.
 
@@ -88,11 +89,16 @@ def pipeline_apply(
     the per-layer param pytree stacked on a leading (L,) axis; `x` is the
     (B, ...) activation entering layer 0; `extras` are stage-invariant
     arrays passed to every layer (e.g. the WavLM shared position bias).
+    `remat=True` wraps each layer in jax.checkpoint so backward
+    recomputes activations instead of storing every tick's intermediates
+    — the standard memory/FLOPs trade for pipelined training.
 
     Returns the per-layer outputs as one (L, B, ...) array (layer l's
     output for the whole batch), so callers get the final hidden state
     AND the intermediate states the SSL featurizer needs.
     """
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
     S = mesh.shape[pipe_axis]
     L = jax.tree.leaves(stacked_params)[0].shape[0]
     if L % S:
