@@ -227,6 +227,61 @@ def test_pipeline_bf16_production_dtype():
     )
 
 
+def test_pipeline_full_train_step():
+    """A complete pp training step: pipelined stack -> mean-pool ->
+    linear head -> CE loss -> SGD update of the pipe-sharded stacked
+    params.  Loss must fall and match the unpipelined implementation
+    step for step."""
+    import optax
+
+    cfg, stacked, layer_fn, hidden0 = _grad_fixtures()
+    mesh = _mesh(1, 4)
+    n_class = 4
+    labels = jnp.asarray(np.arange(8) % n_class)
+    head = jax.random.normal(jax.random.key(5), (32, n_class)) * 0.1
+    tx = optax.sgd(0.05)
+
+    def logits_pp(params):
+        states = pipeline_apply(
+            layer_fn, params["stack"], hidden0, mesh=mesh, n_micro=4,
+            remat=True,
+        )
+        pooled = states[-1].mean(axis=1)
+        return pooled @ params["head"]
+
+    def logits_seq(params):
+        def body(h, p):
+            return layer_fn(p, h), None
+
+        h, _ = jax.lax.scan(body, hidden0, params["stack"])
+        return h.mean(axis=1) @ params["head"]
+
+    def run(logits_fn):
+        params = {"stack": stacked, "head": head}
+        opt_state = tx.init(params)
+        losses = []
+
+        @jax.jit
+        def step(params, opt_state):
+            def loss_fn(p):
+                logp = jax.nn.log_softmax(logits_fn(p))
+                return -jnp.mean(logp[jnp.arange(8), labels])
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        for _ in range(3):
+            params, opt_state, loss = step(params, opt_state)
+            losses.append(float(loss))
+        return losses
+
+    pp_losses = run(logits_pp)
+    seq_losses = run(logits_seq)
+    assert pp_losses[-1] < pp_losses[0]
+    np.testing.assert_allclose(pp_losses, seq_losses, rtol=1e-4)
+
+
 def test_pipeline_rejects_bad_split():
     cfg, enc, variables, wav = _build("hubert", n_layers=4)
     stacked, _ = stack_encoder_layers(variables["params"], cfg)
