@@ -74,6 +74,39 @@ def test_sp_annotations_present_in_lowered_program():
     assert n_sharding >= 2 * sp.num_hidden_layers, n_sharding
 
 
+def test_sp_whisper_forward_parity_and_annotations():
+    """The Whisper frontend honors the same SP hook: identical outputs,
+    Shardy constraints present (2 per block)."""
+    from wespeaker_hubert_tpu.frontend.whisper import (
+        WhisperEncoder,
+        WhisperEncoderConfig,
+    )
+
+    mesh = make_mesh(model_parallel=4)
+    base = WhisperEncoderConfig.tiny_test()
+    sp = dataclasses.replace(
+        base, act_constraint=sequence_parallel_constraint(mesh)
+    )
+    wav = jax.random.normal(jax.random.key(1), (8, 25600)) * 0.1  # T=80: divisible by tp=4
+    variables = WhisperEncoder(base).init(jax.random.key(0), wav)
+
+    ref, _ = jax.jit(lambda v, w: WhisperEncoder(base).apply(v, w))(
+        variables, wav
+    )
+    out, _ = jax.jit(lambda v, w: WhisperEncoder(sp).apply(v, w))(
+        variables, wav
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6
+    )
+
+    txt = jax.jit(
+        lambda v, w: WhisperEncoder(sp).apply(v, w)[0]
+    ).lower(variables, wav).as_text()
+    n = txt.count("sdy.sharding_constraint") + txt.count("@Sharding")
+    assert n >= 2 * base.n_layer, n
+
+
 def test_sp_train_step_loss_parity():
     """One sharded train step (fsdp x tp mesh) with and without SP gives
     the same loss — the dryrun/bin-train integration surface."""

@@ -114,6 +114,14 @@ def build_speaker_net(config: dict, num_class: int, mesh=None) -> SpeakerNet:
             import dataclasses as _dc
 
             wcfg = _dc.replace(wcfg, **woverrides)
+        if wargs.get("sequence_parallel") and mesh is not None:
+            import dataclasses as _dc
+
+            from ..parallel import sequence_parallel_constraint
+
+            wcfg = _dc.replace(
+                wcfg, act_constraint=sequence_parallel_constraint(mesh)
+            )
         frontend = WhisperEncoder(wcfg, frozen=wargs.get("frozen", False))
         model_args["feat_dim"] = wcfg.output_size
     backbone = get_speaker_model(config["model"])(**model_args)

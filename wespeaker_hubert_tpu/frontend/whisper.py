@@ -14,7 +14,7 @@ via convert_whisper_state_dict (dims follow whisper large-v2 by default:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import flax.linen as nn
 
@@ -44,6 +44,11 @@ class WhisperEncoderConfig:
     # adjudication as SSLEncoderConfig.gelu_impl: the erf prologue
     # throttles the FFN matmul fusions on TPU)
     gelu_impl: str = "erf"
+    # Megatron-SP activation hook, same contract as SSLEncoderConfig.
+    # act_constraint: token-shards the (B, T, n_state) residual stream
+    # over the TP axis at the block boundaries (parallel.mesh.
+    # sequence_parallel_constraint); injected programmatically, not YAML.
+    act_constraint: Optional[Callable] = None
 
     @staticmethod
     def large_v2():
@@ -108,17 +113,24 @@ class _Block(nn.Module):
     n_head: int
     attn_impl: str = "einsum"
     gelu_impl: str = "erf"
+    act_constraint: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x):
-        x = x + _MHA(self.n_state, self.n_head, self.attn_impl, name="attn")(
-            LayerNorm(name="attn_ln")(x)
+        # Megatron-SP boundaries (see ssl_encoder.EncoderLayer): the
+        # residual stream entering each pre-LN region is token-sharded
+        # over the TP axis when the constraint is set
+        sp = self.act_constraint if self.act_constraint is not None else (
+            lambda y: y
         )
+        x = sp(x + _MHA(self.n_state, self.n_head, self.attn_impl, name="attn")(
+            LayerNorm(name="attn_ln")(x)
+        ))
         h = LayerNorm(name="mlp_ln")(x)
         h = nn.Dense(self.n_state * 4, name="mlp_0")(h)
         h = nn.gelu(h, approximate=(self.gelu_impl == "tanh"))
         h = nn.Dense(self.n_state, name="mlp_2")(h)
-        return x + h
+        return sp(x + h)
 
 
 class WhisperEncoder(nn.Module):
@@ -157,7 +169,7 @@ class WhisperEncoder(nn.Module):
         for i in range(cfg.n_layer):
             h = _Block(
                 cfg.n_state, cfg.n_head, cfg.attn_impl, cfg.gelu_impl,
-                name=f"block_{i}",
+                cfg.act_constraint, name=f"block_{i}",
             )(h)
             if cfg.layer_st <= i <= cfg.layer_ed:
                 outs.append(h)
