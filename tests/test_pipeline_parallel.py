@@ -29,9 +29,11 @@ def _mesh(data=2, pipe=4):
     return Mesh(devs, ("data", "pipe"))
 
 
-def _build(model_type, n_layers=4):
+def _build(model_type, n_layers=4, stable_ln=False):
     cfg = dataclasses.replace(
-        SSLEncoderConfig.tiny(model_type=model_type),
+        SSLEncoderConfig.tiny(
+            model_type=model_type, do_stable_layer_norm=stable_ln
+        ),
         num_hidden_layers=n_layers,
     )
     enc = SSLEncoder(cfg)
@@ -40,9 +42,14 @@ def _build(model_type, n_layers=4):
     return cfg, enc, variables, wav
 
 
-@pytest.mark.parametrize("model_type", ["hubert", "wavlm"])
-def test_pipeline_matches_sequential(model_type):
-    cfg, enc, variables, wav = _build(model_type)
+@pytest.mark.parametrize(
+    "model_type,stable_ln",
+    [("hubert", False), ("wavlm", False), ("wavlm", True)],
+)
+def test_pipeline_matches_sequential(model_type, stable_ln):
+    # stable_ln=True is the pre-LN large-model branch (WavLM-Large/
+    # hubert_large): final encoder LN applies to the LAST hidden state
+    cfg, enc, variables, wav = _build(model_type, stable_ln=stable_ln)
     ref_hidden, _ = enc.apply(variables, wav)
 
     mesh = _mesh()
