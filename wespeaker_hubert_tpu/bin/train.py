@@ -89,7 +89,12 @@ def build_speaker_net(config: dict, num_class: int, mesh=None) -> SpeakerNet:
 
             enc_cfg = _dc.replace(
                 enc_cfg,
-                act_constraint=sequence_parallel_constraint(mesh),
+                # inside the partial-manual pipeline body the constraint
+                # must be a bare PartitionSpec (parallel.mesh docstring)
+                act_constraint=sequence_parallel_constraint(
+                    mesh,
+                    bare=int(s3prl_args.get("pipeline_parallel", 1)) > 1,
+                ),
             )
         frontend = SSLFrontend(
             enc_cfg,
@@ -120,7 +125,11 @@ def build_speaker_net(config: dict, num_class: int, mesh=None) -> SpeakerNet:
             from ..parallel import sequence_parallel_constraint
 
             wcfg = _dc.replace(
-                wcfg, act_constraint=sequence_parallel_constraint(mesh)
+                wcfg,
+                act_constraint=sequence_parallel_constraint(
+                    mesh,
+                    bare=int(wargs.get("pipeline_parallel", 1)) > 1,
+                ),
             )
         frontend = WhisperEncoder(wcfg, frozen=wargs.get("frozen", False))
         model_args["feat_dim"] = wcfg.output_size
@@ -184,7 +193,28 @@ def train(config: str | dict, **overrides):
         )
     rank, world = host_rank_world()
     model_parallel = config.get("model_parallel", 1)
-    mesh = make_mesh(model_parallel=model_parallel)
+    # pipeline parallelism: YAML knob in the frontend args (the layer-
+    # homogeneous transformer stacks are the pipelineable mass).  e.g.
+    #   dataset_args.s3prl_args.pipeline_parallel: 2
+    #   dataset_args.s3prl_args.pipeline_microbatches: 8   (optional)
+    fe_args = {}
+    if dataset_args.get("frontend") == "s3prl":
+        fe_args = dataset_args.get("s3prl_args", {})
+    elif dataset_args.get("frontend") == "whisper_encoder":
+        fe_args = dataset_args.get("whisper_encoder_args", {})
+    pipeline_parallel = int(fe_args.get("pipeline_parallel", 1))
+    pipeline_remat = bool(fe_args.get("pipeline_remat", False))
+    pipeline_microbatches = fe_args.get("pipeline_microbatches")
+    if pipeline_parallel > 1 and pipeline_microbatches is None:
+        # default: ~4 microbatches per stage bounds the bubble at
+        # (S-1)/(M+S-1) < 20%, clipped to a divisor of the batch
+        m = max(1, min(batch_size, 4 * pipeline_parallel))
+        while batch_size % m:
+            m -= 1
+        pipeline_microbatches = m
+    mesh = make_mesh(
+        model_parallel=model_parallel, pipeline_parallel=pipeline_parallel
+    )
     n_data = mesh.devices.shape[0]
     logger.info("mesh: %s", mesh)
     # batch_size is rows PER HOST (global batch = batch_size * world);
@@ -285,6 +315,55 @@ def train(config: str | dict, **overrides):
     # ---- model
     net = build_speaker_net(config, num_class, mesh=mesh)
     feature_cfg = _feature_cfg(dataset_args)
+    fe_cfg = net.frontend.cfg if net.frontend is not None else None
+    if pipeline_parallel > 1:
+        if net.frontend is None:
+            raise ValueError(
+                "pipeline_parallel requires an s3prl/whisper_encoder "
+                "frontend (the backbone families are not homogeneous "
+                "layer stacks)"
+            )
+        n_layers = getattr(
+            fe_cfg, "num_hidden_layers", getattr(fe_cfg, "n_layer", None)
+        )
+        if n_layers % pipeline_parallel:
+            raise ValueError(
+                f"{n_layers} frontend layers not divisible by "
+                f"pipeline_parallel={pipeline_parallel}"
+            )
+        if batch_size % pipeline_microbatches:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by "
+                f"pipeline_microbatches={pipeline_microbatches}"
+            )
+        logger.info(
+            "pipeline parallel: %d stages x %d layers, %d microbatches"
+            " (bubble %.0f%%)",
+            pipeline_parallel, n_layers // pipeline_parallel,
+            pipeline_microbatches,
+            100.0 * (pipeline_parallel - 1)
+            / (pipeline_microbatches + pipeline_parallel - 1),
+        )
+
+    def _canon_params(params):
+        """Pipeline-stacked -> canonical per-layer frontend layout (the
+        on-disk checkpoint format, interchangeable with non-pp runs)."""
+        if pipeline_parallel > 1 and "frontend" in params:
+            from ..parallel import unstack_frontend_tree
+
+            p = dict(params)
+            p["frontend"] = unstack_frontend_tree(p["frontend"], fe_cfg)
+            return p
+        return params
+
+    def _pipe_params(params):
+        if pipeline_parallel > 1 and "frontend" in params:
+            from ..parallel import stack_frontend_tree
+
+            p = dict(params)
+            p["frontend"] = stack_frontend_tree(p["frontend"], fe_cfg)
+            return p
+        return params
 
     # ---- schedules (LR batch-scaled like reference train.py:192)
     num_epochs = config.get("num_epochs", 150)
@@ -417,6 +496,17 @@ def train(config: str | dict, **overrides):
         logger.info("imported whisper encoder weights from %s",
                     wargs["checkpoint"])
 
+    if pipeline_parallel > 1:
+        # stacked pipeline layout: the frontend layer params live as one
+        # (L, ...) stack sharded over 'pipe' (1/S-th of HBM per stage);
+        # optimizer state re-inits over the new tree (fresh momenta — the
+        # reference's per-epoch checkpoints carry no optimizer state
+        # either; full-state resume below restores stacked momenta)
+        stacked_params = _pipe_params(state.params)
+        state = state.replace(
+            params=stacked_params, opt_state=tx.init(stacked_params)
+        )
+
     start_epoch = 0
     start_batch = 0  # mid-epoch resume position (batches already consumed)
     full_state_path = os.path.join(exp_dir, "models", "train_state.ckpt")
@@ -457,10 +547,16 @@ def train(config: str | dict, **overrides):
         )
     if ckpt:
         meta_path = ckpt + ".json"
-        state_tree = {"params": state.params, "batch_stats": state.batch_stats}
+        # checkpoints are stored in the CANONICAL per-layer layout: load
+        # against a canonical template, then restack for the pipeline
+        state_tree = {
+            "params": _canon_params(state.params),
+            "batch_stats": state.batch_stats,
+        }
         restored, missing, unexpected = load_partial(ckpt, state_tree)
         state = state.replace(
-            params=restored["params"], batch_stats=restored["batch_stats"]
+            params=_pipe_params(restored["params"]),
+            batch_stats=restored["batch_stats"],
         )
         if os.path.exists(meta_path):
             import json
@@ -472,12 +568,16 @@ def train(config: str | dict, **overrides):
             ckpt, start_epoch, len(missing), len(unexpected),
         )
     elif config.get("model_init"):
-        state_tree = {"params": state.params, "batch_stats": state.batch_stats}
+        state_tree = {
+            "params": _canon_params(state.params),
+            "batch_stats": state.batch_stats,
+        }
         restored, missing, unexpected = load_partial(
             config["model_init"], state_tree
         )
         state = state.replace(
-            params=restored["params"], batch_stats=restored["batch_stats"]
+            params=_pipe_params(restored["params"]),
+            batch_stats=restored["batch_stats"],
         )
         logger.info(
             "model_init from %s (%d missing, %d unexpected)",
@@ -509,6 +609,12 @@ def train(config: str | dict, **overrides):
     )
     cd_name = str(config.get("compute_dtype", amp_default)).lower()
     compute_dtype = jnp.bfloat16 if cd_name in ("bf16", "bfloat16") else None
+    pp_kwargs = {}
+    if pipeline_parallel > 1:
+        pp_kwargs = dict(
+            pipeline_microbatches=pipeline_microbatches,
+            pipeline_remat=pipeline_remat,
+        )
     step_fn = make_train_step(
         net, tx, lr_schedule, margin_schedule,
         feature_cfg=feature_cfg, mesh=mesh,
@@ -516,6 +622,7 @@ def train(config: str | dict, **overrides):
         num_steps=loop_steps,
         aug_blocks=aug_blocks,
         compute_dtype=compute_dtype,
+        **pp_kwargs,
     )
     # single-step program for the tail of an epoch when the batch count
     # isn't a multiple of loop_steps
@@ -525,6 +632,7 @@ def train(config: str | dict, **overrides):
         chunk_samples=pipe.chunk_samples,
         aug_blocks=aug_blocks,
         compute_dtype=compute_dtype,
+        **pp_kwargs,
     )
 
     dump_config(config, os.path.join(exp_dir, "config.yaml"))
@@ -557,6 +665,10 @@ def train(config: str | dict, **overrides):
                 "epoch": epoch,
                 "batch_in_epoch": batch_in_epoch,
                 "step": int(state.step),
+                # full-state ckpts keep the stacked layout (resume
+                # requires the same pipeline_parallel config); per-epoch
+                # model ckpts below are always canonical per-layer
+                "pipeline_parallel": pipeline_parallel,
             },
         )
 
@@ -662,7 +774,10 @@ def train(config: str | dict, **overrides):
             path = os.path.join(exp_dir, "models", f"model_{epoch + 1}.ckpt")
             save_checkpoint(
                 path,
-                {"params": state.params, "batch_stats": state.batch_stats},
+                {
+                    "params": _canon_params(state.params),
+                    "batch_stats": state.batch_stats,
+                },
                 meta={"epoch": epoch + 1, "step": int(state.step)},
             )
             logger.info("saved %s", path)

@@ -198,6 +198,39 @@ class ConvFeatureEncoder(nn.Module):
         return h
 
 
+class _GroupedConv1d(nn.Module):
+    """nn.Conv-compatible grouped 1-D conv (same param names/shapes and
+    init) through ops.conv_safe.grouped_conv1d: XLA's SPMD partitioner
+    mis-scales grouped-conv WEIGHT grads by the mesh's replication
+    degree (see conv_safe docstring), which would corrupt pos-conv
+    training under the TP/pipeline mesh layouts."""
+
+    features: int
+    kernel_size: int
+    padding: tuple
+    feature_group_count: int
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.conv_safe import grouped_conv1d
+
+        cg = x.shape[-1] // self.feature_group_count
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, cg, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = grouped_conv1d(
+            x,
+            kernel.astype(x.dtype),
+            1,
+            (tuple(self.padding),),
+            self.feature_group_count,
+        )
+        return y + bias.astype(y.dtype)
+
+
 class PositionalConvEmbedding(nn.Module):
     cfg: SSLEncoderConfig
 
@@ -205,11 +238,11 @@ class PositionalConvEmbedding(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         cfg = self.cfg
         k = cfg.num_conv_pos_embeddings
-        h = nn.Conv(
+        h = _GroupedConv1d(
             cfg.hidden_size,
-            (k,),
-            padding=[(k // 2, k // 2)],
-            feature_group_count=cfg.num_conv_pos_embedding_groups,
+            k,
+            (k // 2, k // 2),
+            cfg.num_conv_pos_embedding_groups,
             name="conv",
         )(x)
         if k % 2 == 0:  # SamePadLayer trims one trailing frame

@@ -20,6 +20,7 @@ head shard stays intra-host on ICI by making 'model' the minor axis.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import jax
@@ -29,6 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "PIPE_AXIS",
     "make_mesh",
     "batch_sharding",
     "replicated",
@@ -40,17 +42,32 @@ __all__ = [
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"  # pipeline-stage axis (parallel.pipeline)
 
 
 def make_mesh(
-    model_parallel: int = 1, devices: Optional[list] = None
+    model_parallel: int = 1,
+    devices: Optional[list] = None,
+    pipeline_parallel: int = 1,
 ) -> Mesh:
-    """Build a ('data', 'model') mesh.  'model' is the MINOR (fastest-
-    varying) axis so head-shard collectives ride the tightest interconnect
-    ring; 'data' spans the rest."""
+    """Build a ('data', 'model') mesh — or ('data', 'pipe', 'model')
+    when `pipeline_parallel` > 1.  'model' is the MINOR (fastest-
+    varying) axis so head-shard/TP collectives ride the tightest
+    interconnect ring; 'pipe' sits next (stage ppermutes fire once per
+    microbatch tick, far rarer than the per-layer TP psums); 'data'
+    spans the rest."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
-    assert n % model_parallel == 0, (n, model_parallel)
+    assert n % (model_parallel * pipeline_parallel) == 0, (
+        n, model_parallel, pipeline_parallel,
+    )
+    if pipeline_parallel > 1:
+        dev_array = np.asarray(devices).reshape(
+            n // (model_parallel * pipeline_parallel),
+            pipeline_parallel,
+            model_parallel,
+        )
+        return Mesh(dev_array, (DATA_AXIS, PIPE_AXIS, MODEL_AXIS))
     dev_array = np.asarray(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
@@ -99,10 +116,17 @@ def param_shardings(
         P('data','model') / P('model','data'), other 2-D frontend
         kernels P('data', None), conv kernels shard their output
         channels.  A dim is only sharded when divisible by the axis.
+      * STACKED pipeline layouts ('layer_stack' / 'block_stack' nodes,
+        parallel.pipeline.stack_frontend_tree): the leading (L,) layer
+        axis is sharded over 'pipe' (each stage owns its contiguous
+        L/S layers — 1/S-th of the frontend in HBM), with the TP/fsdp
+        rules applied to the per-layer dims behind it; composed, a
+        stacked qkv kernel is P('pipe', 'data', 'model').
 
     Optimizer states (optax namedtuples) embed params-structured
     subtrees, so the same path predicates cover them."""
     data_n = mesh.shape[DATA_AXIS]
+    pipe_n = mesh.shape.get(PIPE_AXIS, 1)
 
     def fdim(leaf, dim):
         """DATA_AXIS if leaf's dim is FSDP-shardable, else None."""
@@ -123,6 +147,30 @@ def param_shardings(
             and ndim == 2
         ):
             return NamedSharding(mesh, head_weight_spec())
+        if "frontend" in keys and (
+            "layer_stack" in keys or "block_stack" in keys
+        ):
+            # pipeline-stacked layer params: dim 0 is the (L,) layer
+            # axis -> 'pipe'; TP column/row + fsdp rules shift one dim
+            shape = getattr(leaf, "shape", ())
+            pipe = (
+                PIPE_AXIS
+                if pipe_n > 1 and shape and shape[0] % pipe_n == 0
+                else None
+            )
+            owner, name = keys[-2], keys[-1]
+            if owner in _TP_COL:
+                if name == "kernel" and ndim == 3:
+                    return NamedSharding(
+                        mesh, P(pipe, fdim(leaf, 1), MODEL_AXIS)
+                    )
+                if name == "bias" and ndim == 2:
+                    return NamedSharding(mesh, P(pipe, MODEL_AXIS))
+            if owner in _TP_ROW and name == "kernel" and ndim == 3:
+                return NamedSharding(mesh, P(pipe, MODEL_AXIS, fdim(leaf, 2)))
+            if fsdp and name == "kernel" and ndim == 3:
+                return NamedSharding(mesh, P(pipe, fdim(leaf, 1), None))
+            return NamedSharding(mesh, P(*([pipe] + [None] * (ndim - 1))))
         if "frontend" in keys and len(keys) >= 2:
             owner, name = keys[-2], keys[-1]
             if owner in _TP_COL:
@@ -144,7 +192,7 @@ def param_shardings(
     return jax.tree_util.tree_map_with_path(spec_for, tree)
 
 
-def sequence_parallel_constraint(mesh: Mesh):
+def sequence_parallel_constraint(mesh: Mesh, bare: bool = False):
     """Megatron-style sequence parallelism as a GSPMD annotation.
 
     Returns a callable for SSLEncoderConfig.act_constraint: it pins the
@@ -156,18 +204,45 @@ def sequence_parallel_constraint(mesh: Mesh):
     while every LayerNorm / GELU / residual / dropout in between runs on
     1/TP-th of the tokens per chip — the reference stack has no
     equivalent (its parallelism is DDP only, wespeaker/bin/train.py:54).
-    Identity when the mesh has no tensor-parallel degree."""
-    tp = mesh.shape[MODEL_AXIS]
+    Identity when the mesh has no tensor-parallel degree.
+
+    `bare=True` emits the constraint as a mesh-free PartitionSpec so it
+    canonicalizes against the CONTEXT mesh — required inside the
+    partial-manual pipeline body (parallel.pipeline), where the concrete
+    mesh's all-Auto axis types no longer match the trace context."""
+    tp = mesh.shape[MODEL_AXIS] if MODEL_AXIS in mesh.shape else 1
     if tp <= 1:
         return lambda x: x
-    sh = NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None))
+    spec = P(DATA_AXIS, MODEL_AXIS, None)
+    sh = spec if bare else NamedSharding(mesh, spec)
+    warned = []
 
     def constrain(x):
         # static trace-time guard: a token count not divisible by the
         # TP degree cannot be evenly sharded (pjit rejects it) — leave
-        # those shapes replicated rather than fail the whole step
+        # those shapes replicated rather than fail the whole step, but
+        # say so ONCE (a silently-skipped constraint would otherwise
+        # look like working SP while running fully replicated)
         if x.ndim != 3 or x.shape[1] % tp:
+            if not warned:
+                warned.append(True)
+                logging.getLogger("parallel.mesh").warning(
+                    "sequence-parallel constraint SKIPPED for shape %s "
+                    "(needs ndim==3 and T %% tp_degree(%d) == 0); these "
+                    "activations stay replicated over the TP axis",
+                    tuple(getattr(x, "shape", ())), tp,
+                )
             return x
+        if bare:
+            # bare specs canonicalize against the trace-context mesh
+            # (set by the pipeline body); outside one — e.g. module
+            # init / the sequential forward / eager — fall back to the
+            # concrete NamedSharding so the same callable works anywhere
+            ctx = jax.sharding.get_abstract_mesh()
+            if not ctx.axis_names:
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, spec)
+                )
         return jax.lax.with_sharding_constraint(x, sh)
 
     return constrain

@@ -25,7 +25,6 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from .mesh import DATA_AXIS, MODEL_AXIS
 
@@ -111,7 +110,7 @@ def make_sharded_arcmargin_loss(
         acc = jax.lax.pmean(jnp.mean((pred == label) * 1.0), DATA_AXIS)
         return loss, acc
 
-    mapped = shard_map(
+    mapped = jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(
@@ -121,6 +120,6 @@ def make_sharded_arcmargin_loss(
             P(),                     # margin
         ),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped)

@@ -62,6 +62,8 @@ def make_train_step(
     num_steps: int = 1,
     reverb_impl: str = "fft",
     aug_blocks: int = 1,
+    pipeline_microbatches: Optional[int] = None,
+    pipeline_remat: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -89,9 +91,22 @@ def make_train_step(
     contiguously, and every host's pipeline computes identical
     deterministic slot counts), so the packed kernel is applied per
     block instead of treating the whole batch as one block.
+
+    `pipeline_microbatches` (with a mesh carrying a 'pipe' axis, see
+    parallel.mesh.make_mesh pipeline_parallel) routes the SSL/whisper
+    frontend's layer stack through the GPipe collective-permute
+    pipeline (parallel.pipeline) with that many microbatches; the
+    frontend params are expected in the stacked pipeline layout
+    (stack_frontend_tree) so each stage holds 1/S-th of the stack.
+    `pipeline_remat` wraps each pipelined layer in jax.checkpoint.
     """
 
     use_frontend = getattr(model, "frontend", None) is not None
+    if pipeline_microbatches and not use_frontend:
+        raise ValueError(
+            "pipeline_parallel requires an SSL/whisper frontend (the "
+            "backbone families are not layer-homogeneous stacks)"
+        )
 
     def prepare_wav(batch):
         """Device-side waveform augmentation (speed + reverb/noise)."""
@@ -207,13 +222,29 @@ def make_train_step(
                     # promote the conv extractor and (via dtype promotion
                     # with the cast params) the whole transformer to f32
                     wav = wav.astype(compute_dtype)
-                feats, feat_lengths = model.apply(
-                    variables,
-                    wav,
-                    lengths=batch.get("length"),
-                    train=True,
-                    method=model.features,
-                )
+                if pipeline_microbatches:
+                    from ..parallel.pipeline import (
+                        pipelined_frontend_features,
+                    )
+
+                    feats, feat_lengths = pipelined_frontend_features(
+                        model,
+                        variables,
+                        wav,
+                        mesh=mesh,
+                        n_micro=pipeline_microbatches,
+                        data_axis=DATA_AXIS,
+                        lengths=batch.get("length"),
+                        remat=pipeline_remat,
+                    )
+                else:
+                    feats, feat_lengths = model.apply(
+                        variables,
+                        wav,
+                        lengths=batch.get("length"),
+                        train=True,
+                        method=model.features,
+                    )
                 feats = apply_cmvn(
                     feats,
                     norm_mean=fcfg.cmvn_norm_mean,
@@ -338,6 +369,7 @@ def make_eval_embed(
     feature_cfg: Optional[FeaturePipelineConfig] = None,
     mesh=None,
     compute_dtype=None,
+    pipeline_microbatches: Optional[int] = None,
 ) -> Callable:
     """Jitted embedding extraction: batch -> (B, emb_dim) float32.
 
@@ -370,13 +402,26 @@ def make_eval_embed(
             wav = batch["wav"]
             if compute_dtype is not None:
                 wav = wav.astype(compute_dtype)  # see make_train_step note
-            feats, feat_lengths = model.apply(
-                variables,
-                wav,
-                lengths=batch.get("length"),
-                train=False,
-                method=model.features,
-            )
+            if pipeline_microbatches:
+                from ..parallel.pipeline import pipelined_frontend_features
+
+                feats, feat_lengths = pipelined_frontend_features(
+                    model,
+                    variables,
+                    wav,
+                    mesh=mesh,
+                    n_micro=pipeline_microbatches,
+                    data_axis=DATA_AXIS,
+                    lengths=batch.get("length"),
+                )
+            else:
+                feats, feat_lengths = model.apply(
+                    variables,
+                    wav,
+                    lengths=batch.get("length"),
+                    train=False,
+                    method=model.features,
+                )
             feats = apply_cmvn(
                 feats,
                 norm_mean=fcfg.cmvn_norm_mean,
