@@ -340,3 +340,102 @@ def test_voxconverse_v1_driver_oracle_sad(protocol, tmp_path):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q", "-s"])
+
+
+def test_margin_head_beats_linear_head(tmp_path):
+    """Discrimination gate (VERDICT r4 #6): with identical seed/corpus/
+    backbone/steps, the ArcMargin head must yield embeddings at least as
+    discriminative as a plain linear classifier head — the margin is the
+    reference's core training contribution (projections.py:169), so a
+    regression that silently disables it (margin never applied, wrong
+    class sharding, schedule stuck at 0) shows up here as margin
+    losing its edge.  The corpus is deliberately noisy so neither head
+    saturates at 0% EER."""
+    from wespeaker_hubert_tpu.backend.metrics import eer_from_scores
+    from wespeaker_hubert_tpu.bin.extract import extract
+    from wespeaker_hubert_tpu.bin.score import read_trials
+    from wespeaker_hubert_tpu.bin.train import train
+    from wespeaker_hubert_tpu.utils.embeddings import embeddings_dict
+
+    rng = np.random.default_rng(7)
+    data = tmp_path / "data"
+    data.mkdir()
+    import json as _json
+
+    n_spk, n_utt = 10, 8
+    with open(data / "raw.list", "w") as rl, \
+            open(data / "utt2spk", "w") as us, \
+            open(data / "eval.list", "w") as el:
+        for s in range(n_spk):
+            for u in range(n_utt):
+                key = f"s{s}u{u}"
+                p = str(data / f"{key}.wav")
+                x = _utt(rng, s, int(rng.integers(20000, 26000)))
+                x = (x + rng.standard_normal(len(x)) * 0.03).clip(-1, 1)
+                write_wav(p, x.astype(np.float32))
+                row = _json.dumps({"key": key, "wav": p, "spk": f"s{s}"})
+                if u < 5:  # train split
+                    rl.write(row + "\n")
+                    us.write(f"{key} s{s}\n")
+                else:      # eval split (held-out utterances)
+                    el.write(row + "\n")
+    keys = [f"s{s}u{u}" for s in range(n_spk) for u in (5, 6, 7)]
+    trials = data / "trials.txt"
+    with open(trials, "w") as f:
+        for i, a in enumerate(keys):
+            for b in keys[i + 1:]:
+                lab = "target" if a.split("u")[0] == b.split("u")[0] \
+                    else "nontarget"
+                f.write(f"{a} {b} {lab}\n")
+
+    def run(head, exp):
+        config = {
+            "exp_dir": str(tmp_path / exp),
+            "model": "ECAPA_TDNN_c512",
+            "model_args": {"feat_dim": 40, "embed_dim": 24},
+            "projection_args": {"project_type": head, "scale": 32.0},
+            "data_type": "raw",
+            "train_data": str(data / "raw.list"),
+            "train_label": str(data / "utt2spk"),
+            "dataloader_args": {"batch_size": 16},
+            "dataset_args": {
+                "num_frms": 100, "speed_perturb": False, "aug_prob": 0.0,
+                "fbank_args": {"num_mel_bins": 40, "dither": 1.0},
+                "filter_args": {"min_num_frames": 50},
+                "shuffle_args": {"shuffle_size": 32},
+            },
+            "num_epochs": 10,
+            "epoch_iter": 10,
+            "save_epoch_interval": 10,
+            "seed": 42,
+            "scheduler_args": {"initial_lr": 0.1, "final_lr": 0.02,
+                               "warm_up_epoch": 1},
+            "margin_update": {"initial_margin": 0.0, "final_margin": 0.3,
+                              "increase_start_epoch": 1,
+                              "fix_start_epoch": 4},
+        }
+        cfg = str(tmp_path / f"{exp}.yaml")
+        dump_config(config, cfg)
+        train(cfg)
+        ckpt = os.path.join(config["exp_dir"], "models", "model_10.ckpt")
+        npz = os.path.join(config["exp_dir"], "eval.npz")
+        extract(cfg, str(data / "eval.list"), ckpt, npz)
+        emb = embeddings_dict(npz)
+        e_ids, t_ids, labels = read_trials(str(trials))
+        scores = [
+            float(np.dot(emb[a], emb[b]) / (np.linalg.norm(emb[a])
+                  * np.linalg.norm(emb[b]) + 1e-9))
+            for a, b in zip(e_ids, t_ids)
+        ]
+        labs = [1 if l == "target" else 0 for l in labels]
+        return eer_from_scores(
+            np.asarray(scores), np.asarray(labs))[0] * 100.0
+
+    eer_margin = run("arc_margin", "exp_margin")
+    eer_linear = run("linear", "exp_linear")
+    print(f"discrimination gate: arc_margin {eer_margin:.2f}% vs "
+          f"linear {eer_linear:.2f}%")
+    # margin must not LOSE to linear (small tolerance for seed noise);
+    # both must show learning happened at all
+    assert eer_margin <= eer_linear + 2.0, (eer_margin, eer_linear)
+    assert eer_margin < 45.0 and eer_linear < 50.0

@@ -95,7 +95,8 @@ BASE_DATASET_ARGS = {
 MAX_EER_MOCO = 15.0        # measured 0.0
 MAX_EER_SIMCLR = 15.0      # measured 0.0
 MAX_EER_CNCELEB_V2 = 15.0  # measured 0.0 (cosine; asnorm+qmf also 0.0)
-MAX_EER_WHISPER_PMFA = 30.0  # measured 16.667 cosine / 5.208 asnorm
+MAX_EER_WHISPER_PMFA = 15.0  # measured 11.467 cosine (r5: 6x8 corpus,
+#   60 joint steps; the old 4x6/12-step pin sat at 16.7 with band 30)
 MAX_EER_CNCELEB_V3 = 15.0    # measured 0.0
 MAX_EER_SRE_V3 = 20.0      # measured 5.556 (plda_ctsmean; the adapt
 #   stage is intentionally unpinned here: adapting on the 6-embedding
@@ -365,8 +366,11 @@ def test_sre_v3_backend_chain(tmp_path):
 
 def test_whisper_pmfa_recipe(tmp_path):
     root = tmp_path / "data"
-    _make_corpus(root, (("vox1_dev", 4, 6), ("vox1", 4, 4)))
-    trials = _make_trials(root, "vox1", 4, 4)
+    # round-5 band tightening (VERDICT r4 #6): 6x8 train / 6x5 eval and
+    # 3 epochs bring the measured cosine EER well under the uniform
+    # 15-band (the old 4x6 corpus at 12 steps measured 16.7%)
+    _make_corpus(root, (("vox1_dev", 6, 8), ("vox1", 6, 5)))
+    trials = _make_trials(root, "vox1", 6, 5)
     base = {
         "seed": 42,
         "model": "Whisper_PMFA_large_v2",
@@ -384,11 +388,11 @@ def test_whisper_pmfa_recipe(tmp_path):
             "filter_args": {"min_num_frames": 30},
             "shuffle_args": {"shuffle_size": 16},
         },
-        "num_epochs": 2,
-        "epoch_iter": 6,
+        "num_epochs": 5,
+        "epoch_iter": 12,
         "save_epoch_interval": 1,
         "num_avg": 1,
-        "scheduler_args": {"initial_lr": 0.01, "final_lr": 0.005,
+        "scheduler_args": {"initial_lr": 0.01, "final_lr": 0.002,
                            "warm_up_epoch": 1},
         "margin_update": {"initial_margin": 0.2, "final_margin": 0.2,
                           "increase_start_epoch": 0, "fix_start_epoch": 1},

@@ -133,6 +133,74 @@ def _downsample_mask(mask: jax.Array, times: int) -> jax.Array:
     return mask
 
 
+class _ConvKernel(nn.Module):
+    """Parameter-only stand-in for nn.Conv (same name/shape/init) whose
+    kernel is consumed by the space-to-depth execution path."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape
+        )
+
+
+class _S2DBasicBlock(nn.Module):
+    """BasicBlock executed in space-to-depth blocked form (stride 1,
+    in_planes == planes — the layer1 shape).  Identical param tree to
+    BasicBlock; see models/resnet_s2d.py for the transform."""
+
+    planes: int
+
+    @nn.compact
+    def __call__(self, st, train: bool = False):
+        from . import resnet_s2d as s2d
+
+        c = self.planes
+        w1 = _ConvKernel((3, 3, c, c), name="conv1")()
+        w2 = _ConvKernel((3, 3, c, c), name="conv2")()
+        sc = st
+        out = s2d.blocked_conv_s1(st, w1)
+        out = s2d.BlockedBatchNorm(name="bn1")(out, train)
+        out = s2d.BlockedState(
+            nn.relu(out.x), out.ot, out.of, out.t, out.f
+        )
+        out = s2d.blocked_conv_s1(out, w2)
+        out = s2d.BlockedBatchNorm(name="bn2")(out, train)
+        sc = s2d.align_like(sc, out)
+        return s2d.BlockedState(
+            nn.relu(out.x + sc.x), out.ot, out.of, out.t, out.f
+        )
+
+
+class _S2DEntryBlock(nn.Module):
+    """First block of layer2 (stride 2, widening) consuming the blocked
+    layer1 output and emitting the normal layout — conv1 and the 1x1
+    shortcut read blocked input; identical param tree to BasicBlock."""
+
+    planes: int
+
+    @nn.compact
+    def __call__(self, st, train: bool = False):
+        from . import resnet_s2d as s2d
+
+        in_planes = st.x.shape[-1] // 4
+        w1 = _ConvKernel((3, 3, in_planes, self.planes), name="conv1")()
+        out = s2d.blocked_conv_entry(st, w1)
+        out = nn.relu(_bn(train, "bn1")(out))
+        out = nn.Conv(
+            self.planes, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+            name="conv2",
+        )(out)
+        out = _bn(train, "bn2")(out)
+        sc = nn.Conv(
+            self.planes, (1, 1), use_bias=False, name="shortcut_conv"
+        )(s2d.shortcut_entry(st))
+        sc = _bn(train, "shortcut_bn")(sc)
+        return nn.relu(out + sc)
+
+
 class ResNet(nn.Module):
     """Speaker ResNet over (B, T, F) fbank (reference resnet.py:110)."""
 
@@ -143,21 +211,56 @@ class ResNet(nn.Module):
     embed_dim: int = 128
     pooling_func: str = "TSTP"
     two_emb_layer: bool = False
+    # Execute conv1 + layer1 (the 32-channel full-resolution stem) in
+    # space-to-depth blocked form: exact weight rearrangement that fills
+    # the MXU's 128 output lanes (models/resnet_s2d.py).  Param tree is
+    # identical either way, so the flag flips freely per run.
+    # INFERENCE-ONLY by measured A/B (round 5, real v5e chip): extraction
+    # +15.5% (13,969 -> 16,138 audio-s/s bf16), but the TRAIN step LOSES
+    # ~8% (5,428 -> 5,007) — the backward runs at ~80% of HBM bandwidth
+    # (round-3 trace) where the 1.78x blocked FLOPs cost more than the
+    # 4x MXU-lane win returns, and the blocked dW/masked-BN backward add
+    # traffic.  So the transform engages only when train=False.
+    s2d_stem: bool = True
 
     @nn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None, train: bool = False):
         # (B, T, F) -> NHWC (B, T, F, 1)
         x = x[..., None]
-        out = nn.Conv(
-            self.m_channels, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
-            name="conv1",
-        )(x)
-        out = nn.relu(_bn(train, "bn1")(out))
+        use_s2d = (
+            self.s2d_stem and self.block is BasicBlock and not train
+        )
+        if use_s2d:
+            from . import resnet_s2d as s2d
+
+            t_real, f_real = x.shape[1], x.shape[2]
+            st = s2d.fold_input(x, t_real, f_real)
+            w1 = _ConvKernel((3, 3, 1, self.m_channels), name="conv1")()
+            st = s2d.blocked_conv_s1(st, w1)
+            st = s2d.BlockedBatchNorm(name="bn1")(st, train)
+            st = s2d.BlockedState(
+                nn.relu(st.x), st.ot, st.of, st.t, st.f
+            )
+            for bi in range(self.num_blocks[0]):
+                st = _S2DBasicBlock(
+                    planes=self.m_channels, name=f"layer1_{bi}"
+                )(st, train)
+            out = _S2DEntryBlock(
+                planes=self.m_channels * 2, name="layer2_0"
+            )(st, train)
+        else:
+            out = nn.Conv(
+                self.m_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                use_bias=False, name="conv1",
+            )(x)
+            out = nn.relu(_bn(train, "bn1")(out))
 
         widths = [self.m_channels * m for m in (1, 2, 4, 8)]
         strides = [1, 2, 2, 2]
         for li, (w, s, n) in enumerate(zip(widths, strides, self.num_blocks)):
             for bi in range(n):
+                if use_s2d and (li == 0 or (li == 1 and bi == 0)):
+                    continue  # executed in the blocked stem above
                 out = self.block(
                     planes=w,
                     stride=s if bi == 0 else 1,
