@@ -233,7 +233,8 @@ def bench_ssl_frontend_extract(batch=16, seconds=10.0, iters=5,
 
 
 def bench_whisper_pmfa_extract(batch=8, seconds=30.0, iters=4,
-                               variant="large_v2", gelu_impl="erf"):
+                               variant="large_v2", gelu_impl="erf",
+                               attn_impl="einsum"):
     """whisper_PMFA_large_v2 extraction throughput, bf16: raw wav ->
     in-graph log-mel -> Whisper-large-v2 encoder (layers 16..23 concat)
     -> PMFA head (reference models/whisper_PMFA.py:136 +
@@ -249,7 +250,7 @@ def bench_whisper_pmfa_extract(batch=8, seconds=30.0, iters=4,
     from wespeaker_hubert_tpu.train import cast_variables_bf16, make_eval_embed
 
     wcfg = _dc.replace(getattr(WhisperEncoderConfig, variant)(),
-                       gelu_impl=gelu_impl)
+                       gelu_impl=gelu_impl, attn_impl=attn_impl)
     frontend = WhisperEncoder(wcfg, frozen=True)
     backbone = get_speaker_model("whisper_PMFA_large_v2")(
         feat_dim=wcfg.output_size, embed_dim=192)
