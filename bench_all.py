@@ -592,6 +592,7 @@ def bench_dino_step(model_name="ECAPA_TDNN_c512", batch=64, iters=10,
         n_global=n_global, n_local=n_local,
         preprocess_fn=preprocess,
         compute_dtype=compute_dtype,
+        trace_decay=0.9,
     )
 
     rng_np = np.random.default_rng(0)

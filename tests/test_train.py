@@ -457,3 +457,60 @@ class TestScannedStep:
                 np.asarray(x), np.asarray(y), rtol=2e-3, atol=5e-3
             )
         assert int(s_scan.step) == K
+
+
+class TestFusedOptimizer:
+    def test_fused_sgd_matches_optax_chain(self):
+        """train/state.py update_apply: closed-form SGD must equal the
+        optax chain step-for-step (params, momentum, count) — it is the
+        production path the executor takes when present."""
+        import optax
+
+        from wespeaker_hubert_tpu.train.state import make_optimizer
+
+        lr = ExponentialDecrease(
+            num_epochs=2, epoch_iter=5, initial_lr=0.1, final_lr=0.01,
+            warm_up_epoch=1,
+        )
+        for nesterov in (True, False):
+            tx = make_optimizer(
+                lr, "SGD", momentum=0.9, nesterov=nesterov,
+                weight_decay=1e-4,
+            )
+            assert hasattr(tx, "update_apply")
+            rng = np.random.default_rng(0)
+            params = {
+                "w": jnp.asarray(rng.standard_normal((16, 8)), jnp.float32),
+                "b": {"x": jnp.asarray(rng.standard_normal(8), jnp.float32)},
+            }
+            grads = jax.tree.map(lambda p: p * 0.1 + 0.02, params)
+            p1, s1 = params, tx.init(params)
+            p2, s2 = params, tx.init(params)
+            for _ in range(4):
+                u, s1 = tx.update(grads, s1, p1)
+                p1 = optax.apply_updates(p1, u)
+                p2, s2 = tx.update_apply(grads, s2, p2)
+            for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+                )
+            np.testing.assert_allclose(
+                np.asarray(s1[1].trace["w"]), np.asarray(s2[1].trace["w"]),
+                rtol=1e-6,
+            )
+            assert int(s1[2].count) == int(s2[2].count) == 4
+
+    def test_frozen_frontend_keeps_plain_path(self):
+        """freeze_paths wraps in multi_transform — the fused closed form
+        must NOT engage there (different opt_state structure)."""
+        from wespeaker_hubert_tpu.train.state import make_optimizer
+
+        lr = ExponentialDecrease(
+            num_epochs=2, epoch_iter=5, initial_lr=0.1, final_lr=0.01,
+            warm_up_epoch=1,
+        )
+        tx = make_optimizer(
+            lr, "SGD", weight_decay=1e-4,
+            freeze_paths=(("frontend", "upstream"),),
+        )
+        assert not hasattr(tx, "update_apply")

@@ -146,8 +146,10 @@ def train_dino(config, **overrides):
         int(total * dino_args.get("warmup_teacher_temp_epochs_ratio", 0.2)),
     )
     opt_name = config.get("optimizer", "SGD").upper()
+    trace_decay = None
     if opt_name == "SGD":
         tx = optax.trace(decay=0.9)
+        trace_decay = 0.9  # enables the fused update+EMA path (ssl/dino.py)
     elif opt_name == "ADAMW":
         tx = optax.scale_by_adam()
     elif opt_name == "LARS":
@@ -171,6 +173,7 @@ def train_dino(config, **overrides):
         * epoch_iter,
         preprocess_fn=preprocess,
         mesh=mesh,
+        trace_decay=trace_decay,
         # the reference DINO executor runs under autocast when
         # enable_amp (ssl/utils/dino_executor.py:71); same policy as
         # bin/train: explicit opt-in, accelerator-only

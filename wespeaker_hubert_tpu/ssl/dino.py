@@ -230,6 +230,7 @@ def make_dino_train_step(
     preprocess_fn: Optional[Callable] = None,
     mesh=None,
     compute_dtype=None,
+    trace_decay: Optional[float] = None,
 ):
     """Build the jitted DINO step.
 
@@ -307,16 +308,37 @@ def make_dino_train_step(
 
         grads = _clip_grads_per_param(grads, clip_grad)
         grads = _zero_last_layer(grads, freeze)
-        # cosine weight decay, torch-coupled style
-        grads = jax.tree.map(lambda gr, p: gr + wd * p, grads, state.student_params)
-        updates, new_opt_state = tx.update(
-            grads, state.opt_state, state.student_params
+
+        # Optimizer + teacher-EMA glue, fused (round-5, VERDICT r4 #4):
+        # the stage-by-stage path (wd add -> tx.update -> -lr scale ->
+        # apply -> teacher EMA) runs 5 elementwise passes with several
+        # kernels per leaf; for the common plain-momentum tx
+        # (optax.trace) the closed form below computes new_momentum,
+        # new_params and the teacher EMA in three tree.maps with
+        # identical numerics and the same TraceState structure.
+        use_fused = trace_decay is not None and isinstance(
+            state.opt_state, optax.TraceState
         )
-        # tx yields the (positive) preconditioned direction, e.g.
-        # optax.trace(0.9) or optax.scale_by_adam(); apply -lr here so the
-        # cosine lr schedule stays in-graph.
-        updates = jax.tree.map(lambda u: u * (-lr), updates)
-        new_params = optax.apply_updates(state.student_params, updates)
+        if use_fused:
+            decay = trace_decay
+            trace_state = state.opt_state
+            new_m = jax.tree.map(
+                lambda g, p, mo: (g + wd * p) + decay * mo,
+                grads, state.student_params, trace_state.trace,
+            )
+            new_params = jax.tree.map(
+                lambda p, m2: p - lr * m2, state.student_params, new_m
+            )
+            new_opt_state = optax.TraceState(trace=new_m)
+        else:
+            grads = jax.tree.map(
+                lambda gr, p: gr + wd * p, grads, state.student_params
+            )
+            updates, new_opt_state = tx.update(
+                grads, state.opt_state, state.student_params
+            )
+            updates = jax.tree.map(lambda u: u * (-lr), updates)
+            new_params = optax.apply_updates(state.student_params, updates)
 
         # teacher EMA (reference dino_wrapper.ema_update:270)
         new_teacher = jax.tree.map(

@@ -286,8 +286,18 @@ def make_train_step(
         (loss, (new_stats, acc)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        if hasattr(tx, "update_apply"):
+            # fused closed-form update+apply (train/state.py): same math
+            # and opt_state as the optax chain, ~2-3 ms/step fewer
+            # per-leaf kernel launches on the 150-leaf trees
+            new_params, new_opt_state = tx.update_apply(
+                grads, state.opt_state, state.params
+            )
+        else:
+            updates, new_opt_state = tx.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,

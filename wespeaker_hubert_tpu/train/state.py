@@ -58,6 +58,24 @@ def make_optimizer(
     )
     tx = optax.chain(*parts)
     if not freeze_paths:
+        if optimizer.upper() == "SGD" and momentum and weight_decay:
+            # Fused update+apply for the production SGD chain: the optax
+            # stage-by-stage evaluation materializes intermediate update
+            # trees and launches several kernels PER LEAF — profiled at
+            # 4.7 ms/step for ECAPA_c1024's ~150 leaves (27% of the
+            # whole train step; docs/PERF_NOTES.md round-5).  This
+            # closed form computes new_momentum and new_params in two
+            # tree.maps with identical semantics AND an identical
+            # opt_state structure (chain(EmptyState, TraceState,
+            # ScaleByScheduleState)), so checkpoints interchange with
+            # the unfused path.  The executor uses .update_apply when
+            # present; .init/.update stay the plain optax path.
+            return _FusedTx(
+                tx,
+                _make_sgd_update_apply(
+                    lr_schedule, momentum, nesterov, weight_decay
+                ),
+            )
         return tx
 
     def label_fn(params):
@@ -75,6 +93,56 @@ def make_optimizer(
     return optax.multi_transform(
         {"train": tx, "freeze": optax.set_to_zero()}, label_fn
     )
+
+
+class _FusedTx:
+    """optax-compatible (init/update) plus a fused update_apply — a
+    plain object because GradientTransformation is a frozen NamedTuple."""
+
+    def __init__(self, tx, update_apply):
+        self.init = tx.init
+        self.update = tx.update
+        self.update_apply = update_apply
+
+
+def _make_sgd_update_apply(lr_schedule, momentum, nesterov, weight_decay):
+    """(grads, opt_state, params) -> (new_params, new_opt_state), equal
+    to chain(add_decayed_weights, trace, scale_by_schedule) + optax.
+    apply_updates but evaluated in closed form:
+
+        u     = g + wd * p                       (coupled decay)
+        m_new = u + momentum * m                 (optax.trace)
+        out   = u + momentum * m_new  [nesterov] (trace's read-out)
+        p_new = p - lr(count) * out
+    """
+
+    def update_apply(grads, opt_state, params):
+        empty_state, trace_state, sched_state = opt_state
+        count = sched_state.count
+        lrv = lr_schedule(count)
+        mom = trace_state.trace
+        new_m = jax.tree.map(
+            lambda g, p, m: (g + weight_decay * p) + momentum * m,
+            grads, params, mom,
+        )
+        if nesterov:
+            new_p = jax.tree.map(
+                lambda p, g, m2: p
+                - lrv * ((g + weight_decay * p) + momentum * m2),
+                params, grads, new_m,
+            )
+        else:
+            new_p = jax.tree.map(
+                lambda p, m2: p - lrv * m2, params, new_m
+            )
+        new_state = (
+            empty_state,
+            trace_state._replace(trace=new_m),
+            sched_state._replace(count=count + 1),
+        )
+        return new_p, new_state
+
+    return update_apply
 
 
 def create_train_state(
