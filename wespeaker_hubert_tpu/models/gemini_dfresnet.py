@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from .norm import BatchNorm
+from .safe_conv import SafeConv
 from .pooling import POOLING_LAYERS
 from .resnet import _bn
 
@@ -40,7 +41,7 @@ class InvertedBottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         out = nn.Conv(4 * self.dim, (1, 1), use_bias=False, name="conv1")(x)
         out = nn.relu(_bn(train, "bn1")(out))
-        out = nn.Conv(
+        out = SafeConv(
             4 * self.dim,
             (3, 3),
             padding=[(1, 1), (1, 1)],

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from .norm import BatchNorm, LayerNorm
+from .safe_conv import SafeConv
 from .pooling import POOLING_LAYERS
 
 __all__ = [
@@ -85,7 +86,7 @@ class ConvNeXtLikeBlock(nn.Module):
         for i, ks in enumerate(self.kernel_sizes):
             ks_t = (ks,) if isinstance(ks, int) else tuple(ks)
             outs.append(
-                nn.Conv(
+                SafeConv(
                     self.C,
                     ks_t,
                     padding="SAME",
@@ -139,7 +140,7 @@ class ResBasicBlock(nn.Module):
             )
 
         if self.group_divisor is not None:
-            h = nn.Conv(
+            h = SafeConv(
                 in_planes, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
                 feature_group_count=_groups(in_planes, self.group_divisor),
                 name="conv1",
@@ -153,7 +154,7 @@ class ResBasicBlock(nn.Module):
         h = bn("bn1")(nn.relu(h))
 
         if self.group_divisor is not None:
-            h = nn.Conv(
+            h = SafeConv(
                 self.planes, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
                 feature_group_count=_groups(self.planes, self.group_divisor),
                 name="conv2",
@@ -228,7 +229,7 @@ class PosEncConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Conv(
+        h = SafeConv(
             self.C, (self.ks,), padding=[(self.ks // 2, self.ks // 2)],
             feature_group_count=self.C, name="conv",
         )(x)
@@ -376,7 +377,7 @@ class ReDimNet(nn.Module):
                 )(z2, train)
 
             if conv_exp != 1:
-                z2 = nn.Conv(
+                z2 = SafeConv(
                     cur_c, (3, 3), padding="SAME",
                     feature_group_count=_groups(cur_c, self.group_divisor),
                     name=f"stage{si}_squeeze_conv",

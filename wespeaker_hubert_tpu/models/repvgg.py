@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .pooling import POOLING_LAYERS
+from .safe_conv import SafeConv
 from .resnet import _bn
 
 __all__ = ["RepVGG", "convert_repvgg_params", "REPVGG_FACTORIES"]
@@ -58,7 +59,7 @@ class RepVGGBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         in_channels = x.shape[-1]
         if self.deploy:
-            out = nn.Conv(
+            out = SafeConv(
                 self.out_channels,
                 (3, 3),
                 strides=(self.stride, self.stride),
@@ -67,7 +68,7 @@ class RepVGGBlock(nn.Module):
                 name="reparam",
             )(x)
         else:
-            dense = nn.Conv(
+            dense = SafeConv(
                 self.out_channels, (3, 3),
                 strides=(self.stride, self.stride),
                 padding=[(1, 1), (1, 1)],
@@ -75,7 +76,7 @@ class RepVGGBlock(nn.Module):
                 use_bias=False, name="dense_conv",
             )(x)
             dense = _bn(train, "dense_bn")(dense)
-            one = nn.Conv(
+            one = SafeConv(
                 self.out_channels, (1, 1),
                 strides=(self.stride, self.stride),
                 feature_group_count=self.groups,
@@ -104,7 +105,7 @@ class RepSPKBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         in_channels = x.shape[-1]
         if self.deploy:
-            out = nn.Conv(
+            out = SafeConv(
                 self.out_channels,
                 (5, 5),
                 strides=(self.stride, self.stride),
@@ -113,7 +114,7 @@ class RepSPKBlock(nn.Module):
                 name="reparam",
             )(x)
         else:
-            dense = nn.Conv(
+            dense = SafeConv(
                 self.out_channels, (3, 3),
                 strides=(self.stride, self.stride),
                 padding=[(1, 1), (1, 1)],
@@ -121,7 +122,7 @@ class RepSPKBlock(nn.Module):
                 use_bias=False, name="dense_conv",
             )(x)
             dense = _bn(train, "dense_bn")(dense)
-            dil = nn.Conv(
+            dil = SafeConv(
                 self.out_channels, (3, 3),
                 strides=(self.stride, self.stride),
                 padding=[(2, 2), (2, 2)],

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["grouped_conv1d"]
+__all__ = ["grouped_conv1d", "grouped_conv2d"]
 
 
 def _conv1d(x, w, stride, padding, g):
@@ -110,3 +110,84 @@ def _bwd(stride, padding, g, res, ct):
 
 
 grouped_conv1d.defvjp(_fwd, _bwd)
+
+
+def _conv2d(x, w, strides, padding, g, dilation=(1, 1)):
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=strides,
+        padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=g,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def grouped_conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    strides: Tuple[int, int],
+    padding: Tuple[Tuple[int, int], Tuple[int, int]],
+    g: int,
+    dilation: Tuple[int, int] = (1, 1),
+) -> jax.Array:
+    """(B, H, W, C) x (kh, kw, C//g, C_out) -> NHWC grouped conv with a
+    partitioner-safe weight gradient (see module docstring) — the 2-D
+    counterpart for the depthwise backbones (ReDimNet, Gemini
+    DF-ResNet, RepVGG-gX), whose dw is mis-scaled by the replication
+    degree when trained with model_parallel > 1.  `dilation` is the
+    kernel (rhs) dilation (RepVGG's dilated branch)."""
+    return _conv2d(x, w, strides, padding, g, dilation)
+
+
+def _fwd2(x, w, strides, padding, g, dilation):
+    return _conv2d(x, w, strides, padding, g, dilation), (x, w)
+
+
+def _bwd2(strides, padding, g, dilation, res, ct):
+    x, w = res
+    _, vjp_x = jax.vjp(
+        lambda xx: _conv2d(xx, w, strides, padding, g, dilation), x
+    )
+    (dx,) = vjp_x(ct)
+
+    kh, kw, cg, c_out = w.shape
+    b, ho, wo, _ = ct.shape
+    og = c_out // g
+    (tlo, thi), (llo, lhi) = padding
+    sh, sw = strides
+    xp = jnp.pad(x, ((0, 0), (tlo, thi), (llo, lhi), (0, 0)))
+    xg = xp.reshape(b, xp.shape[1], xp.shape[2], g, cg)
+    ctg = ct.reshape(b, ho, wo, g, og)
+    span_h = (ho - 1) * sh + 1
+    span_w = (wo - 1) * sw + 1
+
+    dh, dw_dil = dilation
+
+    def tap(_, k):
+        a, bb = k // kw, k % kw
+        xk = lax.dynamic_slice(
+            xg, (0, a * dh, bb * dw_dil, 0, 0),
+            (b, span_h, span_w, g, cg),
+        )
+        if sh > 1 or sw > 1:
+            xk = xk[:, ::sh, ::sw]
+        dw_k = jnp.einsum(
+            "bhwgc,bhwgo->gco", xk, ctg,
+            preferred_element_type=jnp.float32,
+        )
+        return _, dw_k
+
+    _, dws = lax.scan(tap, 0, jnp.arange(kh * kw))
+    dw = (
+        dws.reshape(kh, kw, g, cg, og)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(kh, kw, cg, c_out)
+        .astype(w.dtype)
+    )
+    return dx, dw
+
+
+grouped_conv2d.defvjp(_fwd2, _bwd2)
