@@ -149,6 +149,11 @@ def _extra_metrics():
         lambda: bench_all.bench_train_step(
             "ResNet34", 128, compute_dtype=jnp.bfloat16,
             loop_steps=4, iters=4)[0])
+    # round-5 space-to-depth stem (inference-gated): measured +15.5%
+    # over the round-4 path (docs/PERF_NOTES.md)
+    run("ResNet34_extract_bf16", 600,
+        lambda: bench_all.bench_extract("ResNet34", 64, 10.0, "bf16",
+                                        iters=4))
     run("ResNet293_extract_bf16", 900,
         lambda: bench_all.bench_extract("ResNet293", 64, 10.0, "bf16",
                                         iters=4))

@@ -422,3 +422,85 @@ def test_train_bin_yaml_pp(tmp_path):
         assert "layer_0" in state2.params["frontend"]["upstream"]
     finally:
         del SSLEncoderConfig.tiny_wavlm
+
+
+def test_extract_pipeline_parallel_matches(tmp_path):
+    """bin/extract with pipeline_parallel: 2 returns the same embeddings
+    as the unpipelined extraction (the eval-side product wiring)."""
+    import json
+
+    from wespeaker_hubert_tpu.bin.extract import extract
+    from wespeaker_hubert_tpu.bin.train import train
+    from wespeaker_hubert_tpu.data.wav_io import write_wav
+    from wespeaker_hubert_tpu.utils.embeddings import embeddings_dict
+
+    rng = np.random.default_rng(0)
+    entries = []
+    for spk in range(2):
+        for u in range(2):
+            utt = f"s{spk}u{u}"
+            p = tmp_path / f"{utt}.wav"
+            write_wav(str(p), (rng.standard_normal(24000) * 0.1).clip(-1, 1))
+            entries.append({"key": utt, "wav": str(p), "spk": f"s{spk}"})
+    raw = tmp_path / "raw.list"
+    with open(raw, "w") as f:
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
+    with open(tmp_path / "utt2spk", "w") as f:
+        for e in entries:
+            f.write(f"{e['key']} {e['spk']}\n")
+
+    tiny = lambda: dataclasses.replace(
+        SSLEncoderConfig.tiny(model_type="hubert"), num_hidden_layers=4
+    )
+    SSLEncoderConfig.tiny_hubert4 = staticmethod(tiny)
+    try:
+        config = {
+            "exp_dir": str(tmp_path / "exp"),
+            "train_data": str(raw),
+            "train_label": str(tmp_path / "utt2spk"),
+            "num_epochs": 1,
+            "epoch_iter": 1,
+            "save_epoch_interval": 1,
+            "model": "ECAPA_TDNN_c512",
+            "model_args": {"feat_dim": 32, "embed_dim": 32},
+            "projection_args": {"project_type": "arc_margin", "scale": 32.0},
+            "dataset_args": {
+                "frontend": "s3prl",
+                "s3prl_args": {"upstream": "tiny_hubert4", "frozen": False},
+                "num_frms": 100,
+                "speed_perturb": False,
+                "aug_prob": 0.0,
+                "spec_aug": False,
+                "shuffle": False,
+            },
+            "dataloader_args": {"batch_size": 8, "num_workers": 0},
+            "optimizer_args": {"weight_decay": 0.0},
+            "margin_update": {"update_margin": False},
+        }
+        train(dict(config))
+        ckpt = str(tmp_path / "exp" / "models" / "model_1.ckpt")
+
+        extract(dict(config), str(raw), ckpt, str(tmp_path / "plain.npz"),
+                batch_size=4)
+        cfg_pp = dict(config)
+        cfg_pp["dataset_args"] = {
+            **config["dataset_args"],
+            "s3prl_args": {
+                "upstream": "tiny_hubert4", "frozen": False,
+                "pipeline_parallel": 2, "pipeline_microbatches": 2,
+            },
+        }
+        extract(cfg_pp, str(raw), ckpt, str(tmp_path / "pp.npz"),
+                batch_size=4)
+        e0 = embeddings_dict(str(tmp_path / "plain.npz"))
+        e1 = embeddings_dict(str(tmp_path / "pp.npz"))
+        assert sorted(e0) == sorted(e1)
+        for k in e0:
+            cos = float(
+                np.dot(e0[k], e1[k])
+                / (np.linalg.norm(e0[k]) * np.linalg.norm(e1[k]) + 1e-12)
+            )
+            assert cos > 0.99999, (k, cos)
+    finally:
+        del SSLEncoderConfig.tiny_hubert4

@@ -134,8 +134,40 @@ def extract(
         variables = cast_variables_bf16(variables)
         logger.info("bf16 inference enabled")
 
+    # pipeline-parallel extraction: the same YAML knob the train driver
+    # reads (s3prl_args/whisper_encoder_args.pipeline_parallel) stages
+    # the frontend stack over a 'pipe' axis at eval too — useful when a
+    # large frontend doesn't fit one chip's HBM
+    fe_args = {}
+    if dataset_args.get("frontend") == "s3prl":
+        fe_args = dataset_args.get("s3prl_args", {})
+    elif dataset_args.get("frontend") == "whisper_encoder":
+        fe_args = dataset_args.get("whisper_encoder_args", {})
+    pp = int(fe_args.get("pipeline_parallel", 1))
+    pp_micro = None
     mesh = None
-    if sharded and len(jax.devices()) > 1:
+    if pp > 1 and len(jax.devices()) >= pp:
+        from ..parallel import make_mesh, shard_tree, stack_frontend_tree
+
+        mesh = make_mesh(model_parallel=1, pipeline_parallel=pp)
+        n_shards = mesh.devices.shape[0]  # data axis for row alignment
+        params = dict(variables["params"])
+        params["frontend"] = stack_frontend_tree(
+            params["frontend"], net.frontend.cfg
+        )
+        variables = {**variables, "params": params}
+        variables = shard_tree(variables, mesh)
+        pp_micro = int(
+            fe_args.get("pipeline_microbatches")
+            or max(1, min(batch_size, 4 * pp))
+        )
+        while batch_size % pp_micro:
+            pp_micro -= 1
+        logger.info(
+            "pipeline-parallel extraction: %d stages, %d microbatches",
+            pp, pp_micro,
+        )
+    elif sharded and len(jax.devices()) > 1:
         from ..parallel.mesh import DATA_AXIS, make_mesh, shard_tree
 
         mesh = make_mesh(model_parallel=1)
@@ -143,7 +175,8 @@ def extract(
         n_shards = mesh.shape[DATA_AXIS]
         logger.info("sharded extraction over %d devices", n_shards)
     embed_fn = make_eval_embed(net, feature_cfg=feature_cfg, mesh=mesh,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype,
+                               pipeline_microbatches=pp_micro)
 
     from ..data import load_data_list
 

@@ -76,8 +76,14 @@ def _hdbscan_labels(reduced: np.ndarray, min_cluster_size: int) -> np.ndarray:
     except ImportError:
         from sklearn.cluster import HDBSCAN
 
+        import inspect
+
+        kw = {}
+        if "copy" in inspect.signature(HDBSCAN.__init__).parameters:
+            kw["copy"] = True  # silence the sklearn 1.10 default flip
         return HDBSCAN(
-            allow_single_cluster=True, min_cluster_size=min_cluster_size
+            allow_single_cluster=True, min_cluster_size=min_cluster_size,
+            **kw,
         ).fit_predict(reduced)
 
 

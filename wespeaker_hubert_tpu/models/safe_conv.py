@@ -20,7 +20,6 @@ from typing import Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 from jax import lax
 
 from ..ops.conv_safe import grouped_conv1d, grouped_conv2d

@@ -29,8 +29,10 @@ adds the canonical TPU pipeline from the scaling playbook:
 
 Per-layer hidden states (the Featurizer consumes ALL of them —
 reference: wespeaker/frontend/s3prl.py:69-75) are collected per stage
-during the scan and all_gathered over 'pipe' at the end, so the layer-
-weighted-sum frontend path works unchanged on top of the pipelined stack.
+during the scan and emitted pipe-sharded on the stage axis (out_specs
+P('pipe') — GSPMD reassembles them as downstream consumers demand), so
+the layer-weighted-sum frontend path works unchanged on top of the
+pipelined stack.
 
 Differentiable end-to-end: grads flow through ppermute (its transpose is
 the reverse permute) and the scans, so the same pipeline serves the
@@ -44,7 +46,6 @@ layout via `unstack_frontend_tree`).
 
 from __future__ import annotations
 
-import math
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
