@@ -169,3 +169,27 @@ def test_sp_train_step_loss_parity():
         losses[name] = float(metrics["loss"])
     assert np.isfinite(losses["sp"])
     np.testing.assert_allclose(losses["sp"], losses["base"], rtol=1e-4)
+
+
+def test_skipped_constraint_warns_once(caplog):
+    """ADVICE r4: a silently-skipped SP constraint would look like
+    working sequence parallelism while running replicated — the
+    constraint callable must say so (once)."""
+    import logging
+
+    import jax.numpy as jnp
+
+    from wespeaker_hubert_tpu.parallel import (
+        make_mesh,
+        sequence_parallel_constraint,
+    )
+
+    mesh = make_mesh(model_parallel=2)
+    constrain = sequence_parallel_constraint(mesh)
+    x = jnp.zeros((2, 7, 8))  # T=7 not divisible by tp=2 -> skipped
+    with caplog.at_level(logging.WARNING, logger="parallel.mesh"):
+        y = constrain(x)
+        z = constrain(x)
+    assert y.shape == x.shape and z.shape == x.shape
+    msgs = [r for r in caplog.records if "SKIPPED" in r.getMessage()]
+    assert len(msgs) == 1  # once, not per call
